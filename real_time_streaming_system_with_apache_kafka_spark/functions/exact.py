@@ -1,0 +1,60 @@
+"""Engine-independent exact aggregation helpers.
+
+Summing IEEE doubles is order-dependent, and a distributed Spark sum
+visits rows in a different order than the single-threaded DuckDB oracle
+(and than itself across runs once partitioning changes). Casting each
+addend to a wide decimal first makes the sum exact and therefore
+order-independent — the same answer on 32 local threads or 1000
+executors, and bit-identical to any other engine using the same decimal
+scale. The final cast back to double keeps result schemas simple.
+
+The per-row cast is still whole-stage-codegen'd JVM arithmetic; Spark's
+partial (map-side) + final decimal aggregation applies as usual, so this
+costs almost nothing at scale while buying run-to-run determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 38 digits total / 6 fractional is enough for any sum over the test
+# tables (values < 1e6, row counts < 1e9 leave >20 integer digits).
+_DEC = "decimal(38,6)"
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Order-independent sum of a double column, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DEC)).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str) -> Column:
+    """Order-independent mean: exact decimal sum / count, as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        (F.sum(c.cast(_DEC)).cast("double") / F.count(F.lit(1)))
+        .alias(alias)
+    )
+
+
+def ratio(num: Column, den: Column, alias: str, scale: int = 100) -> Column:
+    """Guarded ratio (reference guards div-by-zero with Python ternaries,
+    dashboard.py:83-87): NULL-safe, 0 when the denominator is 0."""
+    return (
+        F.when(den == 0, F.lit(0.0))
+        .otherwise(num.cast("double") / den.cast("double") * scale)
+        .alias(alias)
+    )
+
+
+def oracle_dsum(expr: str, alias: str) -> str:
+    """DuckDB twin of :func:`dsum` for oracle SQL strings."""
+    return f"cast(sum(cast(({expr}) as decimal(38,6))) as double) as {alias}"
+
+
+def oracle_davg(expr: str, alias: str) -> str:
+    """DuckDB twin of :func:`davg`."""
+    return (
+        f"cast(sum(cast(({expr}) as decimal(38,6))) as double) / count(*) as {alias}"
+    )

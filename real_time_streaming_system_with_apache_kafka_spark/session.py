@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+Local testing runs one JVM with N threads; the configuration is chosen so
+the same code is correct on a real multi-executor cluster:
+
+- AQE on (runtime coalescing, skew-join splitting) so plans self-correct
+  at scale without hand-tuning per dataset,
+- shuffle partitions sized to cores locally (a cluster deployment would
+  raise this or rely on AQE's initialPartitionNum),
+- UTC session timezone so timestamp semantics are engine-independent
+  (parity with the DuckDB oracle and any downstream store),
+- Arrow enabled for the few pandas-UDF code paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_session(app_name: str = "rtss_spark", cpus: str | None = None) -> SparkSession:
+    """Build (or reuse) the SparkSession with scale-appropriate defaults."""
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def pin_session_defaults(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable defaults to an externally created session.
+
+    The correctness driver passes its own SparkSession; timestamp
+    comparisons against the DuckDB oracle require a UTC session timezone,
+    and AQE/Arrow are runtime-settable too. Idempotent.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # The events table stores TIMESTAMP(NANOS) which the vectorized
+    # parquet reader rejects; read it as long and convert in the loader.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark

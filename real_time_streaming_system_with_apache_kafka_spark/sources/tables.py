@@ -1,0 +1,40 @@
+"""Batch table loaders over the driver-provisioned parquet star schema.
+
+Parquet is the canonical at-rest format (the reference's PostgreSQL table,
+consumer.py:37-58, maps to a columnar table Spark can scan with predicate
+pushdown + column pruning). Loads are plain ``spark.read.parquet`` so
+Catalyst keeps full pushdown/pruning freedom — no eager caching, no
+collect.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from real_time_streaming_system_with_apache_kafka_spark.schemas import STAR_TABLES
+from real_time_streaming_system_with_apache_kafka_spark.session import pin_session_defaults
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Load one star-schema table as a lazy DataFrame."""
+    pin_session_defaults(spark)
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), surfaced as epoch-nanos
+        # long (see pin_session_defaults). Integer division keeps the
+        # microsecond value exact (double division would lose precision
+        # above 2^53 ns).
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    """Load every table; keys match the DuckDB oracle view names."""
+    return {name: load(spark, name, sf_dir) for name in STAR_TABLES}
