@@ -48,6 +48,27 @@ def ratio(num: Column, den: Column, alias: str, scale: int = 100) -> Column:
     )
 
 
+def dec4(col: Column | str, precision: int = 12) -> Column:
+    """Cast a double whose intrinsic precision is <=2-3 decimal digits to
+    an exact decimal at scale 4.
+
+    Rounding a raw double with ``F.round`` is engine-dependent at
+    halfway points (Java rounds the shortest decimal representation,
+    C/DuckDB round the true binary value). Casting to scale 4 first is
+    safe — binary error ~1e-13 can't cross a 5e-5 boundary — and all
+    downstream arithmetic/rounding happens in exact decimal, identical
+    on every engine.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({precision},4)")
+
+
+def round2(col: Column, alias: str) -> Column:
+    """HALF_UP round of an exact decimal expression to 2 digits,
+    returned as double."""
+    return F.round(col, 2).cast("double").alias(alias)
+
+
 def oracle_dsum(expr: str, alias: str) -> str:
     """DuckDB twin of :func:`dsum` for oracle SQL strings."""
     return f"cast(sum(cast(({expr}) as decimal(38,6))) as double) as {alias}"
