@@ -18,6 +18,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES: list[str] = [
     "real_time_streaming_system_with_apache_kafka_spark.operators.windows",
     "real_time_streaming_system_with_apache_kafka_spark.operators.relational",
+    "real_time_streaming_system_with_apache_kafka_spark.operators.aggregates",
 ]
 
 
