@@ -19,6 +19,7 @@ _MODULES: list[str] = [
     "real_time_streaming_system_with_apache_kafka_spark.operators.windows",
     "real_time_streaming_system_with_apache_kafka_spark.operators.relational",
     "real_time_streaming_system_with_apache_kafka_spark.operators.aggregates",
+    "real_time_streaming_system_with_apache_kafka_spark.operators.joins",
 ]
 
 
