@@ -1,0 +1,234 @@
+"""Seeded synthetic post-trade generator (SURVEY.md SRC1).
+
+Re-expresses the reference's trade generator semantics
+(reference producer.py:11-128: weighted categoricals producer.py:39,
+per-class quantity/price ranges producer.py:62-76, derived
+notional/fees producer.py:78-84, T+N settlement producer.py:89-97,
+priority/STP rules producer.py:100-105) as pure Spark column
+expressions over ``spark.range(n)``.
+
+Two deliberate departures from the reference, both scale-driven:
+
+1. **Deterministic.** The reference draws from unseeded ``random`` and
+   Faker. Here every value derives from ``xxhash64(id, seed, tag)``, so
+   a row's content depends only on (id, seed) — not on partitioning,
+   task order, or retries. That's what makes the generator safe on a
+   1000-executor cluster (speculative re-execution produces identical
+   rows) and makes golden tests possible.
+2. **Declarative.** One ``range(n)`` + column expressions = a lazy plan
+   Catalyst can parallelize arbitrarily; generating 100 TB of synthetic
+   trades is embarrassingly parallel with zero Python in the loop
+   (whole-stage codegen end to end).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_streaming_system_with_apache_kafka_spark.schemas import TRADE_SCHEMA
+
+ASSET_CLASSES = ["Equity", "Fixed Income", "Derivative", "FX", "Commodity"]
+SIDES = ["Buy", "Sell"]
+COUNTERPARTIES = [
+    "Goldman Sachs", "JP Morgan", "Morgan Stanley", "BNP Paribas",
+    "State Street", "Northern Trust", "Citi", "Credit Suisse",
+]
+STATUSES = [
+    "Pending Confirmation", "Confirmed", "Settlement Pending",
+    "Settled", "Break - Mismatch", "Break - Missing Trade",
+]
+STATUS_WEIGHTS = [0.40, 0.35, 0.15, 0.08, 0.015, 0.005]  # producer.py:39
+INSTRUMENTS = {  # producer.py:42-48
+    "Equity": ["AAPL", "MSFT", "GOOGL", "AMZN", "TSLA", "JPM", "BAC", "GS"],
+    "Fixed Income": ["US10Y", "US30Y", "CORP_AAA", "CORP_BBB", "MUNI"],
+    "Derivative": ["SPX_CALL", "SPX_PUT", "VIX_FUT", "ES_FUT", "SWAP_5Y"],
+    "FX": ["EUR/USD", "GBP/USD", "USD/JPY", "USD/CHF", "AUD/USD"],
+    "Commodity": ["GC_FUT", "CL_FUT", "NG_FUT", "SI_FUT"],
+}
+VENUES = ["DTC", "Euroclear", "Clearstream", "CME", "ICE", "OCC"]
+# (quantity lo, hi, price lo, hi, price dp) per class — producer.py:62-76
+RANGES = {
+    "Equity": (100, 50_000, 50.0, 500.0, 2),
+    "Fixed Income": (100_000, 10_000_000, 95.0, 105.0, 4),
+    "Derivative": (1, 100, 1.0, 50.0, 2),
+    "FX": (100_000, 5_000_000, 0.5, 1.5, 6),
+    "Commodity": (1, 500, 50.0, 2000.0, 2),
+}
+SETTLEMENT_DAYS = {  # producer.py:89-95
+    "Equity": 2, "Fixed Income": 1, "Derivative": 1, "FX": 2, "Commodity": 1,
+}
+# Deterministic stand-in for Faker analyst names (producer.py:127).
+ANALYSTS = [
+    "Alex Morgan", "Sam Rivera", "Jordan Lee", "Casey Kim", "Riley Chen",
+    "Drew Patel", "Taylor Brooks", "Avery Nguyen", "Quinn Davis", "Jamie Fox",
+    "Morgan Reed", "Cameron Diaz", "Skyler Hunt", "Devon Cruz", "Harper Wells",
+    "Rowan Blake", "Emerson Cole", "Finley Hayes", "Sawyer Stone", "Peyton Ash",
+]
+
+_MASK = 1 << 30
+
+
+def _u01(seed: int, tag: str) -> Column:
+    """Uniform [0,1) derived from (row id, seed, tag) — row-deterministic
+    regardless of partitioning, unlike ``F.rand(seed)``."""
+    return F.pmod(F.xxhash64(F.col("id"), F.lit(seed), F.lit(tag)), F.lit(_MASK)) / _MASK
+
+
+def _choice(options: list[str], seed: int, tag: str) -> Column:
+    arr = F.array(*[F.lit(o) for o in options])
+    return F.element_at(arr, (F.pmod(F.xxhash64(F.col("id"), F.lit(seed), F.lit(tag)), F.lit(len(options))) + 1).cast("int"))
+
+
+def _weighted_choice(options: list[str], weights: list[float], seed: int, tag: str) -> Column:
+    """Cumulative-weight when-ladder (producer.py:58 random.choices)."""
+    u = _u01(seed, tag)
+    cutoffs: list[tuple[float, str]] = []
+    cum = 0.0
+    for opt, w in zip(options[:-1], weights[:-1]):
+        cum += w
+        cutoffs.append((cum, opt))
+    result = F.lit(options[-1])
+    for cum, opt in reversed(cutoffs):
+        result = F.when(u < cum, F.lit(opt)).otherwise(result)
+    return result
+
+
+def _randint(seed: int, tag: str) -> Column:
+    """Per-class integer uniform in [lo, hi] (producer.py randint)."""
+    u = _u01(seed, tag)
+    result = F.lit(None)
+    for cls, (lo, hi, *_rest) in RANGES.items():
+        val = (F.floor(u * (hi - lo + 1)) + lo).cast("long")
+        result = F.when(F.col("asset_class") == cls, val).otherwise(result)
+    return result
+
+
+def _randprice(seed: int, tag: str) -> Column:
+    """Per-class uniform price rounded to the class's decimal places."""
+    u = _u01(seed, tag)
+    result = F.lit(None)
+    for cls, (_, _, lo, hi, dp) in RANGES.items():
+        val = F.round(F.lit(lo) + u * (hi - lo), dp)
+        result = F.when(F.col("asset_class") == cls, val).otherwise(result)
+    return result
+
+
+def trades(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 42,
+    base_date: dt.date = dt.date(2026, 1, 5),
+    mean_interval_ms: int = 900,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Generate ``n_rows`` deterministic trades matching TRADE_SCHEMA.
+
+    ``mean_interval_ms`` paces event time like the reference's
+    U(0.3, 1.5) s sleep (producer.py:172): trade *i* lands at
+    ``base_date + i * interval + jitter``.
+    """
+    df = spark.range(0, n_rows, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    df = df.withColumn("asset_class", _choice(ASSET_CLASSES, seed, "class"))
+
+    # Per-class instrument pick (producer.py:55).
+    instrument = F.lit(None)
+    for cls, ticks in INSTRUMENTS.items():
+        instrument = F.when(
+            F.col("asset_class") == cls, _choice(ticks, seed, f"instr_{cls}")
+        ).otherwise(instrument)
+
+    quantity = _randint(seed, "qty")
+    price = _randprice(seed, "price")
+
+    df = (
+        df.withColumn("instrument", instrument)
+        .withColumn("side", _choice(SIDES, seed, "side"))
+        .withColumn("counterparty", _choice(COUNTERPARTIES, seed, "cpty"))
+        .withColumn("status", _weighted_choice(STATUSES, STATUS_WEIGHTS, seed, "status"))
+        .withColumn("settlement_venue", _choice(VENUES, seed, "venue"))
+        .withColumn("quantity", quantity)
+        .withColumn("price", price)
+    )
+
+    notional = F.round(F.col("quantity") * F.col("price"), 2)
+    df = df.withColumn("notional_value", notional)
+
+    def fee(tag: str, lo: float, hi: float) -> Column:
+        return F.round(F.col("notional_value") * (F.lit(lo) + _u01(seed, tag) * (hi - lo)), 2)
+
+    df = (
+        df.withColumn("brokerage_fee", fee("fee_brk", 0.0001, 0.0015))  # producer.py:81
+        .withColumn("clearing_fee", fee("fee_clr", 0.00005, 0.0003))  # producer.py:82
+        .withColumn("exchange_fee", fee("fee_exc", 0.00003, 0.0002))  # producer.py:83
+    )
+    df = df.withColumn(
+        "total_fees",
+        F.round(F.col("brokerage_fee") + F.col("clearing_fee") + F.col("exchange_fee"), 2),
+    )
+
+    days_back = F.pmod(F.xxhash64(F.col("id"), F.lit(seed), F.lit("tdate")), F.lit(4)).cast("int")
+    df = df.withColumn("trade_date", F.date_sub(F.lit(base_date), days_back))
+
+    settle = F.lit(None)
+    for cls, n in SETTLEMENT_DAYS.items():
+        settle = F.when(F.col("asset_class") == cls, F.date_add(F.col("trade_date"), n)).otherwise(settle)
+    df = df.withColumn("settlement_date", settle)
+
+    df = df.withColumn(
+        "priority",
+        F.when(
+            F.col("status").contains("Break") | (F.col("notional_value") > 1_000_000),
+            "High",
+        ).otherwise("Normal"),  # producer.py:100-102
+    ).withColumn(
+        "stp_eligible",
+        ~F.col("status").isin("Break - Mismatch", "Break - Missing Trade"),  # producer.py:105
+    )
+
+    base_us = int(
+        dt.datetime.combine(base_date, dt.time(9, 30)).replace(tzinfo=dt.timezone.utc).timestamp()
+        * 1_000_000
+    )
+    jitter_us = F.pmod(
+        F.xxhash64(F.col("id"), F.lit(seed), F.lit("jitter")), F.lit(mean_interval_ms * 1000)
+    )
+    df = df.withColumn(
+        "timestamp",
+        F.timestamp_micros(
+            F.lit(base_us) + F.col("id") * (mean_interval_ms * 1000) + jitter_us
+        ),
+    )
+
+    df = df.withColumn(
+        "trade_id", F.substring(F.md5(F.concat_ws("#", F.lit(seed), F.col("id"))), 1, 12)
+    ).withColumn("processed_by", _choice(ANALYSTS, seed, "analyst"))
+
+    # Project to the canonical schema order/types (single declaration,
+    # unlike the reference's three copies — SURVEY.md §1.2).
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in TRADE_SCHEMA.fields]
+    )
+
+
+def with_duplicates(df: DataFrame, every_n: int = 50) -> DataFrame:
+    """Inject duplicate trade_ids (same id, 1 s-later timestamp) to
+    exercise at-least-once delivery + idempotent-ingest dedup (W4,
+    reference consumer.py:78 ON CONFLICT DO NOTHING)."""
+    dups = (
+        df.filter(F.pmod(F.xxhash64("trade_id"), F.lit(every_n)) == 0)
+        .withColumn("timestamp", F.col("timestamp") + F.expr("INTERVAL 1 SECOND"))
+    )
+    return df.unionAll(dups)
+
+
+def src1_trade_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only check: hash-derived values are not
+    reproducible in ANSI SQL): 10k seeded trades."""
+    return trades(spark, 10_000)
+
+
+QUERIES = {"src1_trade_generator": src1_trade_generator}
+ORACLES: dict[str, str] = {}

@@ -21,6 +21,7 @@ _MODULES: list[str] = [
     "real_time_streaming_system_with_apache_kafka_spark.operators.aggregates",
     "real_time_streaming_system_with_apache_kafka_spark.operators.joins",
     "real_time_streaming_system_with_apache_kafka_spark.operators.scalars",
+    "real_time_streaming_system_with_apache_kafka_spark.generator",
 ]
 
 
