@@ -230,5 +230,22 @@ def src1_trade_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trades(spark, 10_000)
 
 
-QUERIES = {"src1_trade_generator": src1_trade_generator}
+def w4_wire_roundtrip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only): the full ingest pipeline in batch
+    mode — trades + injected duplicates -> JSON wire encode ->
+    ``from_json`` decode -> first-write-wins dedup (SRC5 + W4/SNK2,
+    reference consumer.py:17/:78). The identical expressions run as a
+    Structured Streaming plan in streaming/ingest.py (tests/
+    test_streaming.py asserts batch/stream equivalence)."""
+    from real_time_streaming_system_with_apache_kafka_spark.streaming import ingest
+
+    base = with_duplicates(trades(spark, 10_000), every_n=20)
+    decoded = ingest.parse_wire(ingest.to_wire_json(base))
+    return decoded.dropDuplicates(["trade_id"])
+
+
+QUERIES = {
+    "src1_trade_generator": src1_trade_generator,
+    "w4_wire_roundtrip_dedup": w4_wire_roundtrip_dedup,
+}
 ORACLES: dict[str, str] = {}

@@ -1,0 +1,84 @@
+"""Streaming sinks (SURVEY.md SNK1/SNK2/§4.2).
+
+The one piece Spark has no built-in for (SURVEY.md §4.2): an idempotent
+keyed upsert sink with the reference's ``ON CONFLICT (trade_id) DO
+NOTHING`` semantics (consumer.py:78) for stores without transactional
+append. Implemented as a ``foreachBatch`` function — plain Python
+driving DataFrame ops, no planner surgery.
+
+Preferred path at scale is ``dedup_trades`` + plain append to parquet:
+checkpoint + file-sink commit protocol already gives exactly-once, so
+the sink needs no key reconciliation at all. The upsert sink exists for
+JDBC-style targets and as semantic parity with the reference.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def start_parquet_append(
+    df: DataFrame, path: str, checkpoint: str, trigger_seconds: int | None = None
+):
+    """SNK1: schema-on-write parquet table with checkpointed
+    exactly-once append (replaces CREATE TABLE + row inserts)."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def keyed_upsert_foreach_batch(
+    target_path: str, key_cols: list[str]
+) -> Callable[[DataFrame, int], None]:
+    """First-write-wins upsert into a parquet directory: each batch is
+    de-duplicated within itself, then anti-joined against the existing
+    target keys before append — the reference's ON CONFLICT DO NOTHING,
+    batch-at-a-time instead of row-at-a-time.
+
+    For very large targets, key reconciliation belongs in the streaming
+    state (``dedup_trades``) where it is O(batch); this sink-side check
+    re-reads only the target's key columns (column-pruned scan).
+    """
+
+    def upsert(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        deduped = batch.dropDuplicates(key_cols)
+        if os.path.isdir(target_path) and any(
+            f.endswith(".parquet") for f in os.listdir(target_path)
+        ):
+            existing = spark.read.parquet(target_path).select(*key_cols)
+            deduped = deduped.join(existing, on=key_cols, how="left_anti")
+        deduped.write.mode("append").parquet(target_path)
+
+    return upsert
+
+
+def start_memory_sink(df: DataFrame, name: str, output_mode: str = "append"):
+    """Test/debug sink: in-memory table named ``name``."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
+def alert_console_foreach_batch(threshold_status: str = "Break") -> Callable:
+    """W5 side-effect sink shape (dashboard alert banner equivalent)."""
+
+    def alert(batch: DataFrame, epoch_id: int) -> None:
+        n = batch.filter(F.col("status").contains(threshold_status)).count()
+        if n:
+            print(f"[ALERT epoch={epoch_id}] {n} break trades detected")
+
+    return alert

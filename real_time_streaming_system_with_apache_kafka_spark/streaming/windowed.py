@@ -1,0 +1,65 @@
+"""Streaming analytics: windowed aggregation + break alerting
+(SURVEY.md W1/W5, reference dashboard.py:236-243 and :117-122).
+
+The reference recomputes per-minute aggregates from a 5000-row snapshot
+every 5 s poll; here the same query is *incremental* — the state store
+carries per-window partial aggregates, each micro-batch touches only
+the windows its rows hit, and the watermark both bounds state and
+defines late-data semantics (the reference has none: its LIMIT-500
+snapshot silently forgets old rows, SURVEY.md W3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def minute_activity_stream(
+    trades: DataFrame, watermark: str | None = None
+) -> DataFrame:
+    """W1 streaming twin of ``operators/windows.py::minute_activity``:
+    per-minute trade count + notional sum (dashboard.py:236-243).
+
+    Pass ``watermark=None`` when the input already carries one (e.g.
+    downstream of ``dedup_trades``) — Spark disallows redefining it.
+    """
+    if watermark is not None:
+        trades = trades.withWatermark("timestamp", watermark)
+    return (
+        trades.groupBy(F.window(F.col("timestamp"), "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_trades"),
+            F.sum(F.col("notional_value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_notional"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_trades",
+            "sum_notional",
+        )
+    )
+
+
+def break_alerts(trades: DataFrame) -> DataFrame:
+    """W5: break detection (dashboard.py:117-122) as a standing filter
+    query — stateless, so it works in append mode with no watermark."""
+    return trades.filter(F.col("status").contains("Break")).select(
+        "trade_id",
+        "instrument",
+        "counterparty",
+        "status",
+        "notional_value",
+        "timestamp",
+    )
+
+
+def venue_distribution_stream(
+    trades: DataFrame, watermark: str | None = "2 minutes"
+) -> DataFrame:
+    """A6-style frequency table, incremental (dashboard.py:181-182)."""
+    if watermark is not None:
+        trades = trades.withWatermark("timestamp", watermark)
+    return trades.groupBy("settlement_venue").agg(F.count(F.lit(1)).alias("n"))

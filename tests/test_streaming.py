@@ -1,0 +1,174 @@
+"""End-to-end streaming tests (SURVEY.md §5.2): generator -> JSON wire
+files -> streaming ingest (decode + dedup) -> windowed agg / alerts /
+sinks, with batch recompute as the correctness oracle (batch/stream
+equivalence is Structured Streaming's core invariant)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_streaming_system_with_apache_kafka_spark import generator
+from real_time_streaming_system_with_apache_kafka_spark.schemas import TRADE_SCHEMA
+from real_time_streaming_system_with_apache_kafka_spark.streaming import ingest, sinks, windowed
+
+N = 3_000
+
+
+@pytest.fixture(scope="module")
+def wire_dir(spark, tmp_path_factory):
+    """Generator output with injected duplicates, serialized as the
+    JSON wire format (one object per line), split across files so the
+    stream sees multiple batches."""
+    path = tmp_path_factory.mktemp("wire")
+    base = generator.trades(spark, N)
+    dup = generator.with_duplicates(base, every_n=10)
+    ingest.to_wire_json(dup).coalesce(4).write.mode("overwrite").text(str(path))
+    return str(path), base.count(), dup.count()
+
+
+def _drain(df, name, mode="append"):
+    q = sinks.start_memory_sink(df, name, output_mode=mode)
+    q.processAllAvailable()
+    q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def test_wire_roundtrip_types(spark, wire_dir):
+    path, n_base, n_dup = wire_dir
+    stream = ingest.read_trade_stream_from_json_dir(spark, path)
+    out = _drain(stream, "roundtrip")
+    assert out.count() == n_dup
+    assert [(f.name, f.dataType) for f in out.schema.fields] == [
+        (f.name, f.dataType) for f in TRADE_SCHEMA.fields
+    ]
+    assert out.filter(F.col("timestamp").isNull() | F.col("trade_id").isNull()).count() == 0
+
+
+def test_malformed_records_skipped(spark, tmp_path):
+    lines = ['not json at all', '{"trade_id": 12', '{"unrelated": true}']
+    good = json.dumps(
+        {
+            "trade_id": "abc123def456", "asset_class": "Equity", "instrument": "AAPL",
+            "side": "Buy", "quantity": 100.0, "price": 50.0, "notional_value": 5000.0,
+            "counterparty": "Citi", "status": "Settled", "settlement_venue": "DTC",
+            "trade_date": "2026-01-05", "settlement_date": "2026-01-07",
+            "brokerage_fee": 1.0, "clearing_fee": 0.5, "exchange_fee": 0.3,
+            "total_fees": 1.8, "priority": "Normal", "stp_eligible": True,
+            "timestamp": "2026-01-05T09:30:00.000000", "processed_by": "Alex Morgan",
+        }
+    )
+    p = tmp_path / "msgs"
+    p.mkdir()
+    (p / "batch.txt").write_text("\n".join(lines + [good]) + "\n")
+    stream = ingest.read_trade_stream_from_json_dir(spark, str(p))
+    out = _drain(stream, "malformed")
+    # SNK3 semantics: bad records skipped, the one good record survives.
+    # ({"unrelated": true} parses as an all-null struct -> trade_id null
+    # -> it still yields a row; the engine treats null-keyed rows as
+    # parse failures and drops them at dedup/sink validation.)
+    rows = out.filter(F.col("trade_id").isNotNull()).collect()
+    assert len(rows) == 1 and rows[0]["instrument"] == "AAPL"
+
+
+def test_streaming_dedup_first_write_wins(spark, wire_dir):
+    path, n_base, n_dup = wire_dir
+    stream = ingest.read_trade_stream_from_json_dir(spark, path)
+    deduped = ingest.dedup_trades(stream)
+    out = _drain(deduped, "deduped")
+    assert n_dup > n_base  # duplicates were actually injected
+    assert out.count() == n_base
+    assert out.select("trade_id").distinct().count() == n_base
+
+
+def test_stream_batch_window_equivalence(spark, wire_dir):
+    path, n_base, n_dup = wire_dir
+    stream = ingest.read_trade_stream_from_json_dir(spark, path)
+    agg = windowed.minute_activity_stream(ingest.dedup_trades(stream))
+    got = _drain(agg, "win_stream", mode="complete").collect()
+
+    batch = ingest.parse_wire(
+        spark.read.text(path), value_col="value"
+    ).dropDuplicates(["trade_id"])
+    want = (
+        batch.groupBy(F.window("timestamp", "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_trades"),
+            F.sum(F.col("notional_value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_notional"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_trades",
+            "sum_notional",
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_break_alerts_only_breaks(spark, wire_dir):
+    path, n_base, n_dup = wire_dir
+    stream = ingest.read_trade_stream_from_json_dir(spark, path)
+    out = _drain(windowed.break_alerts(stream), "breaks")
+    assert out.count() > 0  # ~2% break rate guarantees non-empty at N=3000
+    assert out.filter(~F.col("status").contains("Break")).count() == 0
+
+
+def test_keyed_upsert_sink_on_conflict_do_nothing(spark, wire_dir, tmp_path):
+    path, n_base, n_dup = wire_dir
+    target = str(tmp_path / "trades_table")
+    ckpt = str(tmp_path / "ckpt")
+    stream = ingest.read_trade_stream_from_json_dir(
+        spark, path, max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            sinks.keyed_upsert_foreach_batch(target, ["trade_id"])
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    stored = spark.read.parquet(target)
+    assert stored.count() == n_base
+    assert stored.select("trade_id").distinct().count() == n_base
+
+
+def test_parquet_append_exactly_once(spark, wire_dir, tmp_path):
+    path, n_base, n_dup = wire_dir
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt2")
+    stream = ingest.dedup_trades(
+        ingest.read_trade_stream_from_json_dir(spark, path)
+    )
+    q = sinks.start_parquet_append(stream, out_dir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    # Restart from the same checkpoint: no new input -> no duplicates.
+    q2 = sinks.start_parquet_append(
+        ingest.dedup_trades(ingest.read_trade_stream_from_json_dir(spark, path)),
+        out_dir,
+        ckpt,
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    stored = spark.read.parquet(out_dir)
+    assert stored.count() == n_base
+
+
+def test_kafka_builders_construct(spark):
+    """Plan-level check only (no broker/jar in this environment)."""
+    from real_time_streaming_system_with_apache_kafka_spark.streaming import kafka_io
+
+    cfg = kafka_io.KafkaConfig()
+    try:
+        df = kafka_io.read_trades_kafka(spark, cfg)
+        assert "trade_id" in df.columns
+    except Exception as e:  # connector jar absent is acceptable here
+        assert "kafka" in str(e).lower()
