@@ -1,0 +1,317 @@
+"""Document deduplication suite (north-star extension; BASELINE.json).
+
+Five dedup strategies over the ``documents`` table, each the standard
+shape a 100 TB training-data pipeline uses:
+
+- **exact**: hash-groupBy on content digest — one shuffle on the hash,
+  arbitrarily parallel.
+- **n-gram Jaccard**: exact pairwise similarity via shingle inverted
+  index (explode -> self-join on shingle -> per-pair overlap counts).
+  Quadratic in the worst case — the ground-truth/verification path, not
+  the scale path.
+- **MinHash + LSH**: the scale path. Signatures are pure per-row
+  higher-order expressions (no shuffle, no Python); banding turns
+  near-dup search into an equality groupBy on (band, key) — candidate
+  pairs only where a band collides. At 100 TB this is the only
+  strategy whose shuffle volume is O(docs x bands), independent of
+  pair count.
+- **SimHash**: per-row 16-bit signature from word hashes; identical
+  signatures -> near-dup buckets. Cheapest, coarsest.
+- **embedding cosine**: near-dup by semantic similarity; pairs pruned
+  to same-label blocks (IVF-style blocking) before the exact cosine.
+
+MinHash functions are min over md5(seed || shingle) — a valid min-wise
+family over the hex-string order, chosen because every engine computes
+md5 identically (so DuckDB can oracle-check the whole pipeline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_streaming_system_with_apache_kafka_spark.functions.arrays import (
+    cosine,
+    oracle_cosine,
+)
+from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
+
+N_HASHES = 8
+BAND_ROWS = 2  # 4 bands x 2 rows: catches Jaccard >~ 0.5 reliably
+JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.95
+
+
+def _words() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+def _shingles(words: Column) -> Column:
+    """Word 3-gram shingles; degenerate docs (<3 words) contribute the
+    whole text as one shingle (sequence end clamps at 0)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+            F.element_at(words, i + 3),
+        ),
+    )
+
+
+_ORACLE_SHINGLES = """
+    SELECT doc_id,
+           [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+            for i in range(1, greatest(len(words) - 1, 1))] AS shingles
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content digest, keep the smallest doc_id
+    (deterministic survivor), report group size."""
+    docs = load(spark, "documents", sf_dir)
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_doc_id", "n_copies", "content_hash")
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs >= 0.5 via shingle inverted index.
+
+    |A ∩ B| from the self-join on distinct shingles; |A ∪ B| =
+    |A| + |B| - |A ∩ B|. Jaccard is a ratio of exact integers, so the
+    doubles are engine-identical.
+    """
+    docs = load(spark, "documents", sf_dir)
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(_shingles(_words()))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _seeded_md5(prefix: str):
+    # NB: a two-parameter lambda would be interpreted by F.transform as
+    # (element, index) — capture the seed via closure, not default arg.
+    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+
+def minhash_signature(words_shingles: Column, n_hashes: int = N_HASHES) -> Column:
+    """MinHash signature as an array of hex-string minima — pure
+    per-row expression, whole-stage codegen, no shuffle."""
+    return F.array(
+        *[
+            F.array_min(F.transform(words_shingles, _seeded_md5(f"{i}|")))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH candidate pairs: band-key equality groupBy (the
+    O(docs) scale path), then exact-signature agreement fraction as the
+    similarity estimate."""
+    docs = load(spark, "documents", sf_dir)
+    sig = docs.select(
+        "doc_id", minhash_signature(F.array_distinct(_shingles(_words()))).alias("sig")
+    )
+    n_bands = N_HASHES // BAND_ROWS
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.element_at("sig", bi * BAND_ROWS + ri + 1)
+                                for ri in range(BAND_ROWS)
+                            ],
+                        ).alias("key"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    ) / float(N_HASHES)
+    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash buckets: bit j is the sign of sum over words of
+    (+1 if hex digit j of md5(word) >= '8' else -1) — string-only bit
+    extraction so every engine agrees. Groups with >1 doc are near-dup
+    buckets."""
+    docs = load(spark, "documents", sf_dir)
+    words = F.array_distinct(_words())
+
+    def bit_contrib(j: int):
+        # Closure (not default-arg) so F.transform sees a unary lambda.
+        return lambda w: F.when(
+            F.substring(F.md5(w), j + 1, 1).isin(*"89abcdef"), 1
+        ).otherwise(-1)
+
+    bits = []
+    for j in range(16):
+        tally = F.aggregate(
+            F.transform(words, bit_contrib(j)), F.lit(0), lambda acc, v: acc + v
+        )
+        bits.append(F.when(tally >= 0, F.lit("1")).otherwise(F.lit("0")))
+    sim = F.concat(*bits)
+    return (
+        docs.select("doc_id", sim.alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: same-label blocking (IVF-style — at
+    scale the block id comes from a coarse quantizer), then exact
+    decimal-accurate cosine >= 0.95 inside each block."""
+    emb = load(spark, "embeddings", sf_dir)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb")
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos") >= COSINE_THRESHOLD)
+        .select("label", "vec_a", "vec_b", "cos")
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+_ORACLE_SIG = f"""
+    SELECT doc_id,
+           [list_aggregate(list_transform(shingles,
+                s -> md5(cast(i AS varchar) || '|' || s)), 'min')
+            for i in range(0, {N_HASHES})] AS sig
+    FROM (SELECT doc_id, list_distinct(shingles) AS shingles
+          FROM ({_ORACLE_SHINGLES}))
+"""
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies,
+               md5(text) AS content_hash
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH sh AS (
+            SELECT doc_id, unnest(list_distinct(shingles)) AS shingle
+            FROM ({_ORACLE_SHINGLES})
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH sig AS ({_ORACLE_SIG}),
+        bands AS (
+            SELECT doc_id, sig, b AS band,
+                   sig[b * {BAND_ROWS} + 1] || '|' || sig[b * {BAND_ROWS} + 2] AS key
+            FROM sig, (SELECT unnest(range(0, {N_HASHES // BAND_ROWS})) AS b)
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            a.sig AS sig_a, b.sig AS sig_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2]))
+                   / {float(N_HASHES)} AS est_jaccard
+        FROM pairs
+    """,
+    "dedup_simhash": """
+        WITH sims AS (
+            SELECT doc_id,
+                   list_aggregate(list_transform(range(1, 17), j ->
+                       CASE WHEN list_sum(list_transform(words, w ->
+                                CASE WHEN contains('89abcdef', substr(md5(w), j, 1))
+                                     THEN 1 ELSE -1 END)) >= 0
+                            THEN '1' ELSE '0' END), 'string_agg', '') AS simhash
+            FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+                  FROM documents)
+        )
+        SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+        FROM sims GROUP BY simhash
+    """,
+    "dedup_embedding_cosine": f"""
+        SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {oracle_cosine('a.embedding', 'b.embedding')} AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {oracle_cosine('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
+    """,
+}

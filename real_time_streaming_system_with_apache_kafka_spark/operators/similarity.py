@@ -1,0 +1,138 @@
+"""Similarity search over embeddings (north-star extension).
+
+- **Brute-force cosine top-k** — the correctness baseline: query set
+  broadcast against the corpus, exact decimal-accurate cosine, rank
+  window per query. O(queries x corpus) but embarrassingly parallel;
+  right answer, reference for recall.
+- **IVF (inverted-file) top-k** — the scale path: corpus pre-clustered
+  into coarse cells (here the provided ``label`` plays the quantizer
+  cell id; at 100 TB the cells come from k-means or LSH), queries probe
+  only the ``nprobe`` nearest cells by centroid distance, then exact
+  cosine within the probed cells. Shuffle volume drops from O(corpus)
+  per query to O(corpus/cells x nprobe).
+
+Centroids are decimal-exact per-dimension means (posexplode ->
+groupBy(cell, dim) -> exact sum / count -> re-assembled), so the same
+cells are probed on any engine/run order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from real_time_streaming_system_with_apache_kafka_spark.functions.arrays import (
+    cosine,
+    oracle_cosine,
+)
+from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
+
+N_QUERIES = 5  # vec_id < 5 are the demo query vectors
+TOP_K = 5
+NPROBE = 2
+
+
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for each query vector (vec_id < N_QUERIES),
+    self-matches excluded, ties broken by neighbor id."""
+    emb = load(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = F.broadcast(q).crossJoin(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    )
+    scored = pairs.filter(F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "cos", cosine(F.col("qe"), F.col("ne"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def cell_centroids(emb: DataFrame) -> DataFrame:
+    """Decimal-exact per-cell mean vectors: posexplode -> exact sum per
+    (cell, dim) -> collect back into ordered arrays."""
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    per_dim = exploded.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(30,15)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_x")
+    )
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("mean_x")))
+            ),
+            lambda s: s.getField("mean_x"),
+        ).alias("centroid")
+    )
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k: probe the NPROBE cells whose centroids are most
+    cosine-similar to the query, exact search inside those cells only.
+    (Rows-only driver check — the recall-vs-bruteforce contract is
+    asserted in tests/test_similarity.py.)"""
+    emb = load(spark, "embeddings", sf_dir)
+    cents = cell_centroids(emb)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cent_cos").desc(), F.col("label")
+    )
+    probed = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cent_cos", cosine(F.col("qe"), F.col("centroid")))
+        .withColumn("cell_rank", F.row_number().over(probe_w))
+        .filter(F.col("cell_rank") <= NPROBE)
+        .select("query_id", "qe", "label")
+    )
+    candidates = probed.join(
+        emb.select("label", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")),
+        "label",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        candidates.withColumn("cos", cosine(F.col("qe"), F.col("ne")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+QUERIES = {
+    "sim_bruteforce_topk": sim_bruteforce_topk,
+    "sim_ivf_topk": sim_ivf_topk,
+}
+
+ORACLES = {
+    "sim_bruteforce_topk": f"""
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   {oracle_cosine('q.embedding', 'n.embedding')} AS cos
+            FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+            CROSS JOIN embeddings n
+            WHERE q.vec_id <> n.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, rank, neighbor_id, cos
+        FROM ranked WHERE rank <= {TOP_K}
+    """,
+    # sim_ivf_topk: rows-only (recall contract tested in pytest).
+}

@@ -1,0 +1,219 @@
+"""Text analysis operators (north-star extension; BASELINE.json):
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting — the per-document scoring pass of a training-data
+pipeline.
+
+All pure column expressions: per-row string/array kernels inside
+whole-stage codegen, embarrassingly parallel — the 100 TB cost is one
+scan, no shuffle (except the fingerprint group-by, keyed on a 32-char
+digest with near-uniform distribution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
+
+# Small per-language stopword lists for the n-gram/stopword-overlap
+# language heuristic (public common-word lists, truncated).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "im", "ist"],
+    "fr": ["le", "la", "et", "les", "des", "en", "du", "une", "que", "pour"],
+    "zh": ["de", "shi", "bu", "le", "zai", "ren", "you", "wo", "ta", "zhe"],
+}
+LANG_ORDER = ["en", "es", "de", "fr", "zh"]  # deterministic tie order
+
+# Token pattern: word runs, digit runs, or single non-alphanumerics —
+# the BPE-ish pre-tokenization split (simple char classes so Java and
+# RE2 regex engines agree).
+TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _words() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+def text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats + a quality score: length, token counts,
+    mean word length, uppercase/punct-free ratios — the standard cheap
+    quality gates (length bounds, word-shape sanity) before expensive
+    model scoring."""
+    docs = load(spark, "documents", sf_dir)
+    words = _words()
+    tokens = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), 0)
+    n_words = F.size(words)
+    n_chars = F.length("text")
+    mean_word_len = F.when(
+        n_words > 0, (n_chars - (n_words - 1)).cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    quality = (
+        F.when((n_chars >= 100) & (n_chars <= 500), 0.5).otherwise(0.0)
+        + F.when((mean_word_len >= 3.0) & (mean_word_len <= 10.0), 0.3).otherwise(0.0)
+        + F.when(n_words >= 20, 0.2).otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_chars.alias("n_chars_computed"),
+        n_words.alias("n_words"),
+        F.size(tokens).alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_unique_words"),
+        mean_word_len.alias("mean_word_len"),
+        quality.alias("quality_score"),
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language heuristic: score = distinct stopword
+    hits per language, argmax with a fixed tie order. (On this
+    synthetic corpus scores are mostly 0 — ``is_reliable`` carries
+    that signal; the mechanism is the real one.)"""
+    docs = load(spark, "documents", sf_dir)
+    words = F.array_distinct(_words())
+    scores = {
+        lang: F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in sw])))
+        for lang, sw in STOPWORDS.items()
+    }
+    best = F.lit(LANG_ORDER[0])
+    best_score = scores[LANG_ORDER[0]]
+    for lang in LANG_ORDER[1:]:
+        is_better = scores[lang] > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    return docs.select(
+        "doc_id",
+        "lang",
+        best.alias("predicted_lang"),
+        best_score.alias("lang_score"),
+        (best_score > 0).alias("is_reliable"),
+        (best == F.col("lang")).alias("matches_label"),
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint clustering key (sorted distinct words -> digest):
+    word-order- and duplication-insensitive exact dedup key."""
+    docs = load(spark, "documents", sf_dir)
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_words()))))
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def text_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token accounting per language/source — the
+    "how many tokens do we have" question, one scan + tiny shuffle."""
+    docs = load(spark, "documents", sf_dir)
+    tokens = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), 0)
+    return (
+        docs.select("lang", "source", F.size(tokens).alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("mean_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES = {
+    "text_stats_quality": text_stats_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "text_token_stats_by_lang": text_token_stats_by_lang,
+}
+
+_SW_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in sw) + "]" for lang, sw in STOPWORDS.items()
+}
+
+_LANGID_SCORES = ", ".join(
+    f"len(list_intersect(words, {_SW_SQL[lang]})) AS score_{lang}"
+    for lang in LANG_ORDER
+)
+
+# argmax with fixed tie order en > es > de > fr > zh, mirroring the
+# Spark when-ladder exactly (strict > comparisons in the same order).
+_LANGID_CASE = """
+    CASE
+      WHEN score_zh > greatest(score_en, score_es, score_de, score_fr) THEN 'zh'
+      WHEN score_fr > greatest(score_en, score_es, score_de) THEN 'fr'
+      WHEN score_de > greatest(score_en, score_es) THEN 'de'
+      WHEN score_es > score_en THEN 'es'
+      ELSE 'en'
+    END
+"""
+
+ORACLES = {
+    "text_stats_quality": f"""
+        WITH base AS (
+            SELECT doc_id, lang, text,
+                   string_split(text, ' ') AS words,
+                   regexp_extract_all(text, '{TOKEN_PATTERN}') AS tokens,
+                   cast(length(text) AS int) AS nc
+            FROM documents
+        ),
+        stats AS (
+            SELECT doc_id, lang, nc,
+                   cast(len(words) AS int) AS nw,
+                   cast(len(tokens) AS int) AS nt,
+                   cast(len(list_distinct(words)) AS int) AS nu,
+                   CASE WHEN len(words) > 0
+                        THEN cast(nc - (len(words) - 1) AS double) / len(words)
+                        ELSE 0.0 END AS mwl
+            FROM base
+        )
+        SELECT doc_id, lang,
+               nc AS n_chars_computed,
+               nw AS n_words,
+               nt AS n_tokens,
+               nu AS n_unique_words,
+               mwl AS mean_word_len,
+               (CASE WHEN nc BETWEEN 100 AND 500 THEN cast(0.5 AS double) ELSE 0.0 END
+                + CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN cast(0.3 AS double) ELSE 0.0 END
+                + CASE WHEN nw >= 20 THEN cast(0.2 AS double) ELSE 0.0 END) AS quality_score
+        FROM stats
+    """,
+    "text_langid": f"""
+        WITH scored AS (
+            SELECT doc_id, lang, {_LANGID_SCORES}
+            FROM (SELECT doc_id, lang,
+                         list_distinct(string_split(text, ' ')) AS words
+                  FROM documents)
+        )
+        SELECT doc_id, lang,
+               {_LANGID_CASE} AS predicted_lang,
+               cast(greatest(score_en, score_es, score_de, score_fr, score_zh) AS int)
+                   AS lang_score,
+               greatest(score_en, score_es, score_de, score_fr, score_zh) > 0
+                   AS is_reliable,
+               {_LANGID_CASE} = lang AS matches_label
+        FROM scored
+    """,
+    "text_fingerprint": """
+        SELECT md5(list_aggregate(list_sort(list_distinct(string_split(text, ' '))),
+                                  'string_agg', ' ')) AS fingerprint,
+               count(*) AS n_docs,
+               min(doc_id) AS keep_doc_id
+        FROM documents
+        GROUP BY 1
+    """,
+    "text_token_stats_by_lang": f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               sum(cast(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS bigint))
+                   AS total_tokens,
+               cast(sum(cast(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS bigint))
+                    AS double) / count(*) AS mean_tokens
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+}

@@ -22,6 +22,10 @@ _MODULES: list[str] = [
     "real_time_streaming_system_with_apache_kafka_spark.operators.joins",
     "real_time_streaming_system_with_apache_kafka_spark.operators.scalars",
     "real_time_streaming_system_with_apache_kafka_spark.generator",
+    "real_time_streaming_system_with_apache_kafka_spark.operators.dedup",
+    "real_time_streaming_system_with_apache_kafka_spark.operators.text",
+    "real_time_streaming_system_with_apache_kafka_spark.operators.similarity",
+    "real_time_streaming_system_with_apache_kafka_spark.operators.multimodal",
 ]
 
 

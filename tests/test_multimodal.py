@@ -1,0 +1,42 @@
+"""Multimodal plumbing contracts: Arrow batch shape, determinism of the
+stubbed decode, frame-sample fan-out arithmetic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_streaming_system_with_apache_kafka_spark.operators import multimodal
+from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
+
+
+def test_decode_metadata_matches_direct_python(spark, sf_dir):
+    rows = multimodal.mm_decode_metadata(spark, sf_dir).collect()
+    docs = {r["doc_id"]: r["text"] for r in load(spark, "documents", sf_dir).collect()}
+    assert len(rows) == len(docs)
+    for r in rows[:25]:
+        want = multimodal._decode_stub(docs[r["doc_id"]].encode("utf-8"))
+        assert r["n_bytes"] == want["n_bytes"]
+        assert r["sha256_prefix"] == want["sha256_prefix"]
+        assert r["pseudo_width"] == want["pseudo_width"]
+
+
+def test_frame_sample_counts(spark, sf_dir):
+    rows = multimodal.mm_frame_sample(spark, sf_dir).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    for doc_id, idxs in list(by_doc.items())[:25]:
+        n_frames = max(idxs) + 1 if idxs else 0
+        assert sorted(idxs) == list(range(0, max(idxs) + 1, 6))
+
+
+def test_feature_extract_deterministic_and_shaped(spark, sf_dir):
+    a = {r["doc_id"]: r["features"] for r in multimodal.mm_feature_extract(spark, sf_dir).collect()}
+    b = {r["doc_id"]: r["features"] for r in multimodal.mm_feature_extract(spark, sf_dir).collect()}
+    assert a == b
+    assert all(len(v) == 5 for v in a.values())
+    n_chars = {
+        r["doc_id"]: r["n_chars"] for r in load(spark, "documents", sf_dir).collect()
+    }
+    for doc_id, feats in list(a.items())[:25]:
+        assert feats[0] == float(n_chars[doc_id])  # ascii text: bytes == chars
