@@ -1,0 +1,75 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver-side collect cost). The headline set spans every subsystem:
+scan/top-K, aggregation, star join, windows, as-of, streaming-ingest
+expressions in batch form, and the LLM-pipeline extensions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from real_time_streaming_system_with_apache_kafka_spark import registry
+from real_time_streaming_system_with_apache_kafka_spark.session import get_session
+
+HEADLINE = [
+    "w1_minute_activity",
+    "q0_snapshot_topk",
+    "a3_conditional_counts",
+    "agg_rollup",
+    "j1_star_join_revenue",
+    "j5_topk_per_group",
+    "wf_lag_lead_running",
+    "asof_join_events",
+    "w4_wire_roundtrip_dedup",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "sim_bruteforce_topk",
+    "text_stats_quality",
+    "mm_decode_metadata",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session("rtss_bench")
+    queries = registry.all_queries()
+
+    # Warm the JVM/session on the smallest query so per-query times
+    # measure the plans, not session start-up.
+    queries["a1_count"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.monotonic() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -89,7 +89,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A| + |B| - |A ∩ B|. Jaccard is a ratio of exact integers, so the
     doubles are engine-identical.
     """
-    docs = load(spark, "documents", sf_dir)
+    docs = load(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sh = docs.select(
         "doc_id", F.explode(F.array_distinct(_shingles(_words()))).alias("shingle")
     )
@@ -135,9 +137,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH candidate pairs: band-key equality groupBy (the
     O(docs) scale path), then exact-signature agreement fraction as the
     similarity estimate."""
-    docs = load(spark, "documents", sf_dir)
-    sig = docs.select(
-        "doc_id", minhash_signature(F.array_distinct(_shingles(_words()))).alias("sig")
+    # Decouple compute parallelism from input file layout — a single
+    # small parquet file must not serialize the kernel onto one task
+    # (and at 100 TB this repartition is noise next to the scan).
+    docs = load(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # Signatures via explode -> one codegen'd projection of all
+    # n_hashes md5 columns -> partial-min aggregation. Equivalent to
+    # the per-row `minhash_signature` helper (min over the same set)
+    # but ~8x faster: higher-order array lambdas are interpreted,
+    # while this path stays in whole-stage codegen with map-side
+    # combine on the min.
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(_shingles(_words()))).alias("s")
+    )
+    hcols = [
+        F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    sig = (
+        sh.select("doc_id", *hcols)
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(N_HASHES)])
+        .select("doc_id", F.array(*[f"h{i}" for i in range(N_HASHES)]).alias("sig"))
     )
     n_bands = N_HASHES // BAND_ROWS
     bands = sig.select(
@@ -190,7 +213,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (+1 if hex digit j of md5(word) >= '8' else -1) — string-only bit
     extraction so every engine agrees. Groups with >1 doc are near-dup
     buckets."""
-    docs = load(spark, "documents", sf_dir)
+    docs = load(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     words = F.array_distinct(_words())
 
     def bit_contrib(j: int):
@@ -217,17 +242,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: same-label blocking (IVF-style — at
     scale the block id comes from a coarse quantizer), then exact
     decimal-accurate cosine >= 0.95 inside each block."""
+    from real_time_streaming_system_with_apache_kafka_spark.functions.arrays import dot, norm
+
     emb = load(spark, "embeddings", sf_dir)
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea")
+    # Norms once per vector (O(corpus)), not once per pair (O(pairs)) —
+    # at scale norms are per-row metadata computed at ingest.
+    with_norm = emb.select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm"))
+    a = with_norm.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"),
+        F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb")
+    b = with_norm.select(
+        F.col("vec_id").alias("vec_b"), F.col("label"),
+        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
     )
+    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
+    # The join *output* is quadratic per block while its *inputs* are
+    # tiny, so AQE coalesces the join to few tasks and the dot kernel
+    # serializes. Re-spread the exploded pairs before the heavy
+    # projection — the same guard a coarse-quantizer block join needs
+    # at 100 TB.
+    pairs = pairs.repartition(spark.sparkContext.defaultParallelism)
+    cos = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 9)
     return (
-        a.join(b, "label")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", cosine(F.col("ea"), F.col("eb")))
+        pairs.withColumn("cos", cos)
         .filter(F.col("cos") >= COSINE_THRESHOLD)
         .select("label", "vec_a", "vec_b", "cos")
     )

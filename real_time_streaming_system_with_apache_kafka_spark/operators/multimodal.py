@@ -105,7 +105,11 @@ def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payloads -> decoded metadata via Arrow-batched
     ``mapInPandas`` (the decode itself is the stub above; the plumbing
     — binary column, batch iterator, schema, parallelism — is real)."""
-    docs = load(spark, "documents", sf_dir)
+    # Spread Arrow batches across workers regardless of file layout —
+    # decode is the expensive step, not the scan.
+    docs = load(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return with_binary_payload(docs).mapInPandas(make_decode_batches(), DECODE_SCHEMA)
 
 
