@@ -1,0 +1,185 @@
+"""Composite analytics: the canonical OLAP shapes that combine the
+§2 primitives (SURVEY.md §2.4 extension notes + pyspark guide patterns).
+
+- TPC-H Q1-shape pricing summary: the classic two-key groupBy with a
+  battery of exact aggregates — map-side partial aggregation makes this
+  one shuffle of (a handful of groups x partitions) regardless of fact
+  size; the textbook 100 TB-safe aggregation.
+- Pivot: groupBy().pivot() with an explicit value list (never let the
+  engine scan for distinct pivot values at scale).
+- Sessionization: event-time sessions from lag + gap>threshold cumsum —
+  the batch twin of streaming ``session_window``.
+- Approximate aggregates: HLL distinct + t-digest quantiles for the
+  interactive path (rows-only check: sketches are engine-specific by
+  construction; exact twins live in agg_distinct_count/agg_percentiles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from real_time_streaming_system_with_apache_kafka_spark.functions.exact import (
+    davg,
+    dec4,
+    dsum,
+    oracle_davg,
+    oracle_dsum,
+)
+from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
+
+SESSION_GAP_MIN = 30
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape over lineitem: filter + 2-key groupBy + 8 exact
+    aggregates + ordered output."""
+    li = load(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    disc_price = dec4("l_extendedprice") * dec4(1 - F.col("l_discount"), 6)
+    charge = disc_price * dec4(1 + F.col("l_tax"), 6)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            F.sum(disc_price.cast("decimal(38,6)")).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(38,6)")).cast("double").alias("sum_charge"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_extendedprice"), "avg_price"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def pivot_status_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily event counts spread across event-type columns.
+    Explicit value list — at scale you never let pivot() run its
+    distinct-values pre-query."""
+    ev = load(spark, "events", sf_dir)
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("day")
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user sessions split at >30 min gaps (lag +
+    conditional cumsum), aggregated to session rows. One shuffle on
+    user_id; the streaming twin is ``session_window`` with a watermark."""
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Microsecond epochs (exact longs) so the gap arithmetic is
+    # identical on every engine; a seconds cast would truncate.
+    gap_min = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+    ) / 60_000_000.0
+    new_session = F.when(
+        F.lag(F.col("ts")).over(w).isNull() | (gap_min > SESSION_GAP_MIN), 1
+    ).otherwise(0)
+    sessioned = ev.withColumn(
+        "session_seq",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct (HLL++) and quantiles (variant of KLL/
+    t-digest) — the interactive-latency path at 100 TB. Rows-only
+    driver check: sketch results are engine-specific by design; the
+    exact twins are oracle-checked separately."""
+    li = load(spark, "lineitem", sf_dir)
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("approx_p99_price"),
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "pivot_status_by_day": pivot_status_by_day,
+    "sessionize_events": sessionize_events,
+    "approx_aggregates": approx_aggregates,
+}
+
+ORACLES = {
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               {oracle_dsum('l_quantity', 'sum_qty')},
+               {oracle_dsum('l_extendedprice', 'sum_base_price')},
+               cast(sum(cast(cast(l_extendedprice AS decimal(12,4))
+                             * cast(1 - l_discount AS decimal(6,4)) AS decimal(38,6)))
+                    AS double) AS sum_disc_price,
+               cast(sum(cast(cast(l_extendedprice AS decimal(12,4))
+                             * cast(1 - l_discount AS decimal(6,4))
+                             * cast(1 + l_tax AS decimal(6,4)) AS decimal(38,6)))
+                    AS double) AS sum_charge,
+               {oracle_davg('l_quantity', 'avg_qty')},
+               {oracle_davg('l_extendedprice', 'avg_price')},
+               {oracle_davg('l_discount', 'avg_disc')},
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= timestamp '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "pivot_status_by_day": """
+        SELECT cast(date_trunc('day', ts) AS date) AS day,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+               sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "sessionize_events": f"""
+        WITH lagged AS (
+            SELECT user_id, event_id, ts, value,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ),
+        flagged AS (
+            SELECT *, CASE WHEN prev_ts IS NULL
+                             OR (epoch_us(ts) - epoch_us(prev_ts)) / 60000000.0 > {SESSION_GAP_MIN}
+                           THEN 1 ELSE 0 END AS new_session
+            FROM lagged
+        ),
+        sessioned AS (
+            SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, session_seq,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               count(*) AS n_events,
+               {oracle_dsum('value', 'session_value')}
+        FROM sessioned
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+    """,
+    # approx_aggregates: rows-only (sketches are engine-specific).
+}

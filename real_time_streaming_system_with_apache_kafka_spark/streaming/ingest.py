@@ -54,7 +54,10 @@ def parse_wire(raw: DataFrame, value_col: str = "value") -> DataFrame:
     parsed = raw.select(
         F.from_json(F.col(value_col).cast("string"), TRADE_WIRE_SCHEMA).alias("t")
     )
-    typed = parsed.filter(F.col("t").isNotNull()).select("t.*")
+    # PERMISSIVE parsing yields an all-null struct for malformed JSON —
+    # require the primary key, exactly as the reference's keyed INSERT
+    # would reject a record without trade_id (consumer.py:78).
+    typed = parsed.filter(F.col("t.trade_id").isNotNull()).select("t.*")
     # Wire form carries dates/timestamps as ISO strings and numerics as
     # doubles (producer.py:136 json.dumps); coerce to the canonical
     # schema exactly as the reference's Postgres insert did implicitly.

@@ -1,0 +1,93 @@
+"""Micro-fixture edge cases (FIXTURES.md §3): empty inputs, div-by-zero
+guards, top-K ties, duplicate keys, and late-data-vs-watermark
+semantics — the failure modes the reference only guards with runtime
+ternaries (dashboard.py:65-68, :83-87)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from real_time_streaming_system_with_apache_kafka_spark.functions.exact import ratio
+from real_time_streaming_system_with_apache_kafka_spark.schemas import TRADE_WIRE_SCHEMA
+from real_time_streaming_system_with_apache_kafka_spark.streaming import ingest, sinks, windowed
+
+
+def test_empty_input_aggregate(spark):
+    empty = spark.createDataFrame([], "status string, notional double")
+    row = empty.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("notional").alias("total"),
+    ).collect()[0]
+    assert row["n"] == 0 and row["total"] is None
+
+
+def test_ratio_guard_divide_by_zero(spark):
+    df = spark.createDataFrame([(0, 0)], "num int, den int")
+    row = df.select(ratio(F.col("num"), F.col("den"), "r")).collect()[0]
+    assert row["r"] == 0.0  # dashboard.py:83-87 ternary semantics
+
+
+def test_topk_tie_break_deterministic(spark):
+    rows = [("a", 100.0, 1), ("b", 100.0, 2), ("c", 100.0, 3), ("d", 50.0, 4)]
+    df = spark.createDataFrame(rows, "k string, v double, id int")
+    got = [
+        r["k"]
+        for r in df.orderBy(F.col("v").desc(), F.col("id")).limit(2).collect()
+    ]
+    assert got == ["a", "b"]  # ties resolved by id, never by partition order
+
+
+def test_dedup_first_write_wins_batch(spark):
+    rows = [("t1", "2026-01-05T09:30:00", 1.0), ("t1", "2026-01-05T09:30:05", 2.0)]
+    df = spark.createDataFrame(rows, "trade_id string, timestamp string, v double")
+    out = df.orderBy("timestamp").dropDuplicates(["trade_id"]).collect()
+    assert len(out) == 1
+
+
+def test_malformed_json_yields_null_struct(spark):
+    df = spark.createDataFrame([("{bad",), (None,)], "value string")
+    parsed = ingest.parse_wire(df)
+    assert parsed.count() == 0
+
+
+def test_late_rows_dropped_by_watermark(spark, tmp_path):
+    """Streaming W3: a row older than the advanced watermark must not
+    update its (already finalized) window."""
+    wire = tmp_path / "stream"
+    wire.mkdir()
+
+    def msg(trade_id: str, ts: str):
+        base = {f.name: None for f in TRADE_WIRE_SCHEMA.fields}
+        base.update(
+            trade_id=trade_id,
+            notional_value=100.0,
+            status="Settled",
+            timestamp=ts,
+        )
+        return json.dumps(base)
+
+    # Batch 1: rows 09:30 and 09:40 -> watermark advances to 09:38.
+    (wire / "b1.txt").write_text(
+        msg("a1", "2026-01-05T09:30:00") + "\n" + msg("a2", "2026-01-05T09:40:00") + "\n"
+    )
+    stream = ingest.read_trade_stream_from_json_dir(spark, str(wire))
+    agg = windowed.minute_activity_stream(stream, watermark="2 minutes")
+    q = sinks.start_memory_sink(agg, "late_test", output_mode="update")
+    q.processAllAvailable()
+    # Batch 2: a1-window late row (09:30, behind watermark) + on-time row.
+    (wire / "b2.txt").write_text(
+        msg("late", "2026-01-05T09:30:30") + "\n" + msg("a3", "2026-01-05T09:41:00") + "\n"
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM late_test").collect()
+    by_window = {}
+    for r in out:
+        by_window.setdefault(str(r["window_start"]), []).append(r["n_trades"])
+    # The 09:30 window was emitted once (batch 1) and never re-emitted:
+    # the late row was dropped, not merged.
+    assert by_window["2026-01-05 09:30:00"] == [1]
+    # The on-time 09:41 row did produce an update.
+    assert "2026-01-05 09:41:00" in by_window
