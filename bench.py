@@ -30,8 +30,10 @@ HEADLINE = [
     "agg_rollup",
     "j1_star_join_revenue",
     "j5_topk_per_group",
+    "q1_pricing_summary",
     "wf_lag_lead_running",
     "asof_join_events",
+    "sessionize_events",
     "w4_wire_roundtrip_dedup",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",

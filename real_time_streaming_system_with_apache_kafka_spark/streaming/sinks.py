@@ -63,6 +63,48 @@ def keyed_upsert_foreach_batch(
     return upsert
 
 
+def jdbc_upsert_foreach_batch(
+    url: str, table: str, key_cols: list[str], properties: dict | None = None
+) -> Callable[[DataFrame, int], None]:
+    """JDBC twin of the reference's Postgres sink (consumer.py:69-105):
+    batch-level first-write-wins against the remote table — read back
+    only the key columns, anti-join, append. Requires a JDBC driver jar
+    on the classpath; untestable in this environment (no database), but
+    the control flow is identical to the parquet upsert above.
+
+    True ``ON CONFLICT`` pushdown would need database-specific SQL in a
+    staging-table dance; prefer ``dedup_trades`` upstream so the sink
+    can stay a plain append (SURVEY.md §7.2 ON CONFLICT parity note).
+    """
+    properties = properties or {}
+
+    def upsert(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        deduped = batch.dropDuplicates(key_cols)
+        try:
+            existing = (
+                spark.read.format("jdbc")
+                .option("url", url)
+                .option("dbtable", table)
+                .options(**properties)
+                .load()
+                .select(*key_cols)
+            )
+            deduped = deduped.join(existing, on=key_cols, how="left_anti")
+        except Exception:
+            pass  # table absent on first batch -> plain append
+        (
+            deduped.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .options(**properties)
+            .mode("append")
+            .save()
+        )
+
+    return upsert
+
+
 def start_memory_sink(df: DataFrame, name: str, output_mode: str = "append"):
     """Test/debug sink: in-memory table named ``name``."""
     return (
