@@ -102,6 +102,28 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer x orders x lineitem,
+    revenue per order, top-10 — selective dims broadcast, one fact
+    shuffle, TakeOrderedAndProject for the limit."""
+    cust = load(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < "1996-03-15"
+    )
+    li = load(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") > "1996-03-15")
+    disc_price = dec4("l_extendedprice") * dec4(1 - F.col("l_discount"), 6)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc_price.cast("decimal(38,6)")).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct (HLL++) and quantiles (variant of KLL/
     t-digest) — the interactive-latency path at 100 TB. Rows-only
@@ -120,6 +142,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "pivot_status_by_day": pivot_status_by_day,
     "sessionize_events": sessionize_events,
+    "q3_shipping_priority": q3_shipping_priority,
     "approx_aggregates": approx_aggregates,
 }
 
@@ -180,6 +203,21 @@ ORACLES = {
         FROM sessioned
         GROUP BY user_id, session_seq
         ORDER BY user_id, session_seq
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               cast(sum(cast(cast(l_extendedprice AS decimal(12,4))
+                             * cast(1 - l_discount AS decimal(6,4)) AS decimal(38,6)))
+                    AS double) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < timestamp '1996-03-15'
+          AND l_shipdate > timestamp '1996-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
     """,
     # approx_aggregates: rows-only (sketches are engine-specific).
 }

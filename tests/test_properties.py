@@ -1,0 +1,73 @@
+"""Property-based tests (hypothesis): invariants that must hold for
+arbitrary inputs, not just the fixtures — wire-roundtrip fidelity and
+similarity-measure bounds."""
+
+from __future__ import annotations
+
+import json
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from real_time_streaming_system_with_apache_kafka_spark.functions import arrays
+from real_time_streaming_system_with_apache_kafka_spark.streaming import ingest
+
+_text = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x7F),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    trade_id=_text,
+    qty=st.decimals(min_value=1, max_value=10**9, places=2),
+    status=st.sampled_from(["Settled", "Confirmed", "Break - Mismatch"]),
+)
+def test_wire_roundtrip_preserves_fields(spark, trade_id, qty, status):
+    msg = {
+        "trade_id": trade_id,
+        "quantity": float(qty),
+        "status": status,
+        "timestamp": "2026-01-05T09:30:00.123456",
+        "stp_eligible": "Break" not in status,
+    }
+    df = spark.createDataFrame([(json.dumps(msg),)], "value string")
+    row = ingest.parse_wire(df).collect()[0]
+    assert row["trade_id"] == trade_id
+    assert float(row["quantity"]) == float(qty)
+    assert row["status"] == status
+    assert row["stp_eligible"] == ("Break" not in status)
+    assert row["timestamp"].microsecond == 123456
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vec=st.lists(
+        st.floats(min_value=-1, max_value=1, allow_nan=False, width=32),
+        min_size=4,
+        max_size=16,
+    )
+)
+def test_cosine_self_similarity_and_bounds(spark, vec):
+    if all(abs(x) < 1e-6 for x in vec):
+        return  # zero vector: cosine undefined
+    df = spark.createDataFrame([(vec, vec)], "a array<float>, b array<float>")
+    row = df.select(arrays.cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]
+    assert math.isclose(row["c"], 1.0, abs_tol=1e-6)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    a=st.lists(st.floats(min_value=-1, max_value=1, allow_nan=False, width=32), min_size=8, max_size=8),
+    b=st.lists(st.floats(min_value=-1, max_value=1, allow_nan=False, width=32), min_size=8, max_size=8),
+)
+def test_cosine_range(spark, a, b):
+    if all(abs(x) < 1e-6 for x in a) or all(abs(x) < 1e-6 for x in b):
+        return
+    df = spark.createDataFrame([(a, b)], "a array<float>, b array<float>")
+    row = df.select(arrays.cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]
+    assert -1.0 - 1e-6 <= row["c"] <= 1.0 + 1e-6
