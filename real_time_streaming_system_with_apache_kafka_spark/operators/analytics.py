@@ -117,7 +117,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .groupBy(
+            "l_orderkey",
+            # Parquet stores the date as timestamp_ntz; surface the
+            # session-TZ timestamp type the rest of the engine uses.
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            "o_orderpriority",
+        )
         .agg(F.sum(disc_price.cast("decimal(38,6)")).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -169,11 +175,11 @@ ORACLES = {
     """,
     "pivot_status_by_day": """
         SELECT cast(date_trunc('day', ts) AS date) AS day,
-               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-               sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+               cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS bigint) AS click,
+               cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS bigint) AS view,
+               cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bigint) AS purchase,
+               cast(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS bigint) AS signup,
+               cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS bigint) AS error
         FROM events
         GROUP BY 1
         ORDER BY 1
@@ -195,7 +201,7 @@ ORACLES = {
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
             FROM flagged
         )
-        SELECT user_id, session_seq,
+        SELECT user_id, cast(session_seq AS bigint) AS session_seq,
                min(ts) AS session_start,
                max(ts) AS session_end,
                count(*) AS n_events,

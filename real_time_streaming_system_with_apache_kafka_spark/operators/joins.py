@@ -241,7 +241,8 @@ ORACLES = {
         ORDER BY band
     """,
     "j5_topk_per_group": """
-        SELECT l_returnflag, rank, l_orderkey, l_linenumber, l_extendedprice
+        SELECT l_returnflag, cast(rank AS int) AS rank,
+               l_orderkey, l_linenumber, l_extendedprice
         FROM (
             SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
                    row_number() OVER (PARTITION BY l_returnflag
@@ -259,7 +260,7 @@ ORACLES = {
                     OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS double) AS running_value,
-               row_number() OVER w AS seq
+               cast(row_number() OVER w AS int) AS seq
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,

@@ -172,8 +172,8 @@ ORACLES = {
                     + to_days(CASE WHEN o_orderstatus = 'O' THEN 2 ELSE 1 END)
                     AS date) AS settlement_date,
                cast(cast(o_orderdate AS date) - to_days(3) AS date) AS lookback_date,
-               datediff('day', cast(o_orderdate AS date), date '2002-01-01')
-                   AS days_to_2002
+               cast(datediff('day', cast(o_orderdate AS date), date '2002-01-01')
+                    AS int) AS days_to_2002
         FROM orders
     """,
     "f_date_format": """

@@ -131,7 +131,7 @@ ORACLES = {
                                       ORDER BY cos DESC, neighbor_id) AS rank
             FROM scored
         )
-        SELECT query_id, rank, neighbor_id, cos
+        SELECT query_id, cast(rank AS int) AS rank, neighbor_id, cos
         FROM ranked WHERE rank <= {TOP_K}
     """,
     # sim_ivf_topk: rows-only (recall contract tested in pytest).

@@ -208,8 +208,8 @@ ORACLES = {
     "text_token_stats_by_lang": f"""
         SELECT lang,
                count(*) AS n_docs,
-               sum(cast(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS bigint))
-                   AS total_tokens,
+               cast(sum(cast(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS bigint))
+                    AS bigint) AS total_tokens,
                cast(sum(cast(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS bigint))
                     AS double) / count(*) AS mean_tokens
         FROM documents
