@@ -26,6 +26,24 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
         assert bf[k] == ivf[k]  # identical exact kernel on both paths
 
 
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in similarity.sim_bruteforce_topk(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in similarity.sim_lsh_topk(spark, sf_dir).collect()
+    }
+    hits = set(bf) & set(lsh)
+    recall = len(hits) / len(bf)
+    # Random-hyperplane ANN on a near-random corpus: partial recall by
+    # design; the floor guards against a broken bucket/probe path.
+    assert recall >= 0.15, f"LSH recall collapsed: {recall}"
+    for k in hits:
+        assert bf[k] == lsh[k]
+
+
 def test_centroids_shape(spark, sf_dir):
     from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
 
