@@ -32,6 +32,20 @@ TOP_K = 5
 NPROBE = 2
 
 
+def _rank_topk(candidates: DataFrame) -> DataFrame:
+    """Shared tail of every search variant: exact cosine, rank window
+    with neighbor-id tie-break, keep the top K."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        candidates.withColumn("cos", cosine(F.col("qe"), F.col("ne")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for each query vector (vec_id < N_QUERIES),
     self-matches excluded, ties broken by neighbor id."""
@@ -42,17 +56,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = F.broadcast(q).crossJoin(
         emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
     )
-    scored = pairs.filter(F.col("query_id") != F.col("neighbor_id")).withColumn(
-        "cos", cosine(F.col("qe"), F.col("ne"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "neighbor_id", "cos")
-    )
+    return _rank_topk(pairs.filter(F.col("query_id") != F.col("neighbor_id")))
 
 
 def cell_centroids(emb: DataFrame) -> DataFrame:
@@ -102,13 +106,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("label", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")),
         "label",
     ).filter(F.col("query_id") != F.col("neighbor_id"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        candidates.withColumn("cos", cosine(F.col("qe"), F.col("ne")))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "neighbor_id", "cos")
-    )
+    return _rank_topk(candidates)
 
 
 # 6 planes + Hamming-1 multi-probe: ~11% of the corpus per query on
@@ -153,6 +151,10 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     join on the signature. Rows-only driver check; recall contract in
     tests/test_similarity.py."""
     emb = load(spark, "embeddings", sf_dir)
+    # Guard the fixed-width plane projection: a vector of any other
+    # dimension would project to NULL (element_at past the end) and
+    # silently collapse every signature to all-zeros.
+    emb = emb.filter(F.size("embedding") == EMBEDDING_DIM)
     sig = emb.select(
         "vec_id", "embedding", _hyperplane_bits(F.col("embedding"), "lsh").alias("sig")
     )
@@ -182,20 +184,17 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("ne"),
         F.col("sig").alias("bucket"),
     )
+    # No dedup needed: the 7 probe strings are pairwise distinct and
+    # each corpus row carries exactly one sig, so the equality join
+    # yields at most one row per (query, neighbor) — a distinct() here
+    # would shuffle the wide embedding arrays for nothing.
     candidates = (
         F.broadcast(q)
         .join(corpus, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "qe", "neighbor_id", "ne")
-        .distinct()
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        candidates.withColumn("cos", cosine(F.col("qe"), F.col("ne")))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "neighbor_id", "cos")
-    )
+    return _rank_topk(candidates)
 
 
 QUERIES = {
