@@ -241,7 +241,15 @@ def w4_wire_roundtrip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = with_duplicates(trades(spark, 10_000), every_n=20)
     decoded = ingest.parse_wire(ingest.to_wire_json(base))
-    return decoded.dropDuplicates(["trade_id"])
+    # First-write-wins must be deterministic in batch too: a bare
+    # dropDuplicates keeps an arbitrary copy (partition-order-
+    # dependent); min_by on event time keeps the original.
+    cols = decoded.columns
+    return (
+        decoded.groupBy("trade_id")
+        .agg(F.min_by(F.struct(*cols), F.col("timestamp")).alias("r"))
+        .select("r.*")
+    )
 
 
 QUERIES = {

@@ -31,7 +31,6 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from real_time_streaming_system_with_apache_kafka_spark.functions.arrays import (
-    cosine,
     oracle_cosine,
 )
 from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
@@ -48,22 +47,29 @@ def _words() -> Column:
 
 def _shingles(words: Column) -> Column:
     """Word 3-gram shingles; degenerate docs (<3 words) contribute the
-    whole text as one shingle (sequence end clamps at 0)."""
+    whole text as one shingle (sequence end clamps at 0; concat_ws
+    skips the nulls from try_element_at past the array end — a plain
+    element_at would THROW under Spark 4's default ANSI mode)."""
     return F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
         lambda i: F.concat_ws(
             " ",
-            F.element_at(words, i + 1),
-            F.element_at(words, i + 2),
-            F.element_at(words, i + 3),
+            F.try_element_at(words, i + 1),
+            F.try_element_at(words, i + 2),
+            F.try_element_at(words, i + 3),
         ),
     )
 
 
+# CASE mirrors the Spark clamp: <3-word docs yield the whole text as
+# one shingle (a bare range(1, len-1) would yield [] and silently drop
+# the document from the oracle).
 _ORACLE_SHINGLES = """
     SELECT doc_id,
-           [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
-            for i in range(1, greatest(len(words) - 1, 1))] AS shingles
+           CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                ELSE [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                      for i in range(1, len(words) - 1)]
+           END AS shingles
     FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
 """
 
@@ -113,23 +119,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
-    )
-
-
-def _seeded_md5(prefix: str):
-    # NB: a two-parameter lambda would be interpreted by F.transform as
-    # (element, index) — capture the seed via closure, not default arg.
-    return lambda s: F.md5(F.concat(F.lit(prefix), s))
-
-
-def minhash_signature(words_shingles: Column, n_hashes: int = N_HASHES) -> Column:
-    """MinHash signature as an array of hex-string minima — pure
-    per-row expression, whole-stage codegen, no shuffle."""
-    return F.array(
-        *[
-            F.array_min(F.transform(words_shingles, _seeded_md5(f"{i}|")))
-            for i in range(n_hashes)
-        ]
     )
 
 
@@ -216,18 +205,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     )
-    words = F.array_distinct(_words())
+    # Hash every word ONCE, then derive all 16 bits from the cached hex
+    # digits — hashing inside each per-bit loop would md5 each word 16x.
+    hashes = F.transform(F.array_distinct(_words()), lambda w: F.md5(w))
 
     def bit_contrib(j: int):
         # Closure (not default-arg) so F.transform sees a unary lambda.
-        return lambda w: F.when(
-            F.substring(F.md5(w), j + 1, 1).isin(*"89abcdef"), 1
+        return lambda h: F.when(
+            F.substring(h, j + 1, 1).isin(*"89abcdef"), 1
         ).otherwise(-1)
 
     bits = []
     for j in range(16):
         tally = F.aggregate(
-            F.transform(words, bit_contrib(j)), F.lit(0), lambda acc, v: acc + v
+            F.transform(hashes, bit_contrib(j)), F.lit(0), lambda acc, v: acc + v
         )
         bits.append(F.when(tally >= 0, F.lit("1")).otherwise(F.lit("0")))
     sim = F.concat(*bits)

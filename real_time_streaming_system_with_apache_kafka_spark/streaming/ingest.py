@@ -61,16 +61,32 @@ def parse_wire(raw: DataFrame, value_col: str = "value") -> DataFrame:
     # Wire form carries dates/timestamps as ISO strings and numerics as
     # doubles (producer.py:136 json.dumps); coerce to the canonical
     # schema exactly as the reference's Postgres insert did implicitly.
-    return typed.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in TRADE_SCHEMA.fields]
+    # try_cast, not cast: under Spark 4's default ANSI mode a plain cast
+    # THROWS on one malformed field and kills the whole streaming query
+    # (restart replays the poison offset and dies again) — a bad value
+    # must skip the record (SNK3), never stop the stream.
+    coerced = typed.select(
+        *[F.col(f.name).try_cast(f.dataType).alias(f.name) for f in TRADE_SCHEMA.fields]
     )
+    # Event time is required downstream (watermarks, dedup scope).
+    return coerced.filter(F.col("timestamp").isNotNull())
 
 
 def dedup_trades(trades: DataFrame, watermark: str = "2 minutes") -> DataFrame:
     """W4/SNK2: watermark-scoped first-write-wins dedup on trade_id —
     the reference's ``ON CONFLICT (trade_id) DO NOTHING``
-    (consumer.py:78) as a streaming operator ahead of any sink."""
-    return trades.withWatermark("timestamp", watermark).dropDuplicates(["trade_id"])
+    (consumer.py:78) as a streaming operator ahead of any sink.
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``):
+    with a bare key subset the watermark would bound NOTHING — state
+    keeps one entry per key forever and the job eventually exhausts
+    memory/disk. The WithinWatermark variant evicts key state once the
+    watermark passes, which is the semantics at-least-once Kafka
+    redelivery actually needs (duplicates arrive close together).
+    """
+    return trades.withWatermark("timestamp", watermark).dropDuplicatesWithinWatermark(
+        ["trade_id"]
+    )
 
 
 def read_trade_stream_from_json_dir(
@@ -87,5 +103,15 @@ def read_trade_stream_from_json_dir(
 
 
 def to_wire_json(trades: DataFrame) -> DataFrame:
-    """SRC2 payload shape: one JSON object per row (producer.py:136)."""
-    return trades.select(F.to_json(F.struct(*trades.columns)).alias("value"))
+    """SRC2 payload shape: one JSON object per row (producer.py:136).
+
+    Explicit microsecond timestampFormat — to_json's default emits
+    millisecond precision, which would silently truncate event times on
+    the roundtrip (the reference's ``isoformat()`` keeps full precision).
+    """
+    return trades.select(
+        F.to_json(
+            F.struct(*trades.columns),
+            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"},
+        ).alias("value")
+    )

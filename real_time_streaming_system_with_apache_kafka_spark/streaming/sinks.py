@@ -14,7 +14,6 @@ JDBC-style targets and as semantic parity with the reference.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -51,13 +50,18 @@ def keyed_upsert_foreach_batch(
     """
 
     def upsert(batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch.sparkSession
         deduped = batch.dropDuplicates(key_cols)
-        if os.path.isdir(target_path) and any(
-            f.endswith(".parquet") for f in os.listdir(target_path)
-        ):
+        try:
+            # Works for any filesystem URI (s3://, hdfs://, file:/ …) —
+            # a driver-local os.path probe would silently skip the
+            # anti-join everywhere but bare local paths.
             existing = spark.read.parquet(target_path).select(*key_cols)
             deduped = deduped.join(existing, on=key_cols, how="left_anti")
+        except AnalysisException:
+            pass  # target absent/empty on first batch -> plain append
         deduped.write.mode("append").parquet(target_path)
 
     return upsert
@@ -79,6 +83,8 @@ def jdbc_upsert_foreach_batch(
     properties = properties or {}
 
     def upsert(batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch.sparkSession
         deduped = batch.dropDuplicates(key_cols)
         try:
@@ -91,8 +97,12 @@ def jdbc_upsert_foreach_batch(
                 .select(*key_cols)
             )
             deduped = deduped.join(existing, on=key_cols, how="left_anti")
-        except Exception:
-            pass  # table absent on first batch -> plain append
+        except AnalysisException:
+            # Table absent on first batch -> plain append. Transient
+            # errors (network, auth) must NOT be swallowed here — they
+            # propagate so the checkpoint retries the batch instead of
+            # silently appending duplicates.
+            pass
         (
             deduped.write.format("jdbc")
             .option("url", url)
