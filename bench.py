@@ -48,9 +48,15 @@ def main() -> None:
     spark = get_session("rtss_bench")
     queries = registry.all_queries()
 
-    # Warm the JVM/session on the smallest query so per-query times
-    # measure the plans, not session start-up.
-    queries["a1_count"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm each subsystem once (JVM + each table's scan + generator
+    # codegen + Python UDF workers) so per-query times measure the
+    # plans, not first-touch costs attributed to whichever headline
+    # query happens to run first.
+    for warm in ["a1_count", "s5_value_counts", "dedup_exact", "mm_frame_sample"]:
+        queries[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    queries["src1_trade_generator"](spark, sf_dir).limit(1000).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -69,6 +69,21 @@ def round2(col: Column, alias: str) -> Column:
     return F.round(col, 2).cast("double").alias(alias)
 
 
+def revenue_dec() -> Column:
+    """TPC-H discounted-price expression in exact decimal:
+    l_extendedprice * (1 - l_discount). The single definition shared by
+    every revenue query (j1/q1/q3/pr2) — decimal widths changed here
+    change everywhere, in lockstep with :data:`ORACLE_REVENUE`."""
+    return dec4("l_extendedprice") * dec4(1 - F.col("l_discount"), 6)
+
+
+# DuckDB twin of revenue_dec(), exactly summed and cast to double.
+ORACLE_REVENUE_SUM = (
+    "cast(sum(cast(cast(l_extendedprice AS decimal(12,4)) "
+    "* cast(1 - l_discount AS decimal(6,4)) AS decimal(38,6))) AS double)"
+)
+
+
 def oracle_dsum(expr: str, alias: str) -> str:
     """DuckDB twin of :func:`dsum` for oracle SQL strings."""
     return f"cast(sum(cast(({expr}) as decimal(38,6))) as double) as {alias}"

@@ -73,13 +73,11 @@ def a5_derived_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("total_dec"),
     )
+    from real_time_streaming_system_with_apache_kafka_spark.functions.exact import ratio
+
     return agged.select(
-        F.when(F.col("n") == 0, 0.0)
-        .otherwise(F.col("n_f") * 100.0 / F.col("n"))
-        .alias("settlement_rate_pct"),
-        F.when(F.col("n") == 0, 0.0)
-        .otherwise(F.col("n_p") * 100.0 / F.col("n"))
-        .alias("pending_rate_pct"),
+        ratio(F.col("n_f"), F.col("n"), "settlement_rate_pct"),
+        ratio(F.col("n_p"), F.col("n"), "pending_rate_pct"),
         (F.col("total_dec").cast("double") / F.col("n")).alias("avg_order_value"),
     )
 
@@ -187,8 +185,12 @@ ORACLES = {
                    sum(cast(o_totalprice AS decimal(38,6))) AS total_dec
             FROM orders
         )
-        SELECT CASE WHEN n = 0 THEN 0.0 ELSE n_f * 100.0 / n END AS settlement_rate_pct,
-               CASE WHEN n = 0 THEN 0.0 ELSE n_p * 100.0 / n END AS pending_rate_pct,
+        SELECT CASE WHEN n = 0 THEN 0.0
+                    ELSE cast(n_f AS double) / cast(n AS double) * 100 END
+                   AS settlement_rate_pct,
+               CASE WHEN n = 0 THEN 0.0
+                    ELSE cast(n_p AS double) / cast(n AS double) * 100 END
+                   AS pending_rate_pct,
                cast(total_dec AS double) / n AS avg_order_value
         FROM agged
     """,

@@ -20,11 +20,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_streaming_system_with_apache_kafka_spark.functions.exact import (
+    ORACLE_REVENUE_SUM,
     davg,
     dec4,
     dsum,
     oracle_davg,
     oracle_dsum,
+    revenue_dec,
 )
 from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
 
@@ -37,7 +39,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, "lineitem", sf_dir).filter(
         F.col("l_shipdate") <= "1998-09-02"
     )
-    disc_price = dec4("l_extendedprice") * dec4(1 - F.col("l_discount"), 6)
+    disc_price = revenue_dec()
     charge = disc_price * dec4(1 + F.col("l_tax"), 6)
     return (
         li.groupBy("l_returnflag", "l_linestatus")
@@ -113,14 +115,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") < "1996-03-15"
     )
     li = load(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") > "1996-03-15")
-    disc_price = dec4("l_extendedprice") * dec4(1 - F.col("l_discount"), 6)
+    disc_price = revenue_dec()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy(
             "l_orderkey",
-            # Parquet stores the date as timestamp_ntz; surface the
-            # session-TZ timestamp type the rest of the engine uses.
+            # Parquet surfaces the date as timestamp_ntz; present the
+            # session-TZ timestamp type the rest of the engine uses
+            # (session TZ is pinned UTC, so the wall clock is unchanged).
             F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
             "o_orderpriority",
         )
@@ -157,9 +160,7 @@ ORACLES = {
         SELECT l_returnflag, l_linestatus,
                {oracle_dsum('l_quantity', 'sum_qty')},
                {oracle_dsum('l_extendedprice', 'sum_base_price')},
-               cast(sum(cast(cast(l_extendedprice AS decimal(12,4))
-                             * cast(1 - l_discount AS decimal(6,4)) AS decimal(38,6)))
-                    AS double) AS sum_disc_price,
+               {ORACLE_REVENUE_SUM} AS sum_disc_price,
                cast(sum(cast(cast(l_extendedprice AS decimal(12,4))
                              * cast(1 - l_discount AS decimal(6,4))
                              * cast(1 + l_tax AS decimal(6,4)) AS decimal(38,6)))
@@ -210,11 +211,9 @@ ORACLES = {
         GROUP BY user_id, session_seq
         ORDER BY user_id, session_seq
     """,
-    "q3_shipping_priority": """
+    "q3_shipping_priority": f"""
         SELECT l_orderkey, o_orderdate, o_orderpriority,
-               cast(sum(cast(cast(l_extendedprice AS decimal(12,4))
-                             * cast(1 - l_discount AS decimal(6,4)) AS decimal(38,6)))
-                    AS double) AS revenue
+               {ORACLE_REVENUE_SUM} AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from real_time_streaming_system_with_apache_kafka_spark.functions.exact import dsum, ratio
 from real_time_streaming_system_with_apache_kafka_spark.generator import trades
 
 N_TRADES = 20_000
@@ -42,11 +43,13 @@ def dash_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
         settled.alias("settled_count"),
         pending.alias("pending_count"),
         breaks.alias("break_count"),
-        (stp * 100.0 / n).alias("stp_rate_pct"),
-        (settled * 100.0 / n).alias("settlement_rate_pct"),
-        (breaks * 100.0 / n).alias("break_rate_pct"),
-        (fees.cast("double") / notional.cast("double") * 10_000).alias("avg_fee_bps"),
-        (notional.cast("double") / n).alias("avg_trade_size"),
+        # ratio(): the reference's div-by-zero-guarded rate arithmetic
+        # (dashboard.py:83-87 ternaries) — one definition for all rates.
+        ratio(stp, n, "stp_rate_pct"),
+        ratio(settled, n, "settlement_rate_pct"),
+        ratio(breaks, n, "break_rate_pct"),
+        ratio(fees, notional, "avg_fee_bps", scale=10_000),
+        ratio(notional, n, "avg_trade_size", scale=1),
     )
 
 
@@ -65,7 +68,7 @@ def dash_asset_class_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _trades(spark)
     return (
         t.groupBy("asset_class")
-        .agg(F.sum(F.col("notional_value").cast("decimal(38,2)")).cast("double").alias("notional"))
+        .agg(dsum(F.col("notional_value").cast("double"), "notional"))
         .orderBy(F.col("notional").desc(), F.col("asset_class"))
     )
 
@@ -75,7 +78,7 @@ def dash_counterparty_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _trades(spark)
     return (
         t.groupBy("counterparty")
-        .agg(F.sum(F.col("notional_value").cast("decimal(38,2)")).cast("double").alias("notional"))
+        .agg(dsum(F.col("notional_value").cast("double"), "notional"))
         .orderBy(F.col("notional").desc(), F.col("counterparty"))
         .limit(10)
     )
@@ -95,9 +98,9 @@ def dash_fee_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fee composition pie (dashboard.py:200-207): one agg + unpivot."""
     t = _trades(spark)
     agged = t.agg(
-        F.sum(F.col("brokerage_fee").cast("decimal(38,2)")).cast("double").alias("b"),
-        F.sum(F.col("clearing_fee").cast("decimal(38,2)")).cast("double").alias("c"),
-        F.sum(F.col("exchange_fee").cast("decimal(38,2)")).cast("double").alias("e"),
+        dsum(F.col("brokerage_fee").cast("double"), "b"),
+        dsum(F.col("clearing_fee").cast("double"), "c"),
+        dsum(F.col("exchange_fee").cast("double"), "e"),
     )
     return agged.selectExpr(
         "stack(3, 'Brokerage', b, 'Clearing', c, 'Exchange', e) AS (fee_type, amount)"
@@ -109,7 +112,7 @@ def dash_side_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _trades(spark)
     return (
         t.groupBy("side")
-        .agg(F.sum(F.col("notional_value").cast("decimal(38,2)")).cast("double").alias("notional"))
+        .agg(dsum(F.col("notional_value").cast("double"), "notional"))
         .orderBy("side")
     )
 
@@ -121,7 +124,7 @@ def dash_minute_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.groupBy(F.date_trunc("minute", F.col("timestamp")).alias("minute_ts"))
         .agg(
             F.count(F.lit(1)).alias("n_trades"),
-            F.sum(F.col("notional_value").cast("decimal(38,2)")).cast("double").alias("notional"),
+            dsum(F.col("notional_value").cast("double"), "notional"),
         )
         .orderBy("minute_ts")
     )

@@ -21,18 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from real_time_streaming_system_with_apache_kafka_spark.functions.exact import dec4, dsum
-from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
-
-_REVENUE_ORACLE = (
-    "cast(sum(cast(cast(l_extendedprice AS decimal(12,4)) "
-    "* cast(1 - l_discount AS decimal(6,4)) AS decimal(38,6))) AS double)"
+from real_time_streaming_system_with_apache_kafka_spark.functions.exact import (
+    ORACLE_REVENUE_SUM,
+    dsum,
+    revenue_dec,
 )
-
-
-def _revenue_dec():
-    """Exact-decimal revenue expression (see functions/exact.py)."""
-    return dec4("l_extendedprice") * dec4(1 - F.col("l_discount"), 6)
+from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
 
 
 def j1_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,7 +46,7 @@ def j1_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(_revenue_dec().cast("decimal(38,6)")).cast("double").alias("revenue"))
+        .agg(F.sum(revenue_dec().cast("decimal(38,6)")).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
@@ -183,11 +177,13 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct) of two event selections."""
+    """EXCEPT (distinct) of two event selections. ``subtract`` is the
+    SQL-EXCEPT twin; exceptAll().distinct() would diverge when a row
+    appears in both sides with different multiplicities."""
     ev = load(spark, "events", sf_dir)
     a = ev.filter(F.col("value") > 400).select("event_id", "event_type", "value")
     b = ev.filter(F.col("event_type") == "click").select("event_id", "event_type", "value")
-    return a.exceptAll(b).distinct()
+    return a.subtract(b)
 
 
 QUERIES = {
@@ -205,7 +201,7 @@ QUERIES = {
 
 ORACLES = {
     "j1_star_join_revenue": f"""
-        SELECT n_name, {_REVENUE_ORACLE} AS revenue
+        SELECT n_name, {ORACLE_REVENUE_SUM} AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey

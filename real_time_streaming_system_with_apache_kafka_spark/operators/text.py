@@ -107,12 +107,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level token accounting per language/source — the
-    "how many tokens do we have" question, one scan + tiny shuffle."""
+    """Corpus-level token accounting per language — the "how many
+    tokens do we have" question, one scan + tiny shuffle."""
     docs = load(spark, "documents", sf_dir)
     tokens = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), 0)
     return (
-        docs.select("lang", "source", F.size(tokens).alias("n_tok"))
+        docs.select("lang", F.size(tokens).alias("n_tok"))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -101,9 +101,12 @@ ORACLES = {
     # Each event lands in two 10-min/5-min-slide windows: the one starting
     # at floor(ts,10min) and the one 5 minutes before/after depending on
     # the half. Expressed by duplicating rows over the two window starts.
+    # make_timestamp(us), NOT to_timestamp: to_timestamp returns
+    # TIMESTAMPTZ and the cast back shifts by the DuckDB host timezone.
     "w6_sliding_window": f"""
         WITH placed AS (
-            SELECT cast(to_timestamp(floor(epoch(ts) / 300) * 300 - offs.o) AS timestamp) AS window_start,
+            SELECT make_timestamp(cast((floor(epoch(ts) / 300) * 300 - offs.o)
+                                       * 1000000 AS bigint)) AS window_start,
                    value
             FROM events
             CROSS JOIN (SELECT unnest([0, 300]) AS o) offs

@@ -18,6 +18,8 @@ _DUCK_TO_SPARK = {
     "VARCHAR": "string",
     "BOOLEAN": "boolean",
     "DATE": "date",
+    # DuckDB TIMESTAMP is timezone-naive; the engine surfaces session-TZ
+    # timestamps with the session pinned to UTC, so wall clocks align.
     "TIMESTAMP": "timestamp",
     "TIMESTAMP_NS": "timestamp",
     "FLOAT": "float",
