@@ -56,6 +56,36 @@ def break_alerts(trades: DataFrame) -> DataFrame:
     )
 
 
+def session_window_stream(
+    trades: DataFrame, gap: str = "30 minutes", watermark: str | None = "2 minutes"
+) -> DataFrame:
+    """W6 gap-fill: native ``session_window`` sessions — dynamic-length
+    windows that close after ``gap`` of silence per key, state bounded
+    by the watermark. The batch twin (lag + gap cumsum over the events
+    table) is ``operators/analytics.py::sessionize_events``."""
+    if watermark is not None:
+        trades = trades.withWatermark("timestamp", watermark)
+    return (
+        trades.groupBy(
+            F.session_window(F.col("timestamp"), gap).alias("w"),
+            F.col("counterparty"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_trades"),
+            F.sum(F.col("notional_value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_notional"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "counterparty",
+            "n_trades",
+            "sum_notional",
+        )
+    )
+
+
 def venue_distribution_stream(
     trades: DataFrame, watermark: str | None = "2 minutes"
 ) -> DataFrame:

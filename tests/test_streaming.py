@@ -111,6 +111,20 @@ def test_stream_batch_window_equivalence(spark, wire_dir):
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
 
+def test_session_window_stream(spark, wire_dir):
+    """Native session_window: sessions close after the gap; totals
+    reconcile with the input."""
+    path, n_base, n_dup = wire_dir
+    stream = ingest.read_trade_stream_from_json_dir(spark, path)
+    sess = windowed.session_window_stream(stream, gap="10 minutes", watermark="2 minutes")
+    out = _drain(sess, "sessions", mode="complete")
+    rows = out.collect()
+    assert rows
+    assert sum(r["n_trades"] for r in rows) == n_dup
+    for r in rows:
+        assert r["session_end"] > r["session_start"]
+
+
 def test_break_alerts_only_breaks(spark, wire_dir):
     path, n_base, n_dup = wire_dir
     stream = ingest.read_trade_stream_from_json_dir(spark, path)
