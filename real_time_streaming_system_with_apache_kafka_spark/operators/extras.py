@@ -1,0 +1,140 @@
+"""Breadth extensions beyond the reference surface (SURVEY.md §2.8
+notes "no array functions, no regex" in the reference; §2.4/§2.5 list
+grouping sets and the rank family as free Spark built-ins).
+
+Everything here is a built-in Catalyst expression — included so a user
+migrating from the reference has the standard analytics vocabulary
+available and oracle-verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from real_time_streaming_system_with_apache_kafka_spark.functions.exact import dsum, oracle_dsum
+from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: per-flag, per-status, and grand total in
+    one pass (finer control than ROLLUP/CUBE)."""
+    li = load(spark, "lineitem", sf_dir)
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               cast(sum(cast(l_quantity AS decimal(38,6))) AS double) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def wf_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/ntile/percent_rank/cume_dist over a per-group
+    ordering — the full §2.5 analytic-window vocabulary."""
+    orders = load(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    ).filter(F.col("rnk") <= 100)
+
+
+def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function surface over the embedding column: size, slice,
+    contains-by-threshold, sort, element access, min/max."""
+    emb = load(spark, "embeddings", sf_dir)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.array_max("embedding").alias("max_val"),
+        F.array_min("embedding").alias("min_val"),
+        F.slice("embedding", 1, 4).alias("head4"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.array_position(
+            "embedding", F.array_max("embedding")
+        ).alias("argmax_1based"),
+    )
+
+
+def f_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface over document text: extract, replace, count,
+    like-match (simple char-class patterns so Java and RE2 agree)."""
+    docs = load(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), "([a-z]+)", 1).alias("first_word"),
+        F.length(F.regexp_replace(F.col("text"), "[aeiou]", "")).alias("len_no_vowels"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), 0)).alias("n_word_runs"),
+        F.col("text").rlike("join").alias("mentions_join"),
+    )
+
+
+QUERIES = {
+    "agg_grouping_sets": agg_grouping_sets,
+    "wf_rank_family": wf_rank_family,
+    "f_array_funcs": f_array_funcs,
+    "f_regexp_funcs": f_regexp_funcs,
+}
+
+ORACLES = {
+    "agg_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               cast(sum(cast(l_quantity AS decimal(38,6))) AS double) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "wf_rank_family": """
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               cast(rnk AS int) AS rnk,
+               cast(drnk AS int) AS drnk,
+               cast(quartile AS int) AS quartile,
+               pct_rank, cume
+        FROM (
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   rank() OVER w AS rnk,
+                   dense_rank() OVER w AS drnk,
+                   ntile(4) OVER w AS quartile,
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist() OVER w AS cume
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC, o_orderkey)
+        )
+        WHERE rnk <= 100
+    """,
+    "f_array_funcs": """
+        SELECT vec_id,
+               cast(len(embedding) AS int) AS dim,
+               embedding[1] AS first_val,
+               list_aggregate(embedding, 'max') AS max_val,
+               list_aggregate(embedding, 'min') AS min_val,
+               embedding[1:4] AS head4,
+               cast(len(list_filter(embedding, x -> x > 0)) AS int) AS n_positive,
+               cast(list_position(embedding, list_aggregate(embedding, 'max'))
+                    AS bigint) AS argmax_1based
+        FROM embeddings
+    """,
+    "f_regexp_funcs": """
+        SELECT doc_id,
+               regexp_extract(text, '([a-z]+)', 1) AS first_word,
+               cast(length(regexp_replace(text, '[aeiou]', '', 'g')) AS int)
+                   AS len_no_vowels,
+               cast(len(regexp_extract_all(text, '[a-z]+')) AS int) AS n_word_runs,
+               regexp_matches(text, 'join') AS mentions_join
+        FROM documents
+    """,
+}

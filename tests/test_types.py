@@ -48,9 +48,14 @@ def test_column_types_align(spark, sf_dir, duck, name):
         f.name: f.dataType.simpleString()
         for f in registry.all_queries()[name](spark, sf_dir).schema.fields
     }
+    def duck_to_spark(dt: str) -> str:
+        if dt.endswith("[]"):  # list types: FLOAT[] -> array<float>
+            return f"array<{duck_to_spark(dt[:-2])}>"
+        return _DUCK_TO_SPARK.get(dt, dt.lower())
+
     mismatches = {
         c: (stypes.get(c), dt)
         for c, dt in dtypes.items()
-        if stypes.get(c) != _DUCK_TO_SPARK.get(dt, dt.lower())
+        if stypes.get(c) != duck_to_spark(dt)
     }
     assert not mismatches, mismatches
