@@ -18,17 +18,16 @@ from real_time_streaming_system_with_apache_kafka_spark.sources.tables import lo
 
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS: per-flag, per-status, and grand total in
-    one pass (finer control than ROLLUP/CUBE)."""
+    one pass (finer control than ROLLUP/CUBE). Pure DataFrame
+    composition — no session-global temp view side effects."""
     li = load(spark, "lineitem", sf_dir)
-    li.createOrReplaceTempView("lineitem_gs")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               count(*) AS n,
-               cast(sum(cast(l_quantity AS decimal(38,6))) AS double) AS sum_qty
-        FROM lineitem_gs
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("l_quantity"), "sum_qty"),
     )
 
 
@@ -52,16 +51,19 @@ def wf_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array function surface over the embedding column: size, slice,
-    contains-by-threshold, sort, element access, min/max."""
+    """Array function surface over the embedding column: size, element
+    access, min/max, slice, sort, threshold-filter count, argmax."""
     emb = load(spark, "embeddings", sf_dir)
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.element_at("embedding", 1).alias("first_val"),
+        # try_element_at: a short/empty array yields NULL like the
+        # oracle's embedding[1], instead of an ANSI index error.
+        F.try_element_at("embedding", F.lit(1)).alias("first_val"),
         F.array_max("embedding").alias("max_val"),
         F.array_min("embedding").alias("min_val"),
         F.slice("embedding", 1, 4).alias("head4"),
+        F.slice(F.array_sort("embedding"), 1, 3).alias("sorted_head3"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
         F.array_position(
             "embedding", F.array_max("embedding")
@@ -90,10 +92,10 @@ QUERIES = {
 }
 
 ORACLES = {
-    "agg_grouping_sets": """
+    "agg_grouping_sets": f"""
         SELECT l_returnflag, l_linestatus,
                count(*) AS n,
-               cast(sum(cast(l_quantity AS decimal(38,6))) AS double) AS sum_qty
+               {oracle_dsum('l_quantity', 'sum_qty')}
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -123,6 +125,7 @@ ORACLES = {
                list_aggregate(embedding, 'max') AS max_val,
                list_aggregate(embedding, 'min') AS min_val,
                embedding[1:4] AS head4,
+               list_sort(embedding)[1:3] AS sorted_head3,
                cast(len(list_filter(embedding, x -> x > 0)) AS int) AS n_positive,
                cast(list_position(embedding, list_aggregate(embedding, 'max'))
                     AS bigint) AS argmax_1based

@@ -44,6 +44,8 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
                 raise ValueError(f"duplicate query id {name!r} in {mod_name}")
             queries[name] = fn
         for name, sql in getattr(mod, "ORACLES", {}).items():
+            if name in oracles:
+                raise ValueError(f"duplicate oracle id {name!r} in {mod_name}")
             oracles[name] = textwrap.dedent(sql).strip()
     unknown = set(oracles) - set(queries)
     if unknown:

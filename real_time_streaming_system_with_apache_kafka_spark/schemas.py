@@ -70,6 +70,10 @@ TRADE_WIRE_SCHEMA = T.StructType(
     ]
 )
 
+# Logical (post-load) schemas of the extension tables. NOTE: do NOT use
+# these for schema-on-read of the raw parquet — events.parquet stores
+# `ts` as TIMESTAMP(NANOS), which the loader surfaces as long and
+# converts (see sources/tables.py::load, the only supported read path).
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),

@@ -26,7 +26,6 @@ def test_frame_sample_counts(spark, sf_dir):
     for r in rows:
         by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
     for doc_id, idxs in list(by_doc.items())[:25]:
-        n_frames = max(idxs) + 1 if idxs else 0
         assert sorted(idxs) == list(range(0, max(idxs) + 1, 6))
 
 
