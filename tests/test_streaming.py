@@ -176,6 +176,44 @@ def test_parquet_append_exactly_once(spark, wire_dir, tmp_path):
     assert stored.count() == n_base
 
 
+def test_multibatch_soak(spark, tmp_path):
+    """10 sequential micro-batches through decode -> dedup -> windowed
+    agg: counts reconcile exactly at the end (incremental-state soak)."""
+    import json as _json
+
+    wire = tmp_path / "soak"
+    wire.mkdir()
+    stream = ingest.read_trade_stream_from_json_dir(spark, str(wire))
+    agg = windowed.minute_activity_stream(ingest.dedup_trades(stream))
+    q = sinks.start_memory_sink(agg, "soak_agg", output_mode="complete")
+
+    total = 0
+    for b in range(10):
+        lines = []
+        for k in range(50):
+            ts = f"2026-01-05T{9 + b // 2:02d}:{(b % 2) * 30 + k // 10:02d}:{k % 10:02d}.000000"
+            lines.append(
+                _json.dumps(
+                    {
+                        "trade_id": f"b{b:02d}k{k:02d}",
+                        "notional_value": 100.0,
+                        "status": "Settled",
+                        "timestamp": ts,
+                    }
+                )
+            )
+        # every 5th message re-delivered (at-least-once duplicates)
+        lines += lines[::5]
+        (wire / f"b{b:02d}.txt").write_text("\n".join(lines) + "\n")
+        total += 50
+        q.processAllAvailable()
+
+    rows = spark.sql("SELECT * FROM soak_agg").collect()
+    q.stop()
+    assert sum(r["n_trades"] for r in rows) == total  # duplicates all dropped
+    assert all(r["sum_notional"] == 100.0 * r["n_trades"] for r in rows)
+
+
 def test_kafka_builders_construct(spark):
     """Plan-level check only (no broker/jar in this environment)."""
     from real_time_streaming_system_with_apache_kafka_spark.streaming import kafka_io
