@@ -239,21 +239,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Norms once per vector (O(corpus)), not once per pair (O(pairs)) —
     # at scale norms are per-row metadata computed at ingest.
     with_norm = emb.select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm"))
+    # Salted block join: the join *output* is quadratic per block while
+    # its *inputs* are tiny, so an unsalted (label) join lands on a
+    # handful of tasks and the dot kernel serializes — and
+    # repartitioning the exploded pairs would shuffle the wide
+    # embedding arrays twice. Instead side A carries a deterministic
+    # salt and side B is replicated across all salts: the join itself
+    # fans out to label x n_salts tasks, wide rows shuffle exactly
+    # once. Same guard a coarse-quantizer block join needs at 100 TB.
+    n_salts = spark.sparkContext.defaultParallelism
     a = with_norm.select(
         F.col("vec_id").alias("vec_a"), F.col("label"),
         F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_salts)).alias("salt"),
     )
     b = with_norm.select(
         F.col("vec_id").alias("vec_b"), F.col("label"),
         F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
-    )
-    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
-    # The join *output* is quadratic per block while its *inputs* are
-    # tiny, so AQE coalesces the join to few tasks and the dot kernel
-    # serializes. Re-spread the exploded pairs before the heavy
-    # projection — the same guard a coarse-quantizer block join needs
-    # at 100 TB.
-    pairs = pairs.repartition(spark.sparkContext.defaultParallelism)
+    ).withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)])))
+    pairs = a.join(b, ["label", "salt"]).filter(F.col("vec_a") < F.col("vec_b"))
     cos = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 9)
     return (
         pairs.withColumn("cos", cos)
