@@ -38,3 +38,39 @@ def enrich_trades(trades: DataFrame, dim: DataFrame) -> DataFrame:
             F.round(F.col("notional_value").cast("double") * F.col("risk_weight"), 2),
         )
     )
+
+
+def join_breaks_to_settlements(trades: DataFrame, max_lag: str = "10 minutes") -> DataFrame:
+    """W7 stream-stream interval join: each break event matched to
+    settled trades of the same counterparty within ``max_lag`` after
+    it — the "did the break clear quickly" correlation.
+
+    Both sides carry watermarks and the join predicate bounds the time
+    range, so Spark can expire buffered state on both sides — the
+    requirement for an unbounded stream-stream join to run with finite
+    memory.
+    """
+    breaks = (
+        trades.filter(F.col("status").contains("Break"))
+        .select(
+            F.col("trade_id").alias("break_trade_id"),
+            F.col("counterparty").alias("break_cpty"),
+            F.col("timestamp").alias("break_ts"),
+        )
+        .withWatermark("break_ts", "2 minutes")
+    )
+    settled = (
+        trades.filter(F.col("status") == "Settled")
+        .select(
+            F.col("trade_id").alias("settle_trade_id"),
+            F.col("counterparty").alias("settle_cpty"),
+            F.col("timestamp").alias("settle_ts"),
+        )
+        .withWatermark("settle_ts", "2 minutes")
+    )
+    return breaks.join(
+        settled,
+        (F.col("break_cpty") == F.col("settle_cpty"))
+        & (F.col("settle_ts") >= F.col("break_ts"))
+        & (F.col("settle_ts") <= F.col("break_ts") + F.expr(f"INTERVAL {max_lag}")),
+    ).select("break_trade_id", "break_cpty", "break_ts", "settle_trade_id", "settle_ts")

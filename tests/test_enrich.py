@@ -32,3 +32,36 @@ def test_stream_static_join_matches_batch(spark, tmp_path):
     # Every trade matched the dimension (left join found all keys).
     assert all(r["risk_weight"] is not None for r in got)
     assert len(got) == 1_000
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """W7 stream-stream: the watermarked interval join must produce the
+    same pairs as the batch-mode join over the same data."""
+    from pyspark.sql import functions as F
+
+    wire = tmp_path / "wire2"
+    base = generator.trades(spark, 3_000)
+    ingest.to_wire_json(base).coalesce(2).write.mode("overwrite").text(str(wire))
+
+    stream = ingest.read_trade_stream_from_json_dir(spark, str(wire))
+    joined = enrich.join_breaks_to_settlements(stream)
+    q = sinks.start_memory_sink(joined, "bs_join")
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        map(tuple, spark.sql(
+            "SELECT break_trade_id, settle_trade_id FROM bs_join"
+        ).collect())
+    )
+
+    batch = ingest.parse_wire(spark.read.text(str(wire)))
+    want = sorted(
+        map(
+            tuple,
+            enrich.join_breaks_to_settlements(batch)
+            .select("break_trade_id", "settle_trade_id")
+            .collect(),
+        )
+    )
+    assert got == want
+    assert len(got) > 0  # ~2% breaks over 3000 trades with a 10m window
