@@ -50,6 +50,40 @@ def wf_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rnk") <= 100)
 
 
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/variance/stddev/correlation derived from decimal-exact
+    sums (sum, sum of squares, sum of cross-products), so both engines
+    compute identical doubles — built-in ``stddev``/``corr`` use
+    engine-specific update formulas (Welford vs sum-of-squares) that
+    drift in the last ulps."""
+    li = load(spark, "lineitem", sf_dir)
+
+    def s(expr) -> F.Column:
+        return F.sum(expr.cast("decimal(38,6)")).cast("double")
+
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    agged = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        s(x).alias("sx"),
+        s(y).alias("sy"),
+        s(x * x).alias("sxx"),
+        s(y * y).alias("syy"),
+        s(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    return agged.select(
+        n.alias("n"),
+        (F.col("sx") / n).alias("mean_qty"),
+        var_x.alias("var_qty"),
+        F.sqrt(var_x).alias("stddev_qty"),
+        (cov / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr_qty_price"),
+    )
+
+
 def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array function surface over the embedding column: size, element
     access, min/max, slice, sort, threshold-filter count, argmax."""
@@ -86,6 +120,7 @@ def f_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "agg_grouping_sets": agg_grouping_sets,
+    "agg_stats_moments": agg_stats_moments,
     "wf_rank_family": wf_rank_family,
     "f_array_funcs": f_array_funcs,
     "f_regexp_funcs": f_regexp_funcs,
@@ -98,6 +133,25 @@ ORACLES = {
                {oracle_dsum('l_quantity', 'sum_qty')}
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "agg_stats_moments": """
+        WITH sums AS (
+            SELECT count(*) AS n,
+                   cast(sum(cast(l_quantity AS decimal(38,6))) AS double) AS sx,
+                   cast(sum(cast(l_extendedprice AS decimal(38,6))) AS double) AS sy,
+                   cast(sum(cast(l_quantity * l_quantity AS decimal(38,6))) AS double) AS sxx,
+                   cast(sum(cast(l_extendedprice * l_extendedprice AS decimal(38,6))) AS double) AS syy,
+                   cast(sum(cast(l_quantity * l_extendedprice AS decimal(38,6))) AS double) AS sxy
+            FROM lineitem
+        )
+        SELECT n,
+               sx / n AS mean_qty,
+               (sxx - sx * sx / n) / (n - 1) AS var_qty,
+               sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+               ((sxy - sx * sy / n) / (n - 1))
+                   / (sqrt((sxx - sx * sx / n) / (n - 1))
+                      * sqrt((syy - sy * sy / n) / (n - 1))) AS corr_qty_price
+        FROM sums
     """,
     "wf_rank_family": """
         SELECT o_orderkey, o_orderpriority, o_totalprice,
