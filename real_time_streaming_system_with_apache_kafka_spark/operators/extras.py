@@ -105,6 +105,47 @@ def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates per group: sorted collect_list/collect_set
+    (sorted so the arrays are deterministic under any partitioning),
+    plus min_by/max_by row selection."""
+    orders = load(spark, "orders", sf_dir)
+    top = orders.filter(F.col("o_totalprice") > 450_000)
+    # min_by/max_by need a total order: equal prices exist, so the key
+    # is a fixed-width sortable string of (price, orderkey) — the
+    # unique tiebreak keeps arg-min/arg-max engine-deterministic.
+    ordkey = F.format_string("%020.2f|%020d", F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        top.groupBy("o_orderpriority")
+        .agg(
+            F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.min_by("o_orderkey", ordkey).alias("cheapest_orderkey"),
+            F.max_by("o_orderkey", ordkey).alias("priciest_orderkey"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def sql_api_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q0 snapshot expressed through the SQL entry point
+    (SURVEY.md §3: ``spark.sql`` produces the same Catalyst plan as the
+    DataFrame API) — demonstrating the text interface over a per-query
+    scoped view name."""
+    ev = load(spark, "events", sf_dir)
+    view = "events_sql_api_snapshot"
+    ev.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT event_id, ts, user_id, event_type, value
+        FROM {view}
+        WHERE event_type = 'purchase'
+        ORDER BY ts DESC, event_id DESC
+        LIMIT 200
+        """
+    )
+
+
 def f_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex surface over document text: extract, replace, count,
     like-match (simple char-class patterns so Java and RE2 agree)."""
@@ -124,6 +165,8 @@ QUERIES = {
     "wf_rank_family": wf_rank_family,
     "f_array_funcs": f_array_funcs,
     "f_regexp_funcs": f_regexp_funcs,
+    "agg_collections": agg_collections,
+    "sql_api_snapshot": sql_api_snapshot,
 }
 
 ORACLES = {
@@ -184,6 +227,26 @@ ORACLES = {
                cast(list_position(embedding, list_aggregate(embedding, 'max'))
                     AS bigint) AS argmax_1based
         FROM embeddings
+    """,
+    "agg_collections": """
+        SELECT o_orderpriority,
+               list_sort(list(o_orderkey)) AS order_keys,
+               list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+               min_by(o_orderkey, printf('%020.2f|%020d', o_totalprice, o_orderkey))
+                   AS cheapest_orderkey,
+               max_by(o_orderkey, printf('%020.2f|%020d', o_totalprice, o_orderkey))
+                   AS priciest_orderkey
+        FROM orders
+        WHERE o_totalprice > 450000
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "sql_api_snapshot": """
+        SELECT event_id, ts, user_id, event_type, value
+        FROM events
+        WHERE event_type = 'purchase'
+        ORDER BY ts DESC, event_id DESC
+        LIMIT 200
     """,
     "f_regexp_funcs": """
         SELECT doc_id,
