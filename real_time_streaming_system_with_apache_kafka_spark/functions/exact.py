@@ -30,10 +30,13 @@ def dsum(col: Column | str, alias: str) -> Column:
 
 
 def davg(col: Column | str, alias: str) -> Column:
-    """Order-independent mean: exact decimal sum / count, as double."""
+    """Order-independent mean: exact decimal sum / non-null count, as
+    double. Divides by ``count(col)`` (not ``count(*)``) to match SQL
+    AVG semantics on nullable inputs — e.g. wire-decoded trades where
+    ``try_cast`` can null out fields."""
     c = F.col(col) if isinstance(col, str) else col
     return (
-        (F.sum(c.cast(_DEC)).cast("double") / F.count(F.lit(1)))
+        (F.sum(c.cast(_DEC)).cast("double") / F.count(c))
         .alias(alias)
     )
 
@@ -90,7 +93,8 @@ def oracle_dsum(expr: str, alias: str) -> str:
 
 
 def oracle_davg(expr: str, alias: str) -> str:
-    """DuckDB twin of :func:`davg`."""
+    """DuckDB twin of :func:`davg` (divides by the non-null count)."""
     return (
-        f"cast(sum(cast(({expr}) as decimal(38,6))) as double) / count(*) as {alias}"
+        f"cast(sum(cast(({expr}) as decimal(38,6))) as double) "
+        f"/ count({expr}) as {alias}"
     )

@@ -114,7 +114,16 @@ def agg_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min_by/max_by need a total order: equal prices exist, so the key
     # is a fixed-width sortable string of (price, orderkey) — the
     # unique tiebreak keeps arg-min/arg-max engine-deterministic.
-    ordkey = F.format_string("%020.2f|%020d", F.col("o_totalprice"), F.col("o_orderkey"))
+    # Key on the exact decimal's string form, not printf on the raw
+    # double: Java and C printf diverge at halfway rounding points.
+    # decimal(18,2) -> string keeps the full scale ("450000.00") in
+    # both engines; lpad makes it fixed-width sortable (values are
+    # positive here, so zero-padding preserves numeric order).
+    ordkey = F.concat(
+        F.lpad(F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 21, "0"),
+        F.lit("|"),
+        F.lpad(F.col("o_orderkey").cast("string"), 20, "0"),
+    )
     return (
         top.groupBy("o_orderpriority")
         .agg(
@@ -232,9 +241,11 @@ ORACLES = {
         SELECT o_orderpriority,
                list_sort(list(o_orderkey)) AS order_keys,
                list_sort(list(DISTINCT o_orderstatus)) AS statuses,
-               min_by(o_orderkey, printf('%020.2f|%020d', o_totalprice, o_orderkey))
+               min_by(o_orderkey, lpad(cast(cast(o_totalprice AS decimal(18,2)) AS varchar), 21, '0')
+                   || '|' || lpad(cast(o_orderkey AS varchar), 20, '0'))
                    AS cheapest_orderkey,
-               max_by(o_orderkey, printf('%020.2f|%020d', o_totalprice, o_orderkey))
+               max_by(o_orderkey, lpad(cast(cast(o_totalprice AS decimal(18,2)) AS varchar), 21, '0')
+                   || '|' || lpad(cast(o_orderkey AS varchar), 20, '0'))
                    AS priciest_orderkey
         FROM orders
         WHERE o_totalprice > 450000

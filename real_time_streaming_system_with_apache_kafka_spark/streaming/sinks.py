@@ -20,6 +20,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _is_target_absent(exc) -> bool:
+    """True only for 'target does not exist yet' AnalysisExceptions.
+
+    A genuine schema/column mismatch on the existing-keys read must NOT
+    be treated as first-batch-bootstrap — swallowing it would skip the
+    anti-join and reintroduce duplicates on retries.
+    """
+    cls = None
+    for accessor in ("getCondition", "getErrorClass"):  # 4.x name, then legacy
+        if hasattr(exc, accessor):
+            try:
+                cls = getattr(exc, accessor)()
+            except Exception:
+                cls = None
+            break
+    if cls is not None:
+        return cls in {
+            "PATH_NOT_FOUND",
+            "TABLE_OR_VIEW_NOT_FOUND",
+            "UNABLE_TO_INFER_SCHEMA",  # empty dir created by a racing writer
+        }
+    # Legacy/uncategorized fallback: match the message shape.
+    msg = str(exc)
+    return "Path does not exist" in msg or "TABLE_OR_VIEW_NOT_FOUND" in msg
+
+
 def start_parquet_append(
     df: DataFrame, path: str, checkpoint: str, trigger_seconds: int | None = None
 ):
@@ -60,8 +86,12 @@ def keyed_upsert_foreach_batch(
             # anti-join everywhere but bare local paths.
             existing = spark.read.parquet(target_path).select(*key_cols)
             deduped = deduped.join(existing, on=key_cols, how="left_anti")
-        except AnalysisException:
-            pass  # target absent/empty on first batch -> plain append
+        except AnalysisException as e:
+            # Only the target-absent bootstrap case may skip the
+            # anti-join; schema/column errors re-raise so the
+            # checkpoint retries instead of appending duplicates.
+            if not _is_target_absent(e):
+                raise
         deduped.write.mode("append").parquet(target_path)
 
     return upsert
@@ -97,12 +127,14 @@ def jdbc_upsert_foreach_batch(
                 .select(*key_cols)
             )
             deduped = deduped.join(existing, on=key_cols, how="left_anti")
-        except AnalysisException:
-            # Table absent on first batch -> plain append. Transient
-            # errors (network, auth) must NOT be swallowed here — they
-            # propagate so the checkpoint retries the batch instead of
-            # silently appending duplicates.
-            pass
+        except AnalysisException as e:
+            # Table absent on first batch -> plain append. Anything
+            # else (schema mismatch; transient network/auth surfaces as
+            # non-AnalysisException anyway) propagates so the
+            # checkpoint retries the batch instead of silently
+            # appending duplicates.
+            if not _is_target_absent(e):
+                raise
         (
             deduped.write.format("jdbc")
             .option("url", url)

@@ -89,9 +89,18 @@ def test_stream_batch_window_equivalence(spark, wire_dir):
     agg = windowed.minute_activity_stream(ingest.dedup_trades(stream))
     got = _drain(agg, "win_stream", mode="complete").collect()
 
-    batch = ingest.parse_wire(
-        spark.read.text(path), value_col="value"
-    ).dropDuplicates(["trade_id"])
+    # Deterministic first-write-wins oracle (same pattern as
+    # w4_wire_roundtrip_dedup): dropDuplicates picks an arbitrary
+    # survivor, and injected duplicates carry +1s timestamps — one that
+    # crossed a minute boundary could land in a different window and
+    # flake the equivalence. min_by(struct, timestamp) always keeps the
+    # earliest row, matching the stream's first-arrival-wins.
+    parsed = ingest.parse_wire(spark.read.text(path), value_col="value")
+    batch = (
+        parsed.groupBy("trade_id")
+        .agg(F.min_by(F.struct(*[c for c in parsed.columns]), "timestamp").alias("r"))
+        .select("r.*")
+    )
     want = (
         batch.groupBy(F.window("timestamp", "1 minute").alias("w"))
         .agg(
