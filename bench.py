@@ -40,6 +40,11 @@ HEADLINE = [
     "sim_bruteforce_topk",
     "text_stats_quality",
     "mm_decode_metadata",
+    # Round-2 additions: track drift in the newer operators.
+    "q3_shipping_priority",
+    "agg_grouping_sets",
+    "wf_rank_family",
+    "text_langid",
 ]
 
 
