@@ -109,90 +109,129 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_topk(candidates)
 
 
-# 6 planes + Hamming-1 multi-probe: ~11% of the corpus per query on
-# the test embeddings at ~0.3 recall of the exact top-5 — the standard
-# speed/recall dial (more planes = smaller buckets = lower recall).
+# OR-construction: N_TABLES independent N_PLANES-plane tables, each
+# probed at its own bucket plus all Hamming-1 flips. Single-table
+# recall on the near-orthogonal test corpus is ~0.25 (measured;
+# theory P[X<=1], X~Bin(6, th/pi) at th~60deg gives 0.35); 6
+# independent tables lift it to ~1-(1-0.25)^6 ~ 0.82. The dials: more
+# planes = smaller buckets (speed), more tables/probes = higher
+# recall. Recall >= 0.7 and pruning < 0.6 are asserted in
+# tests/test_similarity.py.
 N_PLANES = 6
+N_TABLES = 6
 EMBEDDING_DIM = 64
+_LSH_SEED = 0x5EED
 
 
-def _hyperplane_bits(vec, tag: str) -> "F.Column":
-    """Sign bits of the vector against N_PLANES pseudo-random
-    hyperplanes. Plane components derive from xxhash64(plane, dim, tag)
-    — deterministic everywhere, no stored model. Pure per-row
-    expressions: at 100 TB the bucketing costs one projection."""
-    bits = []
-    for p in range(N_PLANES):
-        terms = [
-            F.element_at(vec, d + 1).cast("double")
-            * (
-                (
-                    F.pmod(
-                        F.xxhash64(F.lit(p), F.lit(d), F.lit(tag)), F.lit(2001)
-                    )
-                    - 1000
+def make_signature_udf(
+    n_tables: int = N_TABLES, n_planes: int = N_PLANES, seed: int = _LSH_SEED
+):
+    """Arrow-vectorized hyperplane signatures: one numpy matmul yields
+    all N_TABLES sign-bit strings per vector. Planes come from a seeded
+    PCG64 generator — bit-reproducible across runs and machines, no
+    stored model. Self-contained closure (unpickled by value on
+    workers; must not reference this package — see
+    functions/arrays.py:make_qcosine_udf).
+
+    At 100 TB the bucketing is one Arrow batch scan of the embedding
+    column: (batch x dim) @ (dim x tables*planes) BLAS, no shuffle.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def signatures(emb):
+        import numpy as np
+        import pandas as pd
+
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        planes = np.concatenate(
+            [
+                np.random.default_rng(seed + t).standard_normal(
+                    (n_planes, X.shape[1])
                 )
-                / 1000.0
-            )
-            for d in range(EMBEDDING_DIM)
-        ]
-        proj = terms[0]
-        for t in terms[1:]:
-            proj = proj + t
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+                for t in range(n_tables)
+            ]
+        )
+        bits = (X @ planes.T >= 0).astype(np.uint8) + ord("0")  # (n, T*P)
+        return pd.Series(
+            [
+                [
+                    row[t * n_planes : (t + 1) * n_planes].tobytes().decode()
+                    for t in range(n_tables)
+                ]
+                for row in bits
+            ]
+        )
+
+    return signatures
+
+
+def _hamming1_probes(sig, table: int):
+    """Bucket keys for one table: ``"t:sig"`` plus every 1-bit flip.
+    The table prefix keeps buckets disjoint across tables so all
+    N_TABLES indexes ride one equality join."""
+    prefix = F.lit(f"{table}:")
+    return [F.concat(prefix, sig)] + [
+        F.concat(
+            prefix,
+            F.substring(sig, 1, i),
+            F.when(F.substring(sig, i + 1, 1) == "1", "0").otherwise("1"),
+            F.substring(sig, i + 2, N_PLANES - i - 1),
+        )
+        for i in range(N_PLANES)
+    ]
 
 
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: random-hyperplane signature buckets the
-    corpus; each query searches only its own bucket plus single-bit
-    neighbors (multi-probe), exact cosine inside. The scale path when
-    no cluster structure (IVF cells) exists: shuffle is an equality
-    join on the signature. Rows-only driver check; recall contract in
+    """LSH-bucketed ANN: N_TABLES independent random-hyperplane
+    signatures bucket the corpus (OR-construction); each query probes,
+    per table, its own bucket plus all single-bit flips (multi-probe),
+    then exact cosine on the deduped candidate set. The scale path when
+    no cluster structure (IVF cells) exists: shuffle is one equality
+    join on the prefixed signature. Rows-only driver check; the
+    recall >= 0.7 and pruning contracts live in
     tests/test_similarity.py."""
     emb = load(spark, "embeddings", sf_dir)
-    # Guard the fixed-width plane projection: a vector of any other
-    # dimension would project to NULL (element_at past the end) and
-    # silently collapse every signature to all-zeros.
+    # Mixed dims within one Arrow batch would break np.stack; any real
+    # embedding table has a fixed dim, enforce it at the scan.
     emb = emb.filter(F.size("embedding") == EMBEDDING_DIM)
-    sig = emb.select(
-        "vec_id", "embedding", _hyperplane_bits(F.col("embedding"), "lsh").alias("sig")
-    )
-    # Multi-probe: each vector is indexed under its signature and every
-    # 1-bit flip of it (Hamming-1 probes), as an exploded bucket table.
-    probes = F.array(
-        F.col("sig"),
-        *[
-            F.concat(
-                F.substring("sig", 1, i),
-                F.when(F.substring("sig", i + 1, 1) == "1", "0").otherwise("1"),
-                F.substring("sig", i + 2, N_PLANES - i - 1),
-            )
-            for i in range(N_PLANES)
-        ],
-    )
-    q = (
-        sig.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            F.explode(probes).alias("bucket"),
-        )
-    )
+    sig = emb.withColumn("sigs", make_signature_udf()(F.col("embedding")))
+    # Corpus rows are indexed once per table; queries additionally fan
+    # out to the Hamming-1 probes of each table's signature.
     corpus = sig.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ne"),
-        F.col("sig").alias("bucket"),
+        F.explode(
+            F.transform(
+                "sigs", lambda s, i: F.concat(i.cast("string"), F.lit(":"), s)
+            )
+        ).alias("bucket"),
     )
-    # No dedup needed: the 7 probe strings are pairwise distinct and
-    # each corpus row carries exactly one sig, so the equality join
-    # yields at most one row per (query, neighbor) — a distinct() here
-    # would shuffle the wide embedding arrays for nothing.
+    q = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.explode(
+            F.array(
+                *[
+                    p
+                    for t in range(N_TABLES)
+                    for p in _hamming1_probes(F.element_at("sigs", t + 1), t)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    # A (query, neighbor) pair can collide in several tables (that IS
+    # the OR-construction), so dedup before the exact kernel. The
+    # group-by shuffles wide rows, but only O(candidates) of them —
+    # exactly the set the exact cosine must touch anyway.
     candidates = (
         F.broadcast(q)
         .join(corpus, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qe", "neighbor_id", "ne")
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("qe").alias("qe"), F.first("ne").alias("ne"))
     )
     return _rank_topk(candidates)
 

@@ -37,11 +37,63 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     }
     hits = set(bf) & set(lsh)
     recall = len(hits) / len(bf)
-    # Random-hyperplane ANN on a near-random corpus: partial recall by
-    # design; the floor guards against a broken bucket/probe path.
-    assert recall >= 0.15, f"LSH recall collapsed: {recall}"
+    # 4-table OR-construction + Hamming-1 multi-probe: ~0.8 expected
+    # on this near-orthogonal corpus; 0.7 is the production-shaped bar.
+    assert recall >= 0.7, f"LSH recall below contract: {recall}"
     for k in hits:
         assert bf[k] == lsh[k]
+
+
+def test_lsh_pruning_ratio(spark, sf_dir):
+    """The OR-construction must still PRUNE: the deduped candidate set
+    per query has to stay well under the full corpus, or the index is
+    just a slow brute force."""
+    from pyspark.sql import functions as F
+
+    from real_time_streaming_system_with_apache_kafka_spark.operators.similarity import (
+        EMBEDDING_DIM,
+        N_QUERIES,
+        N_TABLES,
+        _hamming1_probes,
+        make_signature_udf,
+    )
+    from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
+
+    emb = load(spark, "embeddings", sf_dir).filter(
+        F.size("embedding") == EMBEDDING_DIM
+    )
+    n_corpus = emb.count()
+    sig = emb.withColumn("sigs", make_signature_udf()(F.col("embedding")))
+    corpus = sig.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(
+            F.transform(
+                "sigs", lambda s, i: F.concat(i.cast("string"), F.lit(":"), s)
+            )
+        ).alias("bucket"),
+    )
+    q = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    p
+                    for t in range(N_TABLES)
+                    for p in _hamming1_probes(F.element_at("sigs", t + 1), t)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    n_candidates = (
+        q.join(corpus, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .count()
+    )
+    ratio = n_candidates / (N_QUERIES * n_corpus)
+    print(f"LSH pruning ratio: {ratio:.3f} ({n_candidates} candidates)")
+    assert ratio < 0.6, f"LSH index stopped pruning: {ratio}"
 
 
 def test_centroids_shape(spark, sf_dir):
