@@ -54,4 +54,8 @@ def pin_session_defaults(spark: SparkSession) -> SparkSession:
     # The events table stores TIMESTAMP(NANOS) which the vectorized
     # parquet reader rejects; read it as long and convert in the loader.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Timestamp parity is meaningless if the pin silently failed (e.g. a
+    # future Spark makes the conf static): fail loudly, not with a
+    # hash mismatch three layers up.
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     return spark
