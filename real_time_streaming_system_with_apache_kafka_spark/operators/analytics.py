@@ -133,6 +133,65 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 proper: the 6-table join with the correlated
+    customer-nation = supplier-nation equality. Both facts shuffle once
+    on l_orderkey/o_orderkey; every dimension (supplier, customer,
+    nation, region) broadcasts, and the c_nationkey = s_nationkey
+    correlation rides the customer join as a residual condition — no
+    extra shuffle at any scale."""
+    region = load(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    nations = (
+        load(spark, "nation", sf_dir)
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supp = load(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    cust = load(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    orders = load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load(spark, "lineitem", sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nations), supp.s_nationkey == nations.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue_dec().cast("decimal(38,6)")).cast("double").alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer in
+    one quarter, top 20. Fact-to-fact shuffle join + broadcast
+    customer/nation dims + TakeOrderedAndProject."""
+    li = load(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    orders = load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    cust = load(spark, "customer", sf_dir)
+    nation = load(spark, "nation", sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(revenue_dec().cast("decimal(38,6)")).cast("double").alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct (HLL++) and quantiles (variant of KLL/
     t-digest) — the interactive-latency path at 100 TB. Rows-only
@@ -152,6 +211,8 @@ QUERIES = {
     "pivot_status_by_day": pivot_status_by_day,
     "sessionize_events": sessionize_events,
     "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q10_returned_items": q10_returned_items,
     "approx_aggregates": approx_aggregates,
 }
 
@@ -223,6 +284,33 @@ ORACLES = {
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10
+    """,
+    "q5_local_supplier_volume": f"""
+        SELECT n_name, {ORACLE_REVENUE_SUM} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= timestamp '1996-01-01'
+          AND o_orderdate < timestamp '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    "q10_returned_items": f"""
+        SELECT c_custkey, c_name, n_name, {ORACLE_REVENUE_SUM} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= timestamp '1996-01-01'
+          AND o_orderdate < timestamp '1996-04-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
     """,
     # approx_aggregates: rows-only (sketches are engine-specific).
 }

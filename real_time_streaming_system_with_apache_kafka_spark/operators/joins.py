@@ -160,6 +160,30 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j6_outer_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: left-outer dim->fact with null-group semantics — every
+    customer with order count and spend, zero-filled for order-less
+    customers. Both sides shuffle once on the key and the aggregation
+    reuses that partitioning (no second exchange); the preserved side
+    of an outer join can't broadcast, so this is the honest at-scale
+    plan."""
+    cust = load(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    orders = load(spark, "orders", sf_dir).select("o_custkey", "o_orderkey", "o_totalprice")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")),
+                F.lit(0).cast("decimal(38,6)"),
+            )
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
 def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION (distinct) of two overlapping event selections."""
     ev = load(spark, "events", sf_dir)
@@ -192,6 +216,7 @@ QUERIES = {
     "j3_anti_join": j3_anti_join,
     "j4_range_join": j4_range_join,
     "j5_topk_per_group": j5_topk_per_group,
+    "j6_outer_join_coverage": j6_outer_join_coverage,
     "wf_lag_lead_running": wf_lag_lead_running,
     "asof_join_events": asof_join_events,
     "setop_union_distinct": setop_union_distinct,
@@ -247,6 +272,15 @@ ORACLES = {
             FROM lineitem
         )
         WHERE rank <= 3
+    """,
+    "j6_outer_join_coverage": """
+        SELECT c_custkey, c_name,
+               count(o_orderkey) AS n_orders,
+               cast(coalesce(sum(cast(o_totalprice AS decimal(38,6))),
+                             0) AS double) AS total_spent
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
     """,
     "wf_lag_lead_running": """
         SELECT user_id, event_id, ts, value,

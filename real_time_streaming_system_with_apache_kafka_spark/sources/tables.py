@@ -24,9 +24,11 @@ def load(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame
     pin_session_defaults(spark)
     sf_dir = sf_dir or DEFAULT_SF_DIR
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), surfaced as epoch-nanos
-        # long (see pin_session_defaults). Integer division keeps the
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # The driver's events.ts is parquet TIMESTAMP(NANOS), surfaced
+        # as epoch-nanos long (see pin_session_defaults); re-derived
+        # copies (e.g. the sf1 soak replica) already carry a true
+        # timestamp, hence the dtype gate. Integer division keeps the
         # microsecond value exact (double division would lose precision
         # above 2^53 ns).
         from pyspark.sql import functions as F

@@ -31,6 +31,26 @@ def test_star_join_broadcasts_dimensions(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(o_orderdate)" in plan or "GreaterThanOrEqual(o_orderdate" in plan
 
 
+def test_q5_broadcasts_all_dims_single_fact_shuffle(spark, sf_dir):
+    """TPC-H Q5: supplier/customer/nation/region all broadcast; the
+    only exchanges are the fact-fact join and the final agg."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import analytics
+
+    plan = _plan(analytics.q5_local_supplier_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # supp, cust, nation(+region folded)
+    # The correlated c_nationkey = s_nationkey must ride a join, not a
+    # post-join filter over a cross product.
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q10_take_ordered_no_global_sort(spark, sf_dir):
+    from real_time_streaming_system_with_apache_kafka_spark.operators import analytics
+
+    plan = _plan(analytics.q10_returned_items(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan and "l_returnflag" in plan  # filter reaches scan
+
+
 def test_topk_uses_take_ordered(spark, sf_dir):
     plan = _plan(relational.q0_snapshot_topk(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT
