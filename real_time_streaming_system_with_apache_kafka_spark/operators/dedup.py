@@ -340,12 +340,87 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CC_MAX_ITERS = 12  # pointer jumping: components of diameter <= 2^12
+
+
+def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters -> canonical survivors: connected components
+    over the exact-Jaccard pair graph, each component labeled by its
+    minimum doc_id, every document mapped to its component with an
+    ``is_survivor`` flag (the pipeline step that turns pairwise dedup
+    output into a keep/drop decision).
+
+    Spark-first iterative algorithm (the shape GraphFrames CC uses):
+    min-label propagation with pointer jumping, so convergence takes
+    O(log diameter) rounds, not O(diameter). Per round: one join to
+    pull neighbor labels, one self-join to jump ``label -> label's
+    label``, and a scalar count for the convergence test — the ONLY
+    thing that ever reaches the driver. ``localCheckpoint`` truncates
+    the growing lineage each round (at scale: checkpoint to durable
+    storage instead).
+    """
+    docs = load(spark, "documents", sf_dir)
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("label").alias("nbr_label")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("nbr_label").alias("nbr_label"))
+        )
+        stepped = labels.join(nbr_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # Pointer jumping: label <- label(label); halves path lengths.
+        jumped = (
+            stepped.alias("s")
+            .join(
+                stepped.select(
+                    F.col("doc_id").alias("l_id"), F.col("label").alias("l_label")
+                ),
+                F.col("s.label") == F.col("l_id"),
+                "left",
+            )
+            .select(
+                F.col("s.doc_id").alias("doc_id"),
+                F.coalesce("l_label", "s.label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("component"),
+        (F.col("doc_id") == F.col("label")).alias("is_survivor"),
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_cc_survivors": dedup_cc_survivors,
 }
 
 _ORACLE_SIG = f"""
@@ -357,14 +432,10 @@ _ORACLE_SIG = f"""
           FROM ({_ORACLE_SHINGLES}))
 """
 
-ORACLES = {
-    "dedup_exact": """
-        SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies,
-               md5(text) AS content_hash
-        FROM documents GROUP BY md5(text)
-    """,
-    "dedup_ngram_jaccard": f"""
-        WITH sh AS (
+# Shared CTE chain: exact-Jaccard candidate pairs (used by the pair
+# query and as the edge set of the connected-components oracle).
+_ORACLE_JACCARD_CTES = f"""
+        sh AS (
             SELECT doc_id, unnest(list_distinct(shingles)) AS shingle
             FROM ({_ORACLE_SHINGLES})
         ),
@@ -374,13 +445,48 @@ ORACLES = {
             FROM sh a JOIN sh b
               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2
+        ),
+        jp AS (
+            SELECT doc_a, doc_b,
+                   n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
         )
-        SELECT doc_a, doc_b,
-               n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
-        FROM common
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies,
+               md5(text) AS content_hash
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_ORACLE_JACCARD_CTES}
+        SELECT doc_a, doc_b, jaccard FROM jp
+    """,
+    "dedup_cc_survivors": f"""
+        WITH RECURSIVE {_ORACLE_JACCARD_CTES},
+        edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM jp
+            UNION ALL
+            SELECT doc_b, doc_a FROM jp
+        ),
+        reach(n, m) AS (
+            SELECT s, d FROM edges
+            UNION
+            SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+            WHERE e.d <> r.n
+        ),
+        comp AS (
+            SELECT n AS doc_id, least(n, min(m)) AS component
+            FROM reach GROUP BY n
+        )
+        SELECT d.doc_id,
+               coalesce(c.component, d.doc_id) AS component,
+               coalesce(c.component, d.doc_id) = d.doc_id AS is_survivor
+        FROM documents d LEFT JOIN comp c USING (doc_id)
     """,
     "dedup_minhash_lsh": f"""
         WITH sig AS ({_ORACLE_SIG}),
