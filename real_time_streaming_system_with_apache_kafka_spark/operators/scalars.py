@@ -137,6 +137,29 @@ def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface (extension — SURVEY §2.8 notes the reference
+    has none): build a map<string,string> per event, then keys/values/
+    lookup/cardinality/membership. Output columns are map-DERIVED flat
+    types only: engines disagree on how a raw map column surfaces to
+    clients (DuckDB returns a key/value struct-of-lists), so the map
+    itself stays inside the plan."""
+    ev = load(spark, "events", sf_dir)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("k"), F.get_json_object("props", "$.k"),
+        F.lit("bucket"), F.when(F.col("value") > 500, "hi").otherwise("lo"),
+    )
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("mk"),
+        F.map_values(m).alias("mv"),
+        F.element_at(m, F.lit("bucket")).alias("bucket"),
+        F.size(m).alias("n_entries"),
+        F.map_contains_key(m, F.lit("k")).alias("has_k"),
+    )
+
+
 QUERIES = {
     "f_string_funcs": f_string_funcs,
     "f_hash_id": f_hash_id,
@@ -146,6 +169,7 @@ QUERIES = {
     "f_rounding_math": f_rounding_math,
     "f_conditional": f_conditional,
     "f_json_extract": f_json_extract,
+    "f_map_funcs": f_map_funcs,
 }
 
 ORACLES = {
@@ -215,5 +239,22 @@ ORACLES = {
                cast(json_extract_string(props, '$.k') AS int) AS prop_k,
                cast(json_extract_string(props, '$.k') AS int) % 10 AS prop_k_mod10
         FROM events
+    """,
+    "f_map_funcs": """
+        WITH mapped AS (
+            SELECT event_id,
+                   map(['type', 'k', 'bucket'],
+                       [event_type,
+                        json_extract_string(props, '$.k'),
+                        CASE WHEN value > 500 THEN 'hi' ELSE 'lo' END]) AS m
+            FROM events
+        )
+        SELECT event_id,
+               map_keys(m) AS mk,
+               map_values(m) AS mv,
+               m['bucket'][1] AS bucket,  -- map extraction yields a 1-elem list
+               cast(cardinality(m) AS int) AS n_entries,
+               list_contains(map_keys(m), 'k') AS has_k
+        FROM mapped
     """,
 }
