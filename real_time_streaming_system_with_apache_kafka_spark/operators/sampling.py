@@ -1,0 +1,107 @@
+"""Deterministic sampling / dataset-splitting operators.
+
+A training-data pipeline needs reproducible sampling: the same row
+must land in the same split on every run, every engine, every cluster
+size — which rules out ``rand()`` (task-order dependent) and engine
+hash functions (xxhash64 has no DuckDB twin). The portable primitive
+is md5 over a tagged key: uniform, seedable via the tag, and
+bit-identical everywhere. The first 6 hex chars give 24 uniform bits
+— plenty for percentage buckets.
+
+All three operators are pure per-row projections or standard
+aggregations: scan-parallel at any scale, no shuffle beyond the
+final aggregation where one exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
+
+HOLDOUT_PCT = 10
+SAMPLE_PCT = 10
+
+
+def _hash_bucket(key, tag: str):
+    """Uniform bucket 0..99 from md5 over a tagged key — deterministic
+    across engines/runs/partitionings (unlike rand() or xxhash64)."""
+    h6 = F.substring(F.md5(F.concat_ws("#", F.lit(tag), key)), 1, 6)
+    return F.pmod(F.conv(h6, 16, 10).cast("bigint"), F.lit(100))
+
+
+def _oracle_bucket(key: str, tag: str) -> str:
+    return (
+        f"cast(concat('0x', substr(md5('{tag}' || '#' || "
+        f"cast({key} AS varchar)), 1, 6)) AS bigint) % 100"
+    )
+
+
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/holdout split of the document corpus: every
+    doc maps to a stable bucket; bucket >= 90 is the holdout. Changing
+    the tag re-rolls the split; adding documents never reassigns
+    existing ones (the property a growing corpus needs)."""
+    docs = load(spark, "documents", sf_dir)
+    bucket = _hash_bucket(F.col("doc_id"), "split_v1")
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket >= 100 - HOLDOUT_PCT, "holdout")
+        .otherwise("train")
+        .alias("split"),
+    )
+
+
+def sample_events_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% Bernoulli sample of events — the debug/dev
+    subset that is the SAME subset on every engine and run."""
+    ev = load(spark, "events", sf_dir)
+    return ev.filter(
+        _hash_bucket(F.col("event_id"), "sample_v1") < SAMPLE_PCT
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+def agg_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via the explicit two-phase shape:
+    dedup on (type, user) first — map-side combine collapses each
+    partition's duplicates before the shuffle — then count per type.
+    This is what COUNT(DISTINCT) must become at 100 TB (and what
+    Catalyst rewrites it to); spelled out so the intermediate is
+    available for reuse (e.g. a distinct-users materialization)."""
+    ev = load(spark, "events", sf_dir)
+    per_user = ev.select("event_type", "user_id").distinct()
+    return (
+        per_user.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "split_train_holdout": split_train_holdout,
+    "sample_events_deterministic": sample_events_deterministic,
+    "agg_distinct_twophase": agg_distinct_twophase,
+}
+
+ORACLES = {
+    "split_train_holdout": f"""
+        SELECT doc_id,
+               {_oracle_bucket('doc_id', 'split_v1')} AS bucket,
+               CASE WHEN {_oracle_bucket('doc_id', 'split_v1')} >= {100 - HOLDOUT_PCT}
+                    THEN 'holdout' ELSE 'train' END AS split
+        FROM documents
+    """,
+    "sample_events_deterministic": f"""
+        SELECT event_id, user_id, event_type, value
+        FROM events
+        WHERE {_oracle_bucket('event_id', 'sample_v1')} < {SAMPLE_PCT}
+    """,
+    "agg_distinct_twophase": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+}
