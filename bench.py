@@ -63,11 +63,17 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Best of 2 runs per query: this box also hosts the driver's
+    # periodic jobs, and a transient load spike can inflate a single
+    # measurement 3-5x (observed); min-over-reps reports steady state.
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.monotonic()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.monotonic() - t0)
+        times[name] = round(best, 3)
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
