@@ -341,14 +341,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CC_MAX_ITERS = 12  # pointer jumping: components of diameter <= 2^12
+# Edge qualification: >= half the minhash signature must agree —
+# est_jaccard >= 0.5 mirrors JACCARD_THRESHOLD on the scale path.
+CC_EDGE_EST = 0.5
 
 
 def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters -> canonical survivors: connected components
-    over the exact-Jaccard pair graph, each component labeled by its
-    minimum doc_id, every document mapped to its component with an
-    ``is_survivor`` flag (the pipeline step that turns pairwise dedup
-    output into a keep/drop decision).
+    over the MinHash-LSH candidate pairs (the O(docs) scale path — at
+    100 TB there IS no exact pair set to cluster), each component
+    labeled by its minimum doc_id, every document mapped to its
+    component with an ``is_survivor`` flag (the pipeline step that
+    turns pairwise dedup output into a keep/drop decision).
 
     Spark-first iterative algorithm (the shape GraphFrames CC uses):
     min-label propagation with pointer jumping, so convergence takes
@@ -360,10 +364,20 @@ def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage instead).
     """
     docs = load(spark, "documents", sf_dir)
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst")
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= CC_EDGE_EST)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .toDF("src", "dst")
+        # Materialize ONCE: every iteration's action would otherwise
+        # re-run the whole LSH banding join that produced the edges.
+        .localCheckpoint(eager=True)
+    )
     labels = docs.select("doc_id", F.col("doc_id").alias("label"))
     for _ in range(CC_MAX_ITERS):
         nbr_min = (
@@ -467,7 +481,23 @@ ORACLES = {
         SELECT doc_a, doc_b, jaccard FROM jp
     """,
     "dedup_cc_survivors": f"""
-        WITH RECURSIVE {_ORACLE_JACCARD_CTES},
+        WITH RECURSIVE sig AS ({_ORACLE_SIG}),
+        bands AS (
+            SELECT doc_id, sig, b AS band,
+                   sig[b * {BAND_ROWS} + 1] || '|' || sig[b * {BAND_ROWS} + 2] AS key
+            FROM sig, (SELECT unnest(range(0, {N_HASHES // BAND_ROWS})) AS b)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            a.sig AS sig_a, b.sig AS sig_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        jp AS (
+            SELECT doc_a, doc_b FROM cand
+            WHERE len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2]))
+                      / {float(N_HASHES)} >= {CC_EDGE_EST}
+        ),
         edges AS (
             SELECT doc_a AS s, doc_b AS d FROM jp
             UNION ALL
