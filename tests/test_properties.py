@@ -71,3 +71,31 @@ def test_cosine_range(spark, a, b):
     df = spark.createDataFrame([(a, b)], "a array<float>, b array<float>")
     row = df.select(arrays.cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]
     assert -1.0 - 1e-6 <= row["c"] <= 1.0 + 1e-6
+
+
+def test_quantized_kernel_matches_decimal_referee(spark):
+    """The hot-path quantized cosine must stay within the 7dp
+    quantization error bound of the exact-decimal referee kernel
+    (independent implementations: numpy integer GEMM vs Catalyst
+    decimal(18,15) higher-order lambdas)."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260813)
+    rows = [
+        (rng.uniform(-0.6, 0.6, 64).astype("float32").tolist(),
+         rng.uniform(-0.6, 0.6, 64).astype("float32").tolist())
+        for _ in range(50)
+    ]
+    df = spark.createDataFrame(rows, "a array<float>, b array<float>")
+    ref = F.round(
+        arrays.dot(F.col("a"), F.col("b"))
+        / (arrays.norm(F.col("a")) * arrays.norm(F.col("b"))),
+        9,
+    )
+    got = df.select(
+        arrays.cosine(F.col("a"), F.col("b")).alias("q"), ref.alias("r")
+    ).collect()
+    # 7dp element quantization on 64 dims perturbs the cosine by
+    # O(1e-7/|v|); the fixture norms are ~2.8, so 1e-6 is generous.
+    for r in got:
+        assert abs(r["q"] - r["r"]) < 1e-6, (r["q"], r["r"])
