@@ -51,6 +51,27 @@ def test_q10_take_ordered_no_global_sort(spark, sf_dir):
     assert "PushedFilters" in plan and "l_returnflag" in plan  # filter reaches scan
 
 
+def test_resample_spine_no_cartesian(spark, sf_dir):
+    """The time spine must come from per-group sequence+explode, never
+    a calendar cross join against the fact table."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import timeseries
+
+    plan = _plan(timeseries.ts_resample_locf(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_deterministic_sample_is_scan_side_filter(spark, sf_dir):
+    """The md5-bucket sample is a pure per-row filter — one scan, no
+    shuffle, no join."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import sampling
+
+    plan = _plan(sampling.sample_events_deterministic(spark, sf_dir))
+    assert "Exchange" not in plan  # no shuffle anywhere
+    assert "Join" not in plan
+
+
 def test_topk_uses_take_ordered(spark, sf_dir):
     plan = _plan(relational.q0_snapshot_topk(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT
