@@ -201,17 +201,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash buckets: bit j is the sign of sum over words of
-    (+1 if hex digit j of md5(word) >= '8' else -1) — string-only bit
-    extraction so every engine agrees. Groups with >1 doc are near-dup
-    buckets."""
-    docs = load(spark, "documents", sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash of a text column: bit j is the sign of sum over
+    distinct words of (+1 if hex digit j of md5(word) >= '8' else -1)
+    — string-only bit extraction so every engine agrees. A pure
+    per-row expression, equally valid in a batch or streaming plan."""
+    words = F.split(text, " ")
     # Hash every word ONCE, then derive all 16 bits from the cached hex
     # digits — hashing inside each per-bit loop would md5 each word 16x.
-    hashes = F.transform(F.array_distinct(_words()), lambda w: F.md5(w))
+    hashes = F.transform(F.array_distinct(words), lambda w: F.md5(w))
 
     def bit_contrib(j: int):
         # Closure (not default-arg) so F.transform sees a unary lambda.
@@ -225,9 +223,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(hashes, bit_contrib(j)), F.lit(0), lambda acc, v: acc + v
         )
         bits.append(F.when(tally >= 0, F.lit("1")).otherwise(F.lit("0")))
-    sim = F.concat(*bits)
+    return F.concat(*bits)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash buckets over the corpus; groups with >1 doc are
+    near-dup buckets."""
+    docs = load(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return (
-        docs.select("doc_id", sim.alias("simhash"))
+        docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
     )

@@ -1,0 +1,82 @@
+"""Streaming document dedup: online exact + near-dup filtering with
+the batch operators as the correctness oracle."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_streaming_system_with_apache_kafka_spark.operators.dedup import simhash16
+from real_time_streaming_system_with_apache_kafka_spark.streaming import docdedup, sinks
+
+
+@pytest.fixture(scope="module")
+def doc_stream_dir(spark, tmp_path_factory):
+    """A document feed with exact re-submissions and unrelated docs,
+    split across files so the stream sees multiple batches."""
+    path = tmp_path_factory.mktemp("docs")
+    base = [
+        (i, f"document number {i} talks about topic {i % 7} in detail", f"2026-01-05T10:{i % 60:02d}:00")
+        for i in range(60)
+    ]
+    # Exact duplicates: every 5th doc re-submitted a minute later.
+    dups = [
+        (100 + i, base[i][1], f"2026-01-05T10:{(i % 60) + 1 if (i % 60) < 59 else 59:02d}:30")
+        for i in range(0, 60, 5)
+    ]
+    rows = [json.dumps({"doc_id": d, "text": t, "ingest_ts": ts}) for d, t, ts in base + dups]
+    for chunk in range(3):
+        with open(path / f"part-{chunk}.json", "w") as f:
+            f.write("\n".join(rows[chunk::3]) + "\n")
+    return str(path), len(base), len(dups)
+
+
+def _drain(df, name):
+    q = sinks.start_memory_sink(df, name, output_mode="append")
+    q.processAllAvailable()
+    q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_exact_doc_dedup(spark, doc_stream_dir):
+    path, n_base, n_dups = doc_stream_dir
+    stream = docdedup.read_document_stream_from_json_dir(spark, path)
+    out = _drain(docdedup.filter_exact_duplicates(stream), "doc_exact")
+    # One survivor per distinct text; all texts distinct within base.
+    assert out.count() == n_base
+    assert out.select("text").distinct().count() == n_base
+
+
+def test_streaming_near_dup_matches_batch_buckets(spark, doc_stream_dir):
+    path, n_base, n_dups = doc_stream_dir
+    stream = docdedup.read_document_stream_from_json_dir(spark, path)
+    out = _drain(docdedup.filter_near_duplicates(stream), "doc_near")
+    # Batch oracle: number of survivors == number of distinct simhash
+    # buckets over the same corpus.
+    batch = (
+        spark.read.text(path)
+        .select(F.from_json("value", docdedup.DOC_WIRE_SCHEMA).alias("d"))
+        .select("d.*")
+    )
+    n_buckets = (
+        batch.select(simhash16(F.col("text")).alias("s")).distinct().count()
+    )
+    assert out.count() == n_buckets
+    assert out.select("simhash").distinct().count() == n_buckets
+
+
+def test_malformed_doc_lines_skipped(spark, tmp_path):
+    lines = [
+        "not json",
+        '{"doc_id": 1}',  # no text
+        json.dumps({"doc_id": 2, "text": "ok doc", "ingest_ts": "2026-01-05T10:00:00"}),
+    ]
+    p = tmp_path / "docs"
+    p.mkdir()
+    (p / "f.json").write_text("\n".join(lines) + "\n")
+    stream = docdedup.read_document_stream_from_json_dir(spark, str(p))
+    out = _drain(docdedup.filter_exact_duplicates(stream), "doc_malformed")
+    assert out.count() == 1
+    assert out.first()["doc_id"] == 2

@@ -1,9 +1,10 @@
-"""sf1 scale soak (VERDICT r1 #3).
+"""Scale soak (VERDICT r1 #3, extended): sf0.1 -> sf1 -> sf10.
 
-Materializes a 10x replica of /root/testdata/sf0.1 (~6M lineitem rows)
-under .scale/sf1, runs the bench headline set there, and reports
-per-query sf1/sf0.1 runtime ratios. A ratio near 10 is linear scaling;
-well above ~15 flags a plan that would not survive 100x.
+Materializes key-striped replicas of /root/testdata/sf0.1 (10x under
+.scale/sf1, 100x under .scale/sf10 — 60M lineitem rows), runs the
+bench headline set at each scale, and reports per-query runtime ratios
+between consecutive decades. A ratio near 10 is linear scaling; well
+above ~15 flags a plan that would not survive 100x.
 
 Replication model (one replica = one key-space stripe):
 
@@ -17,13 +18,15 @@ Replication model (one replica = one key-space stripe):
   quantizer behaves when the corpus grows (more cells, same cell
   occupancy). vec_id 0..4 (the demo query vectors) exist only in
   stripe 0, as in a real query workload.
-- documents are replicated byte-identical: duplicate-group size grows
-  10x by construction, which is a *harder* (and realistic, common-
-  crawl-like) dedup workload; minhash pair OUTPUT therefore grows
-  ~quadratically in group size by data design, not by plan defect —
-  its wall-clock is reported but judged against that expectation.
+- documents in stripe r>0 get every word suffixed with ``_r<r>`` — a
+  per-replica VOCABULARY BIJECTION. Within-stripe shingle overlap
+  (and therefore Jaccard/minhash dup-group structure) is preserved
+  exactly; cross-stripe overlap drops to zero. Without this,
+  byte-identical replicas form dup groups whose size grows with the
+  replica count and the pair OUTPUT grows quadratically by data
+  construction, which would masquerade as super-linear operator cost.
 
-Usage: python tools/scale_soak.py [--skip-generate]
+Usage: python tools/scale_soak.py [--skip-generate] [--scales 1,10]
 Writes SOAK_r2.json at the repo root.
 """
 
@@ -46,12 +49,9 @@ from real_time_streaming_system_with_apache_kafka_spark.sources.tables import lo
 from bench import HEADLINE  # noqa: E402
 
 SRC_SF = "/root/testdata/sf0.1"
-DST_SF = os.path.join(REPO, ".scale", "sf1")
-N_REPLICAS = 10
 STRIDE = 100_000_000  # far above any base key
 LABEL_STRIDE = 1_000
 
-# table -> (bigint key columns to stripe, int label-ish columns to stripe)
 KEYED = {
     "customer": ["c_custkey"],
     "supplier": ["s_suppkey"],
@@ -63,18 +63,18 @@ KEYED = {
     "embeddings": ["vec_id"],
 }
 COPY_AS_IS = ["region", "nation"]
-# Output partitions sized to keep files ~10-60 MB at this volume.
+# Output partitions per 10 replicas, sized for ~10-60 MB files.
 PARTITIONS = {"lineitem": 16, "orders": 8, "events": 8}
 
 
-def generate(spark) -> None:
-    os.makedirs(DST_SF, exist_ok=True)
+def generate(spark, n_replicas: int, dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
     for t in COPY_AS_IS:
         shutil.copyfile(
-            os.path.join(SRC_SF, f"{t}.parquet"), os.path.join(DST_SF, f"{t}.parquet")
+            os.path.join(SRC_SF, f"{t}.parquet"), os.path.join(dst, f"{t}.parquet")
         )
-        print(f"  {t}: copied (SF-invariant)")
-    reps = F.explode(F.sequence(F.lit(0), F.lit(N_REPLICAS - 1))).alias("rep")
+        print(f"  {t}: copied (SF-invariant)", flush=True)
+    reps = F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1))).alias("rep")
     for t, keys in KEYED.items():
         df = load(spark, t, SRC_SF).select("*", reps)
         for k in keys:
@@ -83,20 +83,33 @@ def generate(spark) -> None:
             df = df.withColumn(
                 "label", F.col("label") + F.col("rep") * F.lit(LABEL_STRIDE)
             )
-        df = df.drop("rep").repartition(PARTITIONS.get(t, 4))
-        out = os.path.join(DST_SF, f"{t}.parquet")
+        if t == "documents":
+            # Vocabulary bijection per stripe (see module docstring);
+            # stripe 0 stays byte-identical to the source.
+            suffix = F.concat(F.lit("_r"), F.col("rep").cast("string"))
+            df = df.withColumn(
+                "text",
+                F.when(F.col("rep") == 0, F.col("text")).otherwise(
+                    F.concat(
+                        F.regexp_replace(
+                            "text", " ", F.concat(suffix, F.lit(" "))
+                        ),
+                        suffix,
+                    )
+                ),
+            )
+        parts = PARTITIONS.get(t, 4) * max(1, n_replicas // 10)
+        df = df.drop("rep").repartition(parts)
+        out = os.path.join(dst, f"{t}.parquet")
         tmp = out + ".dir"
         df.write.mode("overwrite").parquet(tmp)
-        # The loaders accept a directory, but keep the flat single-file
-        # layout only for the tiny tables; facts stay multi-file dirs
-        # (that IS the at-scale layout).
         if os.path.isfile(out):
             os.remove(out)
         if os.path.isdir(out):
             shutil.rmtree(out)
         os.rename(tmp, out)
         n = spark.read.parquet(out).count()
-        print(f"  {t}: {n} rows")
+        print(f"  {t}: {n} rows", flush=True)
 
 
 def run_bench(spark, sf_dir: str) -> dict[str, float]:
@@ -113,26 +126,33 @@ def run_bench(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
+    scales = [1, 10]
+    for arg in sys.argv[1:]:
+        if arg.startswith("--scales"):
+            scales = [int(s) for s in arg.split("=", 1)[1].split(",")]
     spark = get_session("rtss_soak")
-    if "--skip-generate" not in sys.argv:
-        print("generating sf1 ...")
-        generate(spark)
-    print("bench @ sf0.1 ...")
-    t01 = run_bench(spark, SRC_SF)
-    print("bench @ sf1 ...")
-    t1 = run_bench(spark, DST_SF)
-    ratios = {
-        k: (round(t1[k] / t01[k], 2) if t01[k] > 0 else None) for k in t1
-    }
-    report = {
-        "metric": "sf1_soak",
-        "sf0_1_total_sec": round(sum(t01.values()), 3),
-        "sf1_total_sec": round(sum(t1.values()), 3),
-        "queries_sf0_1": t01,
-        "queries_sf1": t1,
-        "ratio_sf1_over_sf0_1": ratios,
-        "replicas": N_REPLICAS,
-    }
+    dirs = {0.1: SRC_SF}
+    for s in scales:
+        dst = os.path.join(REPO, ".scale", f"sf{s}")
+        dirs[float(s)] = dst
+        if "--skip-generate" not in sys.argv:
+            print(f"generating sf{s} ({s * 10} replicas) ...", flush=True)
+            generate(spark, s * 10, dst)
+    results = {}
+    for sf, d in sorted(dirs.items()):
+        print(f"bench @ sf{sf} ...", flush=True)
+        results[sf] = run_bench(spark, d)
+    sfs = sorted(results)
+    report = {"metric": "scale_soak", "scales": sfs}
+    for sf in sfs:
+        report[f"sf{sf}_total_sec"] = round(sum(results[sf].values()), 3)
+        report[f"queries_sf{sf}"] = results[sf]
+    for lo, hi in zip(sfs, sfs[1:]):
+        report[f"ratio_sf{hi}_over_sf{lo}"] = {
+            k: round(results[hi][k] / results[lo][k], 2)
+            for k in results[hi]
+            if results[lo][k] > 0
+        }
     with open(os.path.join(REPO, "SOAK_r2.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report))
