@@ -45,6 +45,9 @@ HEADLINE = [
     "agg_grouping_sets",
     "wf_rank_family",
     "text_langid",
+    # Round-2 TPC-H batch: the scan-only and agg-then-join extremes.
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
 ]
 
 

@@ -82,3 +82,64 @@ def test_projection_prunes_scan(spark, sf_dir):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_extendedprice" in read_schema
     assert "l_shipdate" not in read_schema  # unused columns pruned
+
+
+def test_q6_is_pure_scan_aggregate(spark, sf_dir):
+    """Q6 must compile to scan -> partial agg -> single-row final agg:
+    no join operator of any kind, and every predicate pushed to the
+    parquet reader."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import tpch
+
+    plan = _plan(tpch.q6_forecast_revenue(spark, sf_dir))
+    assert "Join" not in plan
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan
+    assert "LessThan(l_quantity,24" in plan
+
+
+def test_q14_single_broadcast_join(spark, sf_dir):
+    from real_time_streaming_system_with_apache_kafka_spark.operators import tpch
+
+    plan = _plan(tpch.q14_promo_effect(spark, sf_dir))
+    # Tree form counts each operator once (details repeat the name).
+    assert plan.count("BroadcastHashJoin Inner") == 1  # part is the only join
+    assert "GreaterThanOrEqual(l_shipdate,1996-09-01" in plan
+
+
+def test_q15_scalar_subquery_broadcasts(spark, sf_dir):
+    """The max-revenue scalar must arrive as a broadcast one-row build
+    side, never a nested-loop or cartesian comparison."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import tpch
+
+    plan = _plan(tpch.q15_top_supplier(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2  # max scalar + supplier dim
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q17_brand_filter_reaches_both_scans(spark, sf_dir):
+    """The decorrelated per-part average must broadcast back, and the
+    brand filter must prune the part scan (the lineitem side is pruned
+    through the broadcast join, not a scan filter)."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import tpch
+
+    plan = _plan(tpch.q17_small_qty_revenue(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "EqualTo(p_brand,Brand#23)" in plan
+
+
+def test_q18_having_then_topk(spark, sf_dir):
+    """The HAVING aggregate runs before any join, and the final order/
+    limit is TakeOrderedAndProject, not a global sort."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import tpch
+
+    plan = _plan(tpch.q18_large_volume_customer(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_compiles_to_semi_join(spark, sf_dir):
+    from real_time_streaming_system_with_apache_kafka_spark.operators import tpch
+
+    plan = _plan(tpch.q4_order_priority(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "EqualTo(l_returnflag,R)" in plan  # pushed to the lineitem scan
