@@ -123,7 +123,54 @@ def text_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: quality gates -> fingerprint dedup ->
+    curated manifest. This is the composition a training-data job
+    actually runs, wired from the same expressions as the individual
+    operators above so the pieces and the pipeline agree by definition.
+
+    Scale shape: the quality gates are scan-side filters, so the only
+    shuffle (the fingerprint survivor window) sees the *gated* corpus,
+    not the raw one — filter-before-shuffle, the ordering that matters
+    at 100 TB. Survivor choice is min(doc_id) per fingerprint:
+    deterministic under any partitioning or executor count.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, "documents", sf_dir)
+    words = _words()
+    tokens = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), 0)
+    n_words = F.size(words)
+    n_chars = F.length("text")
+    mean_word_len = F.when(
+        n_words > 0, (n_chars - (n_words - 1)).cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    quality = (
+        F.when((n_chars >= 100) & (n_chars <= 500), 0.5).otherwise(0.0)
+        + F.when((mean_word_len >= 3.0) & (mean_word_len <= 10.0), 0.3).otherwise(0.0)
+        + F.when(n_words >= 20, 0.2).otherwise(0.0)
+    )
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words))))
+    # Gate threshold 0.65 sits between the score levels (0.5 vs 0.7/0.8)
+    # so float representation of the sums can never flip a decision.
+    gated = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens).alias("n_tokens"),
+        quality.alias("quality_score"),
+        fp.alias("fp"),
+    ).filter(F.col("quality_score") >= 0.65)
+    w = Window.partitionBy("fp")
+    return (
+        gated.withColumn("keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep"))
+        .select("doc_id", "lang", "n_tokens", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
+    "corpus_curation_pipeline": corpus_curation_pipeline,
     "text_stats_quality": text_stats_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -152,6 +199,34 @@ _LANGID_CASE = """
 """
 
 ORACLES = {
+    "corpus_curation_pipeline": f"""
+        WITH base AS (
+            SELECT doc_id, lang, text,
+                   string_split(text, ' ') AS words,
+                   cast(length(text) AS int) AS nc
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, lang,
+                   cast(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS int)
+                       AS n_tokens,
+                   (CASE WHEN nc BETWEEN 100 AND 500 THEN cast(0.5 AS double) ELSE 0.0 END
+                    + CASE WHEN (CASE WHEN len(words) > 0
+                                      THEN cast(nc - (len(words) - 1) AS double) / len(words)
+                                      ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+                           THEN cast(0.3 AS double) ELSE 0.0 END
+                    + CASE WHEN len(words) >= 20 THEN cast(0.2 AS double) ELSE 0.0 END)
+                       AS quality_score,
+                   md5(list_aggregate(list_sort(list_distinct(words)),
+                                      'string_agg', ' ')) AS fp
+            FROM base
+        )
+        SELECT doc_id, lang, n_tokens, quality_score
+        FROM scored
+        WHERE quality_score >= 0.65
+        QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
+        ORDER BY doc_id
+    """,
     "text_stats_quality": f"""
         WITH base AS (
             SELECT doc_id, lang, text,
