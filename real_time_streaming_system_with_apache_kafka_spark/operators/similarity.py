@@ -109,6 +109,122 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_topk(candidates)
 
 
+# --- Learned coarse quantizer (spherical k-means) -------------------
+# The IVF variant above reuses the corpus's own ``label`` as the cell
+# id; this is the honest version where the cells are LEARNED from the
+# embedding column, the way a real IVF index is built when no cluster
+# structure is given.
+K_CELLS = 8
+KMEANS_ITERS = 4
+
+
+def make_assign_udf(centroids: list[list[float]]):
+    """Arrow-vectorized nearest-centroid assignment: one BLAS matmul of
+    the batch against the (K x dim) centroid matrix — map-side only, no
+    shuffle. Ties break to the lowest cell id (np.argmax takes the
+    first maximum). Self-contained closure: must not reference this
+    package so workers can unpickle it by value."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def assign(emb):
+        import numpy as np
+        import pandas as pd
+
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        C = np.asarray(centroids, dtype=np.float64)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        return pd.Series(np.argmax(Xn @ Cn.T, axis=1).astype("int32"))
+
+    return assign
+
+
+def learn_centroids(
+    emb: DataFrame, k: int = K_CELLS, iters: int = KMEANS_ITERS
+) -> list[list[float]]:
+    """Spherical k-means via DataFrame ops (Lloyd's iterations).
+
+    Per iteration: map-side Arrow assignment (no shuffle), then one
+    posexplode -> groupBy(cell, dim) shuffle for the decimal-exact mean
+    recompute — the same per-iteration cost profile as distributed
+    k-means in Spark MLlib (clustering/KMeans.scala runs the identical
+    assign/recompute loop). The ONLY driver traffic is the centroid
+    matrix itself: O(k x dim) floats per iteration — model state, not
+    data — which every distributed k-means must round-trip to close the
+    loop. Init is deterministic (the k lowest vec_ids) and the mean
+    recompute is decimal-exact, so the learned cells are identical
+    under any partitioning or executor count. Empty cells keep their
+    previous centroid.
+    """
+    init = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select("embedding")
+        .collect()
+    )
+    cents = [list(map(float, r.embedding)) for r in init]
+    for _ in range(iters):
+        assigned = emb.withColumn("cell", make_assign_udf(cents)(F.col("embedding")))
+        per_dim = assigned.select(
+            "cell", F.posexplode("embedding").alias("dim", "x")
+        ).groupBy("cell", "dim").agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(30,15)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_x")
+        )
+        rows = per_dim.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("dim"), F.col("mean_x")))),
+                lambda s: s.getField("mean_x"),
+            ).alias("centroid")
+        ).collect()
+        learned = {r.cell: list(map(float, r.centroid)) for r in rows}
+        cents = [learned.get(i, cents[i]) for i in range(k)]
+    return cents
+
+
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over LEARNED cells: spherical k-means coarse quantizer
+    (K_CELLS cells, KMEANS_ITERS Lloyd's iterations), then the standard
+    IVF probe — queries search the NPROBE nearest cells by centroid
+    cosine, exact cosine within those cells. Rows-only driver check;
+    the recall-vs-bruteforce contract lives in tests/test_similarity.py.
+    """
+    emb = load(spark, "embeddings", sf_dir).filter(
+        F.size("embedding") == EMBEDDING_DIM
+    )
+    cents = learn_centroids(emb)
+    corpus = emb.withColumn("cell", make_assign_udf(cents)(F.col("embedding")))
+    cents_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<double>"
+    )
+    q = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cent_cos").desc(), F.col("cell")
+    )
+    probed = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents_df))
+        .withColumn("cent_cos", cosine(F.col("qe"), F.col("centroid")))
+        .withColumn("cell_rank", F.row_number().over(probe_w))
+        .filter(F.col("cell_rank") <= NPROBE)
+        .select("query_id", "qe", "cell")
+    )
+    candidates = probed.join(
+        corpus.select(
+            "cell", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+        ),
+        "cell",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    return _rank_topk(candidates)
+
+
 # OR-construction: N_TABLES independent N_PLANES-plane tables, each
 # probed at its own bucket plus all Hamming-1 flips. Single-table
 # recall on the near-orthogonal test corpus is ~0.25 (measured;
@@ -239,6 +355,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_ivf_kmeans_topk": sim_ivf_kmeans_topk,
     "sim_lsh_topk": sim_lsh_topk,
 }
 

@@ -105,3 +105,49 @@ def test_centroids_shape(spark, sf_dir):
     dim = len(emb.first()["embedding"])
     assert len(cents) == n_labels
     assert all(len(c["centroid"]) == dim for c in cents)
+
+
+def test_ivf_kmeans_recall_and_determinism(spark, sf_dir):
+    """The LEARNED quantizer (spherical k-means) must beat the floor the
+    label-based cells clear, and the whole pipeline — init, Lloyd's
+    iterations, assignment, probe — must be run-to-run deterministic."""
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in similarity.sim_bruteforce_topk(spark, sf_dir).collect()
+    }
+    km = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in similarity.sim_ivf_kmeans_topk(spark, sf_dir).collect()
+    }
+    hits = set(bf) & set(km)
+    recall = len(hits) / len(bf)
+    assert recall >= 0.6, f"k-means IVF recall below contract: {recall}"
+    for k in hits:
+        assert bf[k] == km[k]  # shared exact kernel
+    km2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.sim_ivf_kmeans_topk(spark, sf_dir).collect()
+    }
+    assert set(km) == km2, "k-means pipeline is not deterministic"
+
+
+def test_kmeans_cells_are_balanced(spark, sf_dir):
+    """No empty or degenerate cells: the probe math (corpus/cells x
+    nprobe) only holds if the quantizer actually spreads the corpus."""
+    from pyspark.sql import functions as F
+
+    emb = similarity.load(spark, "embeddings", sf_dir)
+    cents = similarity.learn_centroids(emb)
+    assert len(cents) == similarity.K_CELLS
+    counts = {
+        r["cell"]: r["c"]
+        for r in emb.withColumn(
+            "cell", similarity.make_assign_udf(cents)(F.col("embedding"))
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n = sum(counts.values())
+    assert len(counts) == similarity.K_CELLS  # every cell populated
+    assert max(counts.values()) <= 0.5 * n  # no collapsed quantizer
