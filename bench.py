@@ -48,6 +48,8 @@ HEADLINE = [
     # Round-2 TPC-H batch: the scan-only and agg-then-join extremes.
     "q6_forecast_revenue",
     "q18_large_volume_customer",
+    # Composed LLM-pipeline flagship: gates -> fingerprint dedup.
+    "corpus_curation_pipeline",
 ]
 
 

@@ -118,9 +118,16 @@ def run_bench(spark, sf_dir: str) -> dict[str, float]:
         queries[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.monotonic()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.monotonic() - t0, 3)
+        # Best-of-2 (same policy as bench.py): this box also hosts the
+        # driver's periodic jobs and single measurements spike 3-5x
+        # under transient load, which would masquerade as super-linear
+        # scaling in the decade ratios.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.monotonic() - t0)
+        times[name] = round(best, 3)
         print(f"  {name}: {times[name]}s", flush=True)
     return times
 
