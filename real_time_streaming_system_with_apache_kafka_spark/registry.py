@@ -28,6 +28,7 @@ _MODULES: list[str] = [
     "real_time_streaming_system_with_apache_kafka_spark.operators.multimodal",
     "real_time_streaming_system_with_apache_kafka_spark.operators.analytics",
     "real_time_streaming_system_with_apache_kafka_spark.operators.tpch",
+    "real_time_streaming_system_with_apache_kafka_spark.operators.tpch_full",
     "real_time_streaming_system_with_apache_kafka_spark.operators.dashboard",
     "real_time_streaming_system_with_apache_kafka_spark.operators.extras",
     "real_time_streaming_system_with_apache_kafka_spark.operators.timeseries",

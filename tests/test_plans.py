@@ -143,3 +143,106 @@ def test_q4_exists_compiles_to_semi_join(spark, sf_dir):
     plan = _plan(tpch.q4_order_priority(spark, sf_dir))
     assert "LeftSemi" in plan
     assert "EqualTo(l_returnflag,R)" in plan  # pushed to the lineitem scan
+
+
+def test_q2_min_cost_rejoin_broadcasts(spark, sf_dir):
+    """Q2's correlated-MIN rewrite: every dimension and the per-part
+    min-cost aggregate arrive as broadcast build sides; the only big
+    shuffle is the supply-view group-by. The part filters must prune
+    the part scan."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import tpch_full
+
+    plan = _plan(tpch_full.q2_min_cost_supplier(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EqualTo(p_type,STANDARD)" in plan
+    assert "EqualTo(p_size,15)" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q7_nation_pair_broadcasts_twice(spark, sf_dir):
+    """Q7: the nation dimension broadcasts on both the supplier and the
+    customer side; the ship-window predicate reaches the lineitem scan;
+    no cartesian from the symmetric pair disjunction."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import tpch_full
+
+    plan = _plan(tpch_full.q7_volume_shipping(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan
+    assert "In(n_name, [NATION_1,NATION_2])" in plan
+
+
+def test_q8_six_table_star_stays_broadcast(spark, sf_dir):
+    """Q8: part/supplier/nation/region all broadcast; the ASIA customer
+    probe is a semi join (it contributes no columns); the only fact
+    shuffles are the orders join and the year group-by."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import tpch_full
+
+    plan = _plan(tpch_full.q8_market_share(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "LeftSemi" in plan
+    assert "EqualTo(p_type,ECONOMY)" in plan
+
+
+def test_q13_zero_bucket_outer_join(spark, sf_dir):
+    """Q13 keeps zero-order customers: the customer->orders join must
+    stay an outer join (not be rewritten inner by the count), and the
+    URGENT exclusion must prune the orders scan."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import tpch_full
+
+    plan = _plan(tpch_full.q13_customer_distribution(spark, sf_dir))
+    assert "Outer" in plan
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+
+
+def test_q19_disjunction_single_join_no_union(spark, sf_dir):
+    """Q19's three OR'd bands must evaluate as one broadcast join plus
+    a row-side predicate — not three unioned scans — and the common
+    quantity upper bound must reach the lineitem scan."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import tpch_full
+
+    plan = _plan(tpch_full.q19_disjunctive_revenue(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin Inner") == 1
+    assert "Union" not in plan
+    assert "LessThanOrEqual(l_quantity,30" in plan
+    # Catalyst decomposes the OR into per-side scan filters too:
+    assert "EqualTo(p_brand,Brand#13)" in plan
+
+
+def test_q20_semi_join_chain(spark, sf_dir):
+    """Q20: both nested reductions compile to semi joins (parts filter
+    into lineitem, qualifying volumes into supplier) — supplier rows
+    are never multiplied."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import tpch_full
+
+    plan = _plan(tpch_full.q20_excess_suppliers(spark, sf_dir))
+    assert plan.count("LeftSemi") >= 2
+    assert "StartsWith(p_name,small)" in plan
+
+
+def test_q21_single_orderkey_shuffle(spark, sf_dir):
+    """Q21's double-EXISTS rewrite: one aggregation keyed on
+    l_orderkey replaces both correlated probes — no nested-loop, no
+    cartesian, supplier broadcast, finished-orders probe is a semi
+    join."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import tpch_full
+
+    plan = _plan(tpch_full.q21_sole_returning_supplier(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    """Q22: "never ordered" must be a left-anti join and the global
+    average a broadcast one-row build side; the nation subset prunes
+    the customer scan."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import tpch_full
+
+    plan = _plan(tpch_full.q22_global_sales_opportunity(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 1
+    assert "In(c_nationkey, [1,11,13,3,5,7,9])" in plan or "In(c_nationkey" in plan
