@@ -246,3 +246,34 @@ def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 1
     assert "In(c_nationkey, [1,11,13,3,5,7,9])" in plan or "In(c_nationkey" in plan
+
+
+def test_funnel_three_windows_one_exchange(spark, sf_dir):
+    """All three funnel stage probes are window-mins over the same
+    user_id partition — the plan must carry exactly one shuffle for
+    them (plus the tiny per-user/summary aggregates), never a
+    self-join per stage."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import (
+        pipeline_analytics,
+    )
+
+    plan = _plan(pipeline_analytics.funnel_conversion(spark, sf_dir))
+    assert "Join" not in plan
+    # Exactly 2 exchanges: one user_id partition feeding all three
+    # Window ops + the per-user agg, one single-row final combine.
+    assert plan.count("- Exchange") == 2
+    assert plan.count("- Window") == 3
+    assert plan.count("- Sort") == 1  # windows chain without re-sorting
+
+
+def test_tokens_tf_partial_agg_then_topk(spark, sf_dir):
+    """Explode TF: the per-term count must combine map-side (partial
+    aggregate below the exchange) and the top-K must be
+    TakeOrderedAndProject, not a global sort."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import (
+        pipeline_analytics,
+    )
+
+    plan = _plan(pipeline_analytics.tokens_top_terms(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
