@@ -50,6 +50,11 @@ HEADLINE = [
     "q18_large_volume_customer",
     # Composed LLM-pipeline flagship: gates -> fingerprint dedup.
     "corpus_curation_pipeline",
+    # Round-2 continuation: full TPC-H batch + event/corpus analytics.
+    "q7_volume_shipping",
+    "q13_customer_distribution",
+    "funnel_conversion",
+    "tokens_top_terms",
 ]
 
 
