@@ -231,7 +231,7 @@ ORACLES = {
         SELECT source, count(*) AS n_docs,
                {oracle_davg('dup_frac', 'avg_dup_frac')},
                {oracle_davg('mean_word_len', 'avg_word_len')},
-               sum(CASE WHEN dup_frac > 0.6 THEN 1 ELSE 0 END) AS n_flagged
+               cast(sum(CASE WHEN dup_frac > 0.6 THEN 1 ELSE 0 END) AS bigint) AS n_flagged
         FROM sig
         GROUP BY source
         ORDER BY source

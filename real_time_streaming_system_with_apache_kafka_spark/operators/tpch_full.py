@@ -556,7 +556,8 @@ ORACLES = {
     """,
     "q7_volume_shipping": f"""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-               year(l_shipdate) AS l_year, {_ORACLE_REV} AS revenue
+               cast(year(l_shipdate) AS integer) AS l_year,
+               {_ORACLE_REV} AS revenue
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN orders ON l_orderkey = o_orderkey
@@ -572,7 +573,7 @@ ORACLES = {
     """,
     "q8_market_share": """
         WITH vols AS (
-            SELECT year(o_orderdate) AS o_year,
+            SELECT cast(year(o_orderdate) AS integer) AS o_year,
                    cast(cast(l_extendedprice AS decimal(12,4))
                         * cast(1 - l_discount AS decimal(6,4))
                         AS decimal(38,6)) AS vol,
@@ -602,7 +603,7 @@ ORACLES = {
         ORDER BY o_year
     """,
     "q9_product_profit": """
-        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        SELECT n_name AS nation, cast(year(o_orderdate) AS integer) AS o_year,
                cast(sum(cast(
                    cast(cast(l_extendedprice AS decimal(12,4))
                         * cast(1 - l_discount AS decimal(6,4))
