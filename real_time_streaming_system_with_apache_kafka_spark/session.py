@@ -54,6 +54,13 @@ def pin_session_defaults(spark: SparkSession) -> SparkSession:
     # The events table stores TIMESTAMP(NANOS) which the vectorized
     # parquet reader rejects; read it as long and convert in the loader.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Driver parquet writes timestamps without isAdjustedToUTC metadata;
+    # with NTZ inference on, Spark 4 surfaces them as TIMESTAMP_NTZ, which
+    # breaks unix_micros/window arithmetic and diverges from the DuckDB
+    # oracle's naive-as-UTC reading. Read them as session-tz TIMESTAMP
+    # (session tz pinned UTC above) so the wall-clock values are identical
+    # and filter pushdown still reaches the scan.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # Timestamp parity is meaningless if the pin silently failed (e.g. a
     # future Spark makes the conf static): fail loudly, not with a
     # hash mismatch three layers up.

@@ -34,6 +34,15 @@ def load(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz_cols = [f.name for f in df.schema.fields if f.dataType.simpleString() == "timestamp_ntz"]
+    if ntz_cols:
+        # Defense in depth: if the NTZ-inference pin didn't take (static
+        # conf on a future Spark, or a session created before the pin),
+        # normalize to session-tz TIMESTAMP here. With the session pinned
+        # UTC the wall-clock values are unchanged.
+        from pyspark.sql import functions as F
+
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
 
 
