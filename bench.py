@@ -55,6 +55,10 @@ HEADLINE = [
     "q13_customer_distribution",
     "funnel_conversion",
     "tokens_top_terms",
+    # Curation + time-series batch: benchmark decontamination over the
+    # n-gram inverted index, and the hourly OHLC market rollup.
+    "decontaminate_holdout",
+    "ts_ohlc_bars",
 ]
 
 

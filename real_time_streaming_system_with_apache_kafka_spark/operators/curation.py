@@ -1,0 +1,294 @@
+"""Corpus-curation operators for a training-data pipeline: benchmark
+decontamination, rarity-weighted term scoring (TF-IDF shape), PII
+redaction, embedding centroid profiling, and length-distribution
+histograms.
+
+The reference has no corpus tooling (it is a trade-stream system,
+producer.py/consumer.py); these are the operations a pretraining data
+pipeline layers on the same engine, and they follow the repo's parity
+discipline: every output value is either an exact integer/string or a
+ratio of exact integers, so the DuckDB oracle matches bit-for-bit.
+
+Scale notes:
+- Decontamination joins the corpus n-gram inverted index against the
+  BENCHMARK n-gram set. Benchmarks are fixed-size (eval sets do not
+  grow with the corpus), so the bench side is explicitly broadcast —
+  at 100 TB the corpus side streams map-side with zero shuffle of the
+  wide rows; only the per-doc hit counts aggregate.
+- TF-IDF is two hash aggregations (term counts, document frequency)
+  plus a broadcast of the per-term DF — the vocabulary is sublinear in
+  corpus size. The scoring weight is the exact integer tf*(N-df)
+  (monotone in the usual tf*ln(N/df)); no float log crosses engines.
+- PII redaction is a pure per-row regex projection: scan-only,
+  whole-stage codegen, no shuffle. Patterns are RE2-compatible (no
+  lookaround/backrefs) so Java regex and DuckDB RE2 agree.
+- Centroid stats posexplode 64-dim vectors into narrow (label, pos)
+  rows — one shuffle keyed on (label, pos) with map-side partial
+  aggregation; sums are exact decimals of 7-dp quantized components
+  (the same quantization contract as dedup.py's cosine kernel).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
+
+# Every doc_id = 0 (mod BENCH_MOD) plays the role of a held-out
+# benchmark/eval document; the rest are the training corpus.
+BENCH_MOD = 97
+DECON_N = 5  # word n-gram size for contamination overlap
+N_BUCKETS = 20
+
+
+def _ngrams(words: Column, n: int) -> Column:
+    """Word n-grams with the same clamp semantics as dedup._shingles:
+    docs shorter than n words contribute the whole text as one gram
+    (try_element_at past the end yields null, concat_ws skips it)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(words, i + k + 1) for k in range(n)]
+        ),
+    )
+
+
+def decontaminate_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at
+    least one word 5-gram with the held-out benchmark slice
+    (doc_id % 97 == 0), as done before pretraining to keep eval sets
+    honest. Emits one row per contaminated training doc with its
+    distinct-gram total and the number of grams that hit the benchmark
+    set; downstream drops these ids with an anti-join.
+    """
+    docs = load(spark, "documents", sf_dir)
+    grams = docs.select(
+        "doc_id",
+        (F.col("doc_id") % BENCH_MOD == 0).alias("is_bench"),
+        F.explode(
+            F.array_distinct(_ngrams(F.split("text", " "), DECON_N))
+        ).alias("gram"),
+    )
+    bench_grams = (
+        grams.filter("is_bench").select("gram").distinct()
+    )
+    train = grams.filter(~F.col("is_bench"))
+    return (
+        train.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+        .join(
+            train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams")),
+            "doc_id",
+        )
+        .select("doc_id", "n_grams", "n_hit_grams")
+    )
+
+
+def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinguishing terms per document, TF-IDF shape.
+
+    The weight is the exact integer tf * (N - df): strictly decreasing
+    in document frequency like tf*ln(N/df), but a product of exact
+    integers so ranking ties and values are engine-identical (no
+    cross-engine libm ln). Ties break on the term string ascending.
+    """
+    docs = load(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = (
+        toks.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * (F.col("n_docs") - F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    )
+
+
+# RE2-compatible (no lookaround, no backrefs) so Java regex == DuckDB.
+EMAIL_RE = "[a-z0-9.]+@[a-z0-9]+\\.[a-z]+"
+PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a corpus: count and redact emails and phone
+    numbers. The synthetic corpus carries none, so each doc is first
+    augmented with deterministic doc_id-derived contact strings — the
+    redaction path then has real matches to scrub at every scale.
+    """
+    docs = load(spark, "documents", sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        (F.col("doc_id") % 1000).cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(aug, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(aug, F.lit(PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        redacted.alias("redacted"),
+    )
+
+
+def embed_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label, per-dimension centroid accumulators over the embedding
+    column: exact decimal sum and sum-of-squares of the 7-dp quantized
+    components (the quantization contract shared with the cosine dedup
+    kernel, dedup.py) plus the member count. mean = sum_q/n and
+    var = sumsq_q/n - mean^2 derive on the caller's side; the engine
+    emits the exact sufficient statistics so no cross-engine division
+    rounding is involved.
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    e = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("q", F.col("val").cast("double").cast("decimal(18,7)"))
+    return e.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").cast("decimal(38,7)").alias("sum_q"),
+        F.sum(F.col("q") * F.col("q")).cast("decimal(38,14)").alias("sumsq_q"),
+    )
+
+
+def profile_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: 20 equal-width buckets of n_chars between
+    the corpus min and max. Bucket index is integer floor-division of
+    exact integers ((x - mn) * 20 div (mx - mn + 1)), identical across
+    engines — no float width, no edge-of-bucket ulp flips.
+    """
+    docs = load(spark, "documents", sf_dir)
+    bounds = docs.agg(
+        F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
+    )
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(
+                f"(n_chars - mn) * {N_BUCKETS} div (mx - mn + 1)"
+            ).alias("bucket"),
+            "n_chars",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+    )
+
+
+QUERIES = {
+    "decontaminate_holdout": decontaminate_holdout,
+    "text_tfidf_terms": text_tfidf_terms,
+    "text_pii_redact": text_pii_redact,
+    "embed_centroid_stats": embed_centroid_stats,
+    "profile_length_histogram": profile_length_histogram,
+}
+
+_ORACLE_NGRAMS = f"""
+    SELECT doc_id, doc_id % {BENCH_MOD} = 0 AS is_bench,
+           unnest(list_distinct(
+               CASE WHEN len(words) < {DECON_N}
+                    THEN [array_to_string(words, ' ')]
+                    ELSE [array_to_string(words[i:i+{DECON_N - 1}], ' ')
+                          for i in range(1, len(words) - {DECON_N - 2})]
+               END)) AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+"""
+
+ORACLES = {
+    "decontaminate_holdout": f"""
+        WITH grams AS ({_ORACLE_NGRAMS}),
+        bench AS (SELECT DISTINCT gram FROM grams WHERE is_bench),
+        train AS (SELECT doc_id, gram FROM grams WHERE NOT is_bench)
+        SELECT t.doc_id,
+               (SELECT count(*) FROM train t2
+                WHERE t2.doc_id = t.doc_id) AS n_grams,
+               count(*) AS n_hit_grams
+        FROM train t JOIN bench b USING (gram)
+        GROUP BY t.doc_id
+    """,
+    "text_tfidf_terms": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df
+               FROM toks GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, term, tf, df, tf * (n_docs - df) AS score,
+               cast(row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tf * (n_docs - df) DESC,
+                                                term ASC) AS int) AS rk
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        QUALIFY rk <= 5
+    """,
+    "text_pii_redact": f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || ' contact user' || cast(doc_id % 1000 AS varchar)
+                        || '@example.com or +1-555-'
+                        || lpad(cast(doc_id % 10000 AS varchar), 4, '0')
+                   AS a
+            FROM documents
+        )
+        SELECT doc_id,
+               cast(len(regexp_extract_all(a, '{EMAIL_RE}')) AS int)
+                   AS n_emails,
+               cast(len(regexp_extract_all(a, '{PHONE_RE}')) AS int)
+                   AS n_phones,
+               regexp_replace(regexp_replace(a, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                              '{PHONE_RE}', '[PHONE]', 'g') AS redacted
+        FROM aug
+    """,
+    "embed_centroid_stats": """
+        SELECT label, pos, count(*) AS n,
+               cast(sum(q) AS decimal(38,7)) AS sum_q,
+               cast(sum(q * q) AS decimal(38,14)) AS sumsq_q
+        FROM (
+            -- parallel unnests zip in DuckDB: position and value stay
+            -- aligned, matching Spark's posexplode
+            SELECT label,
+                   cast(unnest(generate_series(1, len(embedding))) - 1
+                        AS integer) AS pos,
+                   cast(cast(unnest(embedding) AS double) AS decimal(18,7))
+                       AS q
+            FROM embeddings
+        )
+        GROUP BY label, pos
+    """,
+    "profile_length_histogram": f"""
+        WITH b AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx
+                   FROM documents)
+        SELECT (n_chars - mn) * {N_BUCKETS} // (mx - mn + 1) AS bucket,
+               count(*) AS n_docs, min(n_chars) AS lo, max(n_chars) AS hi
+        FROM documents CROSS JOIN b
+        GROUP BY 1
+    """,
+}

@@ -97,9 +97,101 @@ def wf_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ordkey() -> "F.Column":
+    """Total order over (ts, event_id) as a fixed-width string — the
+    composite arg-min/arg-max key shared with ts_resample_locf."""
+    return F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+
+
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candlestick bars per event_type — the canonical
+    market-data rollup the reference's dashboard approximates with its
+    per-minute aggregates (dashboard.py:236-243). Open/close pick the
+    rows with min/max (ts, event_id), a total order, so the bar is
+    engine-deterministic on tied timestamps; the volume sum is
+    decimal-exact then cast to double (single conversion, identical in
+    both engines). One hash aggregation, map-side partial combine."""
+    ev = load(spark, "events", sf_dir)
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bar_hour")
+    ).agg(
+        F.min_by("value", _ordkey()).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", _ordkey()).alias("close"),
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("volume"),
+    )
+
+
+def ts_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap profile: count, exact total/max gap in
+    microseconds, and how many gaps exceed one hour — the monitoring
+    query behind heartbeat/liveness alerting. All outputs are exact
+    64-bit integers; the lag window and the aggregation share the
+    user_id partitioning, so the plan is one shuffle."""
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts")
+            - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    )
+    return gaps.groupBy("user_id").agg(
+        (F.count(F.lit(1))).alias("n_events"),
+        F.sum("gap_us").alias("sum_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.count_if(F.col("gap_us") > HOUR_US).alias("n_gaps_over_1h"),
+    )
+
+
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population z-score outlier counts per event_type without any
+    cross-engine float math: |x - mean| > 2*stddev is rewritten as
+    (x*n - S)^2 > 4*(n*S2 - S^2) over exact integer sums of the
+    2-dp-quantized value (x scaled by 100), evaluated in decimal so it
+    cannot overflow at any corpus scale. Two passes over the same
+    grouped shuffle — Catalyst reuses the exchange."""
+    ev = load(spark, "events", sf_dir).select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("decimal(19,0)")
+        .alias("x"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.sum("x").cast("decimal(19,0)").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(19,0)").alias("s2"),
+    )
+    flagged = ev.join(F.broadcast(stats), "event_type").withColumn(
+        "is_anomaly",
+        (F.col("x") * F.col("n") - F.col("s1"))
+        * (F.col("x") * F.col("n") - F.col("s1"))
+        > F.lit(4)
+        * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if("is_anomaly").alias("n_anomalies_2sigma"),
+    )
+
+
 QUERIES = {
     "ts_resample_locf": ts_resample_locf,
     "wf_range_frame": wf_range_frame,
+    "ts_ohlc_bars": ts_ohlc_bars,
+    "ts_gap_stats": ts_gap_stats,
+    "anomaly_zscore": anomaly_zscore,
 }
 
 ORACLES = {
@@ -138,5 +230,56 @@ ORACLES = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                      RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+    """,
+    "ts_ohlc_bars": """
+        SELECT event_type, date_trunc('hour', ts) AS bar_hour,
+               arg_min(value, lpad(cast(epoch_us(ts) AS varchar), 20, '0')
+                              || '|' ||
+                              lpad(cast(event_id AS varchar), 20, '0'))
+                   AS open,
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, lpad(cast(epoch_us(ts) AS varchar), 20, '0')
+                              || '|' ||
+                              lpad(cast(event_id AS varchar), 20, '0'))
+                   AS close,
+               count(*) AS n_trades,
+               cast(sum(cast(value AS decimal(38,6))) AS double) AS volume
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "ts_gap_stats": """
+        WITH g AS (
+            SELECT user_id,
+                   epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id) AS gap_us
+            FROM events
+        )
+        SELECT user_id, count(*) AS n_events,
+               cast(sum(gap_us) AS bigint) AS sum_gap_us,
+               max(gap_us) AS max_gap_us,
+               count(*) FILTER (WHERE gap_us > 3600000000)
+                   AS n_gaps_over_1h
+        FROM g GROUP BY user_id
+    """,
+    "anomaly_zscore": """
+        WITH q AS (
+            SELECT event_type,
+                   cast(cast(value AS decimal(18,2)) * 100 AS hugeint) AS x
+            FROM events
+        ),
+        s AS (
+            SELECT event_type, cast(count(*) AS hugeint) AS n,
+                   cast(sum(x) AS hugeint) AS s1,
+                   cast(sum(x * x) AS hugeint) AS s2
+            FROM q GROUP BY 1
+        )
+        SELECT q.event_type, count(*) AS n_events,
+               count(*) FILTER (WHERE (x*n - s1)*(x*n - s1)
+                                      > 4*(n*s2 - s1*s1))
+                   AS n_anomalies_2sigma
+        FROM q JOIN s USING (event_type)
+        GROUP BY q.event_type
     """,
 }

@@ -277,3 +277,46 @@ def test_tokens_tf_partial_agg_then_topk(spark, sf_dir):
     plan = _plan(pipeline_analytics.tokens_top_terms(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark, sf_dir):
+    """The benchmark n-gram set is fixed-size (eval sets don't grow
+    with the corpus): it must broadcast so the corpus-side inverted
+    index never shuffles its gram rows for the contamination probe."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import curation
+
+    plan = _plan(curation.decontaminate_holdout(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ohlc_single_exchange_partial_combine(spark, sf_dir):
+    """OHLC bars are one grouped aggregation: a single exchange with
+    map-side partial combine, no join, no extra shuffle. (Spark picks
+    sort-based aggregation because min_by's composite ordering key is
+    a string — an accepted cost: the sort is per-partition, after the
+    partial combine has already shrunk each map output to one row per
+    (type, hour).)"""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import timeseries
+
+    plan = _plan(timeseries.ts_ohlc_bars(spark, sf_dir))
+    assert plan.count("+- Exchange") == 1
+    assert "partial_min_by" in plan  # map-side combine before the shuffle
+    assert "Join" not in plan
+
+
+def test_anomaly_stats_broadcast_back(spark, sf_dir):
+    """Per-type moment sums are a handful of rows; rejoining them to
+    the event stream must broadcast, not shuffle the fact table."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import timeseries
+
+    plan = _plan(timeseries.anomaly_zscore(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pii_redact_is_scan_only(spark, sf_dir):
+    """Regex scrubbing is a pure projection: zero exchanges."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import curation
+
+    plan = _plan(curation.text_pii_redact(spark, sf_dir))
+    assert "Exchange" not in plan
