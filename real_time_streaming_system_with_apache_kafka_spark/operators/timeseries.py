@@ -186,12 +186,87 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_ewma_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average as a custom
+    stateful operator — the genuinely non-SQL-window shape (each output
+    depends on the full prefix) implemented with Arrow-batched
+    ``applyInPandas`` over the user partition.
+
+    The recurrence runs on integer cents with floor division,
+    s_t = (x_t + 3*s_{t-1}) div 4 (alpha = 1/4), so every engine that
+    follows the recurrence gets bit-identical output — the DuckDB
+    oracle is a recursive CTE, and matching it exactly is the point:
+    iterative operators usually get a weaker rows-only check, this one
+    doesn't have to.
+
+    Scale: one shuffle on user_id; the Python loop is O(rows per user)
+    per group with int64 locals — per-entity history lengths are
+    bounded in practice (and the groups parallelize across executors).
+    """
+    import pandas as pd
+
+    ev = load(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("x"),
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["us", "event_id"]).reset_index(drop=True)
+        xs = pdf["x"].to_numpy()
+        out = xs.copy()
+        for i in range(1, len(out)):
+            out[i] = (xs[i] + 3 * out[i - 1]) // 4
+        pdf["ewma_cents"] = out
+        return pdf[["user_id", "event_id", "ewma_cents"]]
+
+    return ev.groupBy("user_id").applyInPandas(
+        ewma, "user_id long, event_id long, ewma_cents long"
+    )
+
+
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build: collapse each user's
+    event_type stream into validity intervals [valid_from, valid_to)
+    with a version number — the standard dimension-history shape a
+    warehouse derives from a change stream. Change detection is
+    lag() != current over the (ts, event_id) total order; interval
+    close is lead() over the change rows. Both windows share the
+    user_id partitioning: one shuffle."""
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    changes = (
+        ev.withColumn("prev_state", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_state").isNull()
+            | (F.col("prev_state") != F.col("event_type"))
+        )
+    )
+    wc = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(wc).alias("valid_to"),
+        F.row_number().over(wc).alias("version"),
+    )
+
+
 QUERIES = {
     "ts_resample_locf": ts_resample_locf,
     "wf_range_frame": wf_range_frame,
     "ts_ohlc_bars": ts_ohlc_bars,
     "ts_gap_stats": ts_gap_stats,
     "anomaly_zscore": anomaly_zscore,
+    "ts_ewma_exact": ts_ewma_exact,
+    "scd2_user_state": scd2_user_state,
 }
 
 ORACLES = {
@@ -281,5 +356,42 @@ ORACLES = {
                    AS n_anomalies_2sigma
         FROM q JOIN s USING (event_type)
         GROUP BY q.event_type
+    """,
+    "ts_ewma_exact": """
+        WITH RECURSIVE src AS (
+            SELECT user_id, event_id,
+                   cast(cast(value AS decimal(18,2)) * 100 AS bigint) AS x,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id)
+                       AS rn
+            FROM events
+        ),
+        rec AS (
+            SELECT user_id, event_id, rn, x AS s FROM src WHERE rn = 1
+            UNION ALL
+            SELECT n.user_id, n.event_id, n.rn, (n.x + 3 * r.s) // 4
+            FROM rec r
+            JOIN src n ON n.user_id = r.user_id AND n.rn = r.rn + 1
+        )
+        SELECT user_id, event_id, s AS ewma_cents FROM rec
+    """,
+    "scd2_user_state": """
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER w AS prev_state
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id)
+        ),
+        changes AS (
+            SELECT * FROM ordered
+            WHERE prev_state IS NULL OR prev_state <> event_type
+        )
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               cast(row_number() OVER w AS int) AS version
+        FROM changes
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id)
     """,
 }
