@@ -79,10 +79,38 @@ def agg_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TARGET_PER_STRATUM = 40
+
+
+def sample_stratified_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-language downsample: keep a document iff
+    bucket * stratum_n < TARGET * 100, giving ~TARGET docs per language
+    regardless of stratum skew (strata smaller than TARGET keep
+    everything). The acceptance test is an exact integer comparison on
+    the same md5 bucket as the other splits — deterministic across
+    engines and cluster sizes — and the per-stratum counts arrive by
+    broadcast, so the corpus scan stays shuffle-free."""
+    docs = load(spark, "documents", sf_dir)
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("stratum_n")
+    )
+    bucket = _hash_bucket(F.col("doc_id"), "strat_v1")
+    return (
+        docs.join(F.broadcast(counts), "lang")
+        .withColumn("bucket", bucket)
+        .filter(
+            F.col("bucket") * F.col("stratum_n")
+            < F.lit(TARGET_PER_STRATUM * 100)
+        )
+        .select("doc_id", "lang", "bucket", "stratum_n")
+    )
+
+
 QUERIES = {
     "split_train_holdout": split_train_holdout,
     "sample_events_deterministic": sample_events_deterministic,
     "agg_distinct_twophase": agg_distinct_twophase,
+    "sample_stratified_balanced": sample_stratified_balanced,
 }
 
 ORACLES = {
@@ -103,5 +131,15 @@ ORACLES = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "sample_stratified_balanced": f"""
+        WITH c AS (SELECT lang, count(*) AS stratum_n
+                   FROM documents GROUP BY lang)
+        SELECT doc_id, lang,
+               {_oracle_bucket('doc_id', 'strat_v1')} AS bucket,
+               stratum_n
+        FROM documents JOIN c USING (lang)
+        WHERE {_oracle_bucket('doc_id', 'strat_v1')} * stratum_n
+              < {TARGET_PER_STRATUM * 100}
     """,
 }

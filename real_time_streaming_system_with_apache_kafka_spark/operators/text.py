@@ -94,6 +94,19 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-vs-prediction confusion matrix for the language-ID
+    heuristic — the eval-harness view a pipeline watches for drift.
+    Composes the text_langid operator (same expressions, zero copy)
+    into one grouped count; at scale it is a single hash aggregation
+    over scan-side projections."""
+    pred = text_langid(spark, sf_dir)
+    return pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if("is_reliable").alias("n_reliable"),
+    )
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprint clustering key (sorted distinct words -> digest):
     word-order- and duplication-insensitive exact dedup key."""
@@ -173,6 +186,7 @@ QUERIES = {
     "corpus_curation_pipeline": corpus_curation_pipeline,
     "text_stats_quality": text_stats_quality,
     "text_langid": text_langid,
+    "text_langid_confusion": text_langid_confusion,
     "text_fingerprint": text_fingerprint,
     "text_token_stats_by_lang": text_token_stats_by_lang,
 }
@@ -196,6 +210,23 @@ _LANGID_CASE = """
       WHEN score_es > score_en THEN 'es'
       ELSE 'en'
     END
+"""
+
+_LANGID_SQL = f"""
+    WITH scored AS (
+        SELECT doc_id, lang, {_LANGID_SCORES}
+        FROM (SELECT doc_id, lang,
+                     list_distinct(string_split(text, ' ')) AS words
+              FROM documents)
+    )
+    SELECT doc_id, lang,
+           {_LANGID_CASE} AS predicted_lang,
+           cast(greatest(score_en, score_es, score_de, score_fr, score_zh) AS int)
+               AS lang_score,
+           greatest(score_en, score_es, score_de, score_fr, score_zh) > 0
+               AS is_reliable,
+           {_LANGID_CASE} = lang AS matches_label
+    FROM scored
 """
 
 ORACLES = {
@@ -256,21 +287,12 @@ ORACLES = {
                 + CASE WHEN nw >= 20 THEN cast(0.2 AS double) ELSE 0.0 END) AS quality_score
         FROM stats
     """,
-    "text_langid": f"""
-        WITH scored AS (
-            SELECT doc_id, lang, {_LANGID_SCORES}
-            FROM (SELECT doc_id, lang,
-                         list_distinct(string_split(text, ' ')) AS words
-                  FROM documents)
-        )
-        SELECT doc_id, lang,
-               {_LANGID_CASE} AS predicted_lang,
-               cast(greatest(score_en, score_es, score_de, score_fr, score_zh) AS int)
-                   AS lang_score,
-               greatest(score_en, score_es, score_de, score_fr, score_zh) > 0
-                   AS is_reliable,
-               {_LANGID_CASE} = lang AS matches_label
-        FROM scored
+    "text_langid": _LANGID_SQL,
+    "text_langid_confusion": f"""
+        SELECT lang, predicted_lang, count(*) AS n_docs,
+               count(*) FILTER (WHERE is_reliable) AS n_reliable
+        FROM ({_LANGID_SQL})
+        GROUP BY lang, predicted_lang
     """,
     "text_fingerprint": """
         SELECT md5(list_aggregate(list_sort(list_distinct(string_split(text, ' '))),
