@@ -86,6 +86,55 @@ def session_window_stream(
     )
 
 
+def ohlc_bars_stream(
+    trades: DataFrame,
+    bar: str = "1 hour",
+    watermark: str | None = "2 minutes",
+) -> DataFrame:
+    """Streaming twin of ``operators/timeseries.py::ts_ohlc_bars``:
+    incremental OHLC candlesticks per (instrument, bar window).
+
+    Open/close use the same total-order key as the batch operator
+    (epoch micros | trade_id, fixed width) so once a window closes
+    past the watermark, the emitted bar is byte-identical to the batch
+    recompute — min_by/max_by state merges associatively, so arrival
+    order across micro-batches cannot change the result.
+    """
+    if watermark is not None:
+        trades = trades.withWatermark("timestamp", watermark)
+    ordkey = F.concat(
+        F.lpad(F.unix_micros("timestamp").cast("string"), 20, "0"),
+        F.lit("|"),
+        F.lpad(F.col("trade_id").cast("string"), 20, "0"),
+    )
+    return (
+        trades.groupBy(
+            F.window(F.col("timestamp"), bar).alias("w"),
+            F.col("instrument"),
+        )
+        .agg(
+            F.min_by("notional_value", ordkey).alias("open"),
+            F.max("notional_value").alias("high"),
+            F.min("notional_value").alias("low"),
+            F.max_by("notional_value", ordkey).alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+            F.sum(F.col("notional_value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("volume"),
+        )
+        .select(
+            F.col("w.start").alias("bar_start"),
+            "instrument",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_trades",
+            "volume",
+        )
+    )
+
+
 def venue_distribution_stream(
     trades: DataFrame, watermark: str | None = "2 minutes"
 ) -> DataFrame:

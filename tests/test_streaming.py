@@ -233,3 +233,20 @@ def test_kafka_builders_construct(spark):
         assert "trade_id" in df.columns
     except Exception as e:  # connector jar absent is acceptable here
         assert "kafka" in str(e).lower()
+
+
+def test_stream_batch_ohlc_equivalence(spark, wire_dir):
+    """The OHLC stream twin must emit exactly the bars the batch
+    operator computes over the same rows — min_by/max_by state merges
+    associatively, so micro-batch arrival order cannot matter."""
+    path, n_base, n_dup = wire_dir
+    stream = ingest.read_trade_stream_from_json_dir(spark, path)
+    got = _drain(
+        windowed.ohlc_bars_stream(stream, watermark=None), "ohlc_stream",
+        mode="complete",
+    )
+    batch = ingest.parse_wire(spark.read.text(path))
+    want = windowed.ohlc_bars_stream(batch, watermark=None)
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(
+        map(tuple, want.collect()), key=str
+    )
