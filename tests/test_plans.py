@@ -320,3 +320,39 @@ def test_pii_redact_is_scan_only(spark, sf_dir):
 
     plan = _plan(curation.text_pii_redact(spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_scd2_windows_share_one_shuffle(spark, sf_dir):
+    """Change detection (lag) and interval close (lead/row_number) both
+    partition on user_id: one exchange serves every window."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import timeseries
+
+    plan = _plan(timeseries.scd2_user_state(spark, sf_dir))
+    assert plan.count("+- Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_stratified_sample_counts_broadcast(spark, sf_dir):
+    """Stratum sizes must arrive by broadcast: the corpus scan keeps
+    its partitioning and the acceptance filter runs map-side."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import sampling
+
+    plan = _plan(sampling.sample_stratified_balanced(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_df_and_count_broadcast(spark, sf_dir):
+    """Per-term DF and the corpus count join back as broadcasts; the
+    only big shuffles are the two hash aggregations and the per-doc
+    top-k window."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import curation
+
+    plan = _plan(curation.text_tfidf_terms(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 1
+    # The single-row corpus count may ride a broadcast nested-loop
+    # CROSS join — O(n) with a 1-row build side, the right scalar
+    # shape. A non-broadcast cartesian is the failure mode.
+    assert "CartesianProduct" not in plan
+    # Spark's rank-pushdown prunes per-doc rows before the final sort.
+    assert "WindowGroupLimit" in plan
