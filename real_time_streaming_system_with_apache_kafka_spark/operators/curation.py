@@ -63,7 +63,12 @@ def decontaminate_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-gram total and the number of grams that hit the benchmark
     set; downstream drops these ids with an anti-join.
     """
-    docs = load(spark, "documents", sf_dir)
+    # Decouple the shingling parallelism from the input file count
+    # (same policy as dedup_minhash_lsh): a single parquet file must
+    # not serialize the n-gram transform onto one task.
+    docs = load(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     grams = docs.select(
         "doc_id",
         (F.col("doc_id") % BENCH_MOD == 0).alias("is_bench"),
@@ -71,18 +76,27 @@ def decontaminate_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(_ngrams(F.split("text", " "), DECON_N))
         ).alias("gram"),
     )
+    # The bench filter prunes rows BEFORE the shingle transform, so
+    # this pass shingles only the ~1% benchmark slice.
     bench_grams = (
-        grams.filter("is_bench").select("gram").distinct()
+        grams.filter("is_bench")
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    train = grams.filter(~F.col("is_bench"))
+    # One pass over the training shingles: the broadcast LEFT join
+    # tags benchmark grams in place, and a single aggregation yields
+    # both the total and the hit count — the corpus is shingled once,
+    # not three times (hits, sizes, and the join each re-deriving it).
     return (
-        train.join(F.broadcast(bench_grams), "gram")
+        grams.filter(~F.col("is_bench"))
+        .join(F.broadcast(bench_grams), "gram", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
-        .join(
-            train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams")),
-            "doc_id",
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_hit_grams"),
         )
+        .filter(F.col("n_hit_grams") > 0)
         .select("doc_id", "n_grams", "n_hit_grams")
     )
 
