@@ -215,8 +215,47 @@ def profile_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTEXT_TOKENS = 512  # packing target (context window)
+PACK_SHARD = 100  # docs per packing shard
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sequence packing (concatenate-and-chunk): assign
+    every document a (shard, chunk, offset) address in a stream of
+    fixed-capacity token windows — how pretraining pipelines batch
+    variable-length documents with minimal padding.
+
+    Packing is a running token sum in doc_id order; a GLOBAL cumsum
+    would serialize onto one partition, so documents pack within
+    fixed shards of {PACK_SHARD} ids (chunk boundaries reset per
+    shard) — shards parallelize across executors, which is exactly
+    the distributed form (a global greedy pack is order-sequential by
+    definition). Token counts are whitespace words: integer-exact,
+    and the real tokenizer slot is the same column swap as
+    text_token_stats' TOKEN_PATTERN.
+    """
+    docs = load(spark, "documents", sf_dir)
+    n_tok = F.size(F.split("text", " "))
+    shard = (F.col("doc_id") / PACK_SHARD).cast("long")
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    toks = docs.select(
+        "doc_id", shard.alias("shard"), n_tok.alias("n_tokens")
+    )
+    cum = toks.withColumn(
+        "cum_end", F.sum("n_tokens").over(w)
+    )
+    return cum.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.expr(f"(cum_end - n_tokens) div {CONTEXT_TOKENS}").alias("chunk"),
+        F.expr(f"(cum_end - n_tokens) % {CONTEXT_TOKENS}").alias("offset"),
+    )
+
+
 QUERIES = {
     "decontaminate_holdout": decontaminate_holdout,
+    "pack_sequences": pack_sequences,
     "text_tfidf_terms": text_tfidf_terms,
     "text_pii_redact": text_pii_redact,
     "embed_centroid_stats": embed_centroid_stats,
@@ -235,6 +274,26 @@ _ORACLE_NGRAMS = f"""
 """
 
 ORACLES = {
+    "pack_sequences": f"""
+        WITH toks AS (
+            SELECT doc_id, doc_id // {PACK_SHARD} AS shard,
+                   cast(len(string_split(text, ' ')) AS int) AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, shard, n_tokens,
+                   cast(sum(n_tokens) OVER (PARTITION BY shard
+                                            ORDER BY doc_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS bigint)
+                       AS cum_end
+            FROM toks
+        )
+        SELECT doc_id, shard, n_tokens,
+               (cum_end - n_tokens) // {CONTEXT_TOKENS} AS chunk,
+               (cum_end - n_tokens) % {CONTEXT_TOKENS} AS offset
+        FROM cum
+    """,
     "decontaminate_holdout": f"""
         WITH grams AS ({_ORACLE_NGRAMS}),
         bench AS (SELECT DISTINCT gram FROM grams WHERE is_bench),
