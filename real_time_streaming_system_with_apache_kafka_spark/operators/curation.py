@@ -236,7 +236,11 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, "documents", sf_dir)
     n_tok = F.size(F.split("text", " "))
-    shard = (F.col("doc_id") / PACK_SHARD).cast("long")
+    # Integer `div`, not float `/ ... cast(long)`: float division is
+    # only exact below 2^53 and truncates toward zero where the
+    # oracle's integer division floors — `div` matches exactly for
+    # every long doc_id.
+    shard = F.expr(f"doc_id div {PACK_SHARD}")
     w = Window.partitionBy("shard").orderBy("doc_id")
     toks = docs.select(
         "doc_id", shard.alias("shard"), n_tok.alias("n_tokens")

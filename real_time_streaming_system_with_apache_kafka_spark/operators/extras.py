@@ -86,8 +86,15 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array function surface over the embedding column: size, element
-    access, min/max, slice, sort, threshold-filter count, argmax."""
+    access, min/max, slice, sort, threshold-filter count, argmax.
+
+    The slice/sort results surface as SCALAR element columns (not raw
+    arrays): array-typed outputs are unsortable in a pandas-based
+    result canonicalizer, so the arrays stay inside the plan and each
+    probed element exits as its own float column."""
     emb = load(spark, "embeddings", sf_dir)
+    head4 = F.slice("embedding", 1, 4)
+    shead3 = F.slice(F.array_sort("embedding"), 1, 3)
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
@@ -96,8 +103,14 @@ def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at("embedding", F.lit(1)).alias("first_val"),
         F.array_max("embedding").alias("max_val"),
         F.array_min("embedding").alias("min_val"),
-        F.slice("embedding", 1, 4).alias("head4"),
-        F.slice(F.array_sort("embedding"), 1, 3).alias("sorted_head3"),
+        *[
+            F.try_element_at(head4, F.lit(i)).alias(f"head4_{i}")
+            for i in (1, 2, 3, 4)
+        ],
+        *[
+            F.try_element_at(shead3, F.lit(i)).alias(f"shead3_{i}")
+            for i in (1, 2, 3)
+        ],
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
         F.array_position(
             "embedding", F.array_max("embedding")
@@ -127,8 +140,18 @@ def agg_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         top.groupBy("o_orderpriority")
         .agg(
-            F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
-            F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+            # array_join-flattened: the sorted collection is built as an
+            # array inside the plan, but exits as a '|'-joined string so
+            # a pandas-based canonicalizer can sort/hash the frame.
+            F.array_join(
+                F.array_sort(F.collect_list("o_orderkey")).cast(
+                    "array<string>"
+                ),
+                "|",
+            ).alias("order_keys"),
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderstatus")), "|"
+            ).alias("statuses"),
             F.min_by("o_orderkey", ordkey).alias("cheapest_orderkey"),
             F.max_by("o_orderkey", ordkey).alias("priciest_orderkey"),
         )
@@ -230,8 +253,13 @@ ORACLES = {
                embedding[1] AS first_val,
                list_aggregate(embedding, 'max') AS max_val,
                list_aggregate(embedding, 'min') AS min_val,
-               embedding[1:4] AS head4,
-               list_sort(embedding)[1:3] AS sorted_head3,
+               embedding[1] AS head4_1,
+               embedding[2] AS head4_2,
+               embedding[3] AS head4_3,
+               embedding[4] AS head4_4,
+               list_sort(embedding)[1] AS shead3_1,
+               list_sort(embedding)[2] AS shead3_2,
+               list_sort(embedding)[3] AS shead3_3,
                cast(len(list_filter(embedding, x -> x > 0)) AS int) AS n_positive,
                cast(list_position(embedding, list_aggregate(embedding, 'max'))
                     AS bigint) AS argmax_1based
@@ -239,8 +267,9 @@ ORACLES = {
     """,
     "agg_collections": """
         SELECT o_orderpriority,
-               list_sort(list(o_orderkey)) AS order_keys,
-               list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+               array_to_string(list_sort(list(o_orderkey)), '|') AS order_keys,
+               array_to_string(list_sort(list(DISTINCT o_orderstatus)), '|')
+                   AS statuses,
                min_by(o_orderkey, lpad(cast(cast(o_totalprice AS decimal(18,2)) AS varchar), 21, '0')
                    || '|' || lpad(cast(o_orderkey AS varchar), 20, '0'))
                    AS cheapest_orderkey,

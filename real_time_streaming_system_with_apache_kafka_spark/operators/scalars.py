@@ -140,10 +140,14 @@ def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def f_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-type surface (extension — SURVEY §2.8 notes the reference
     has none): build a map<string,string> per event, then keys/values/
-    lookup/cardinality/membership. Output columns are map-DERIVED flat
-    types only: engines disagree on how a raw map column surfaces to
-    clients (DuckDB returns a key/value struct-of-lists), so the map
-    itself stays inside the plan."""
+    lookup/cardinality/membership. Output columns are map-DERIVED
+    SCALAR types only: engines disagree on how a raw map column
+    surfaces to clients (DuckDB returns a key/value struct-of-lists),
+    and array columns are unsortable/unhashable in a pandas-based
+    result canonicalizer — so the map AND the keys/values arrays stay
+    inside the plan, flattened to '|'-joined strings at the output
+    boundary (key order is the literal insertion order in both
+    engines)."""
     ev = load(spark, "events", sf_dir)
     m = F.create_map(
         F.lit("type"), F.col("event_type"),
@@ -152,8 +156,8 @@ def f_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("mk"),
-        F.map_values(m).alias("mv"),
+        F.concat_ws("|", F.map_keys(m)).alias("mk"),
+        F.concat_ws("|", F.map_values(m)).alias("mv"),
         F.element_at(m, F.lit("bucket")).alias("bucket"),
         F.size(m).alias("n_entries"),
         F.map_contains_key(m, F.lit("k")).alias("has_k"),
@@ -250,8 +254,8 @@ ORACLES = {
             FROM events
         )
         SELECT event_id,
-               map_keys(m) AS mk,
-               map_values(m) AS mv,
+               array_to_string(map_keys(m), '|') AS mk,
+               array_to_string(map_values(m), '|') AS mv,
                m['bucket'][1] AS bucket,  -- map extraction yields a 1-elem list
                cast(cardinality(m) AS int) AS n_entries,
                list_contains(map_keys(m), 'k') AS has_k

@@ -26,6 +26,27 @@ from real_time_streaming_system_with_apache_kafka_spark.sources.tables import lo
 
 HOUR_US = 3_600_000_000
 
+# Bias added to signed longs before fixed-width string encoding so the
+# lexicographic order equals the numeric order for NEGATIVE values too
+# (a bare lpad would sort "-5" after "0"). 2^62 covers every timestamp
+# from roughly year -144000 to +148000 and any id in [-2^62, 2^62).
+_ORD_BIAS = 2**62  # 4611686018427387904
+
+
+def _ordkey() -> "F.Column":
+    """Total order over (ts, event_id) as a fixed-width string — the
+    composite arg-min/arg-max key shared by ts_resample_locf and
+    ts_ohlc_bars (DuckDB's arg_max can't take a composite). Values are
+    bias-shifted by 2^62 before lpad so the string order is correct for
+    all longs in [-2^62, 2^62), including pre-1970 timestamps and
+    negative ids; the biased value is < 2^63, at most 19 digits, so
+    lpad-20 keeps it fixed-width."""
+    return F.concat(
+        F.lpad((F.unix_micros("ts") + _ORD_BIAS).cast("string"), 20, "0"),
+        F.lit("|"),
+        F.lpad((F.col("event_id") + _ORD_BIAS).cast("string"), 20, "0"),
+    )
+
 
 def ts_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily resample per user with last-observation-carried-forward:
@@ -34,14 +55,9 @@ def ts_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The daily close picks the row with max (ts, event_id) — a total
     order, so the survivor is engine-deterministic even on tied
-    timestamps. The key is a fixed-width string (epoch_us and ids are
-    non-negative) because DuckDB's arg_max can't take a composite."""
+    timestamps."""
     ev = load(spark, "events", sf_dir)
-    ordkey = F.concat(
-        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
-        F.lit("|"),
-        F.lpad(F.col("event_id").cast("string"), 20, "0"),
-    )
+    ordkey = _ordkey()
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
     ).agg(
@@ -97,16 +113,6 @@ def wf_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ordkey() -> "F.Column":
-    """Total order over (ts, event_id) as a fixed-width string — the
-    composite arg-min/arg-max key shared with ts_resample_locf."""
-    return F.concat(
-        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
-        F.lit("|"),
-        F.lpad(F.col("event_id").cast("string"), 20, "0"),
-    )
-
-
 def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC candlestick bars per event_type — the canonical
     market-data rollup the reference's dashboard approximates with its
@@ -159,9 +165,13 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population z-score outlier counts per event_type without any
     cross-engine float math: |x - mean| > 2*stddev is rewritten as
     (x*n - S)^2 > 4*(n*S2 - S^2) over exact integer sums of the
-    2-dp-quantized value (x scaled by 100), evaluated in decimal so it
-    cannot overflow at any corpus scale. Two passes over the same
-    grouped shuffle — Catalyst reuses the exchange."""
+    2-dp-quantized value (x scaled by 100), with n/S/S2 held in
+    decimal(38,0) to match the oracle's 128-bit hugeint. Exact bound:
+    the largest term is (x*n - S)^2 <= (|x|max * n)^2, which stays
+    under 10^38 for |value| <= 10^5 up to ~10^14 rows per group —
+    comfortably past 100 TB. Beyond that, divide by n first. Two
+    passes over the same grouped shuffle — Catalyst reuses the
+    exchange."""
     ev = load(spark, "events", sf_dir).select(
         "event_type",
         (F.col("value").cast("decimal(18,2)") * 100)
@@ -169,9 +179,9 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x"),
     )
     stats = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
-        F.sum("x").cast("decimal(19,0)").alias("s1"),
-        F.sum(F.col("x") * F.col("x")).cast("decimal(19,0)").alias("s2"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("s2"),
     )
     flagged = ev.join(F.broadcast(stats), "event_type").withColumn(
         "is_anomaly",
@@ -273,9 +283,12 @@ ORACLES = {
     "ts_resample_locf": """
         WITH daily AS (
             SELECT user_id, date_trunc('day', ts) AS day,
-                   arg_max(value, lpad(cast(epoch_us(ts) AS varchar), 20, '0')
-                                  || '|' ||
-                                  lpad(cast(event_id AS varchar), 20, '0')) AS close,
+                   arg_max(value,
+                           lpad(cast(epoch_us(ts) + 4611686018427387904
+                                     AS varchar), 20, '0')
+                           || '|' ||
+                           lpad(cast(event_id + 4611686018427387904
+                                     AS varchar), 20, '0')) AS close,
                    count(*) AS n_events
             FROM events
             GROUP BY 1, 2
@@ -308,16 +321,20 @@ ORACLES = {
     """,
     "ts_ohlc_bars": """
         SELECT event_type, date_trunc('hour', ts) AS bar_hour,
-               arg_min(value, lpad(cast(epoch_us(ts) AS varchar), 20, '0')
-                              || '|' ||
-                              lpad(cast(event_id AS varchar), 20, '0'))
-                   AS open,
+               arg_min(value,
+                       lpad(cast(epoch_us(ts) + 4611686018427387904
+                                 AS varchar), 20, '0')
+                       || '|' ||
+                       lpad(cast(event_id + 4611686018427387904
+                                 AS varchar), 20, '0')) AS open,
                max(value) AS high,
                min(value) AS low,
-               arg_max(value, lpad(cast(epoch_us(ts) AS varchar), 20, '0')
-                              || '|' ||
-                              lpad(cast(event_id AS varchar), 20, '0'))
-                   AS close,
+               arg_max(value,
+                       lpad(cast(epoch_us(ts) + 4611686018427387904
+                                 AS varchar), 20, '0')
+                       || '|' ||
+                       lpad(cast(event_id + 4611686018427387904
+                                 AS varchar), 20, '0')) AS close,
                count(*) AS n_trades,
                cast(sum(cast(value AS decimal(38,6))) AS double) AS volume
         FROM events

@@ -15,6 +15,84 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# The external correctness harness certifies the FIRST 50 ``queries()``
+# entries per round (dict insertion order). Rounds 1-2 spent both
+# windows on the SURVEY §2 relational core (now twice driver-green);
+# round 3 rotates the LLM-data-pipeline suite (dedup / similarity /
+# text / curation / sampling / pipeline analytics / time-series) into
+# the window, keeping three §2 sentinels (flagship window agg, Q0
+# snapshot, star join) pinned so the core never goes a round without a
+# driver-signed row. Entries NOT listed keep module order after the
+# priority block and stay covered by the local DuckDB parity suite
+# (tests/test_correctness.py) every round.
+_PRIORITY: list[str] = [
+    # §2 sentinels — pinned every round.
+    "w1_minute_activity",
+    "q0_snapshot_topk",
+    "j1_star_join_revenue",
+    # Deduplication suite.
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_cc_survivors",
+    # Similarity / ANN suite.
+    "sim_bruteforce_topk",
+    "sim_ivf_topk",
+    "sim_ivf_kmeans_topk",
+    "sim_lsh_topk",
+    # Text analysis suite.
+    "corpus_curation_pipeline",
+    "text_stats_quality",
+    "text_langid",
+    "text_langid_confusion",
+    "text_fingerprint",
+    "text_token_stats_by_lang",
+    # Curation suite.
+    "decontaminate_holdout",
+    "pack_sequences",
+    "text_tfidf_terms",
+    "text_pii_redact",
+    "embed_centroid_stats",
+    "profile_length_histogram",
+    # Deterministic sampling / splits.
+    "split_train_holdout",
+    "sample_events_deterministic",
+    "agg_distinct_twophase",
+    "sample_stratified_balanced",
+    # Pipeline analytics.
+    "funnel_conversion",
+    "cohort_retention",
+    "tokens_top_terms",
+    "text_repetition_signals",
+    # Time-series suite.
+    "ts_resample_locf",
+    "wf_range_frame",
+    "ts_ohlc_bars",
+    "ts_gap_stats",
+    "anomaly_zscore",
+    "ts_ewma_exact",
+    "scd2_user_state",
+    # Multimodal plumbing (oracled entries only; the rows-only
+    # mm_feature_extract emits an array column and stays outside the
+    # window — array outputs break the harness's pandas canonicalizer).
+    "mm_decode_metadata",
+    "mm_frame_sample",
+    # Array-surface queries whose outputs were flattened this round —
+    # in-window to prove the driver canonicalizer now accepts them.
+    "f_map_funcs",
+    "f_array_funcs",
+    "agg_collections",
+    # Oracled queries that have never had a driver-signed row.
+    "sessionize_events",
+    "wf_rank_family",
+    "q1_pricing_summary",
+    # Flagship windows trio (rest of it).
+    "w1_tumbling_window",
+    "w6_sliding_window",
+]
+
 _MODULES: list[str] = [
     "real_time_streaming_system_with_apache_kafka_spark.operators.windows",
     "real_time_streaming_system_with_apache_kafka_spark.operators.relational",
@@ -56,7 +134,14 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     unknown = set(oracles) - set(queries)
     if unknown:
         raise ValueError(f"oracles without queries: {sorted(unknown)}")
-    return queries, oracles
+    missing = [k for k in _PRIORITY if k not in queries]
+    if missing:
+        raise ValueError(f"priority keys without queries: {missing}")
+    if len(set(_PRIORITY)) != len(_PRIORITY):
+        raise ValueError("duplicate keys in _PRIORITY")
+    ordered = {k: queries[k] for k in _PRIORITY}
+    ordered.update((k, v) for k, v in queries.items() if k not in ordered)
+    return ordered, oracles
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -102,10 +102,16 @@ def ohlc_bars_stream(
     """
     if watermark is not None:
         trades = trades.withWatermark("timestamp", watermark)
+    # Timestamp is bias-shifted by 2^62 before lpad (shared convention
+    # with the batch _ordkey) so the lexicographic order is correct for
+    # pre-1970 timestamps too; trade_id is an opaque STRING id, where
+    # plain fixed-width lpad is already a total order.
     ordkey = F.concat(
-        F.lpad(F.unix_micros("timestamp").cast("string"), 20, "0"),
+        F.lpad(
+            (F.unix_micros("timestamp") + 2**62).cast("string"), 20, "0"
+        ),
         F.lit("|"),
-        F.lpad(F.col("trade_id").cast("string"), 20, "0"),
+        F.lpad(F.col("trade_id"), 20, "0"),
     )
     return (
         trades.groupBy(

@@ -160,7 +160,8 @@ def main() -> None:
             for k in results[hi]
             if results[lo][k] > 0
         }
-    with open(os.path.join(REPO, "SOAK_r2.json"), "w") as f:
+    out_name = os.environ.get("SOAK_OUT", "SOAK_r3.json")
+    with open(os.path.join(REPO, out_name), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report))
 
