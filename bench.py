@@ -59,6 +59,12 @@ HEADLINE = [
     # n-gram inverted index, and the hourly OHLC market rollup.
     "decontaminate_holdout",
     "ts_ohlc_bars",
+    # Round-3 additions: skew-resilient shapes, the deterministic
+    # global training-order shuffle, and the vocabulary inverted index.
+    "agg_salted_skew",
+    "join_salted_skew",
+    "shuffle_global_order",
+    "text_inverted_index",
 ]
 
 

@@ -215,6 +215,52 @@ def profile_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIN_DF = 20  # inverted-index vocabulary floor
+POSTINGS_SAMPLE = 5  # leading doc_ids kept per term
+
+
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term -> (document frequency, leading postings) inverted index —
+    the lookup structure behind corpus search and n-gram dedup audits.
+
+    Output is vocabulary-bounded: terms with df >= {MIN_DF}, each with
+    its exact df and the first {POSTINGS_SAMPLE} posting doc_ids
+    ('|'-joined in numeric order; full posting lists for hot terms are
+    corpus-sized and belong in a store, not a result set).
+
+    Scale shape: df is one hash aggregation over the exploded distinct
+    terms; the postings sample is a rank window that Spark's
+    WindowGroupLimit pushes map-side, so each task keeps at most
+    {POSTINGS_SAMPLE} rows per term BEFORE the shuffle — a hot
+    stopword's million postings never travel. The final df-to-postings
+    join is vocabulary-sized.
+    """
+    docs = load(spark, "documents", sf_dir)
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+    )
+    df_t = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    postings = (
+        terms.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= POSTINGS_SAMPLE)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("doc_id")).cast("array<string>"),
+                "|",
+            ).alias("postings_head")
+        )
+    )
+    return (
+        df_t.filter(F.col("df") >= MIN_DF)
+        .join(postings, "term")
+        .select("term", "df", "postings_head")
+        .orderBy("term")
+    )
+
+
 CONTEXT_TOKENS = 512  # packing target (context window)
 PACK_SHARD = 100  # docs per packing shard
 
@@ -264,6 +310,7 @@ QUERIES = {
     "text_pii_redact": text_pii_redact,
     "embed_centroid_stats": embed_centroid_stats,
     "profile_length_histogram": profile_length_histogram,
+    "text_inverted_index": text_inverted_index,
 }
 
 _ORACLE_NGRAMS = f"""
@@ -278,6 +325,32 @@ _ORACLE_NGRAMS = f"""
 """
 
 ORACLES = {
+    "text_inverted_index": f"""
+        WITH terms AS (
+            SELECT doc_id,
+                   unnest(list_distinct(string_split(text, ' '))) AS term
+            FROM documents
+        ),
+        df AS (
+            SELECT term, count(*) AS df FROM terms GROUP BY term
+        ),
+        ranked AS (
+            SELECT term, doc_id,
+                   row_number() OVER (PARTITION BY term ORDER BY doc_id)
+                       AS rn
+            FROM terms
+        ),
+        heads AS (
+            SELECT term,
+                   array_to_string(list_sort(list(doc_id)), '|')
+                       AS postings_head
+            FROM ranked WHERE rn <= {POSTINGS_SAMPLE} GROUP BY term
+        )
+        SELECT term, df, postings_head
+        FROM df JOIN heads USING (term)
+        WHERE df >= {MIN_DF}
+        ORDER BY term
+    """,
     "pack_sequences": f"""
         WITH toks AS (
             SELECT doc_id, doc_id // {PACK_SHARD} AS shard,

@@ -106,11 +106,61 @@ def sample_stratified_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shuffle_global_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets
+    a dense position 0..N-1 in md5-hash order — the reproducible
+    "shuffled dataset" a pretraining run consumes, identical on every
+    engine, run, and cluster size.
+
+    A naive ``row_number() OVER (ORDER BY hash)`` is a single-reducer
+    global sort. The distributed form here is the classic two-phase
+    rank: (1) bucket by the hash's first byte (256 buckets), (2) count
+    rows per bucket — a 256-row aggregate, broadcast back as exclusive
+    prefix-sum offsets, (3) rank WITHIN each bucket (256-way parallel
+    window) and add the bucket's offset. Because the bucket is the
+    hash's most-significant byte, within-bucket hash order concatenated
+    in bucket order IS the global hash order — same answer as the
+    naive plan, shuffle bounded by the bucket count, not the corpus.
+    md5 collisions are broken by doc_id so the order is total even if
+    two keys ever hashed alike."""
+    from pyspark.sql import Window
+
+    docs = load(spark, "documents", sf_dir)
+    h = F.md5(F.concat_ws("#", F.lit("shuffle_v1"), F.col("doc_id")))
+    keyed = docs.select("doc_id", h.alias("h"), F.substring(h, 1, 2).alias("b"))
+    offsets = (
+        keyed.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "b",
+            (
+                F.sum("n").over(
+                    Window.orderBy("b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                )
+            ).alias("offset"),
+        )
+        .fillna(0, ["offset"])
+    )
+    wb = Window.partitionBy("b").orderBy("h", "doc_id")
+    return (
+        keyed.join(F.broadcast(offsets), "b")
+        .select(
+            "doc_id",
+            (F.row_number().over(wb) - 1 + F.col("offset")).alias(
+                "shuffle_pos"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "split_train_holdout": split_train_holdout,
     "sample_events_deterministic": sample_events_deterministic,
     "agg_distinct_twophase": agg_distinct_twophase,
     "sample_stratified_balanced": sample_stratified_balanced,
+    "shuffle_global_order": shuffle_global_order,
 }
 
 ORACLES = {
@@ -141,5 +191,15 @@ ORACLES = {
         FROM documents JOIN c USING (lang)
         WHERE {_oracle_bucket('doc_id', 'strat_v1')} * stratum_n
               < {TARGET_PER_STRATUM * 100}
+    """,
+    # The oracle is the naive single-sort global rank: the two-phase
+    # bucketed plan must be indistinguishable in the result.
+    "shuffle_global_order": """
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY md5('shuffle_v1' || '#' || cast(doc_id AS varchar)),
+                            doc_id
+               ) - 1 AS shuffle_pos
+        FROM documents
     """,
 }

@@ -352,11 +352,44 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_topk(candidates)
 
 
+RANGE_THRESHOLD = 0.25  # rounded-cosine radius for range search
+
+
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine RANGE search (radius query): every corpus vector within
+    cosine >= {RANGE_THRESHOLD} of each query vector — the "all
+    sufficiently similar" retrieval vector stores expose alongside
+    top-k (and the primitive semantic dedup thresholds are built on).
+
+    The threshold test runs on the 9-dp-rounded quantized-integer
+    cosine, so the accept/reject decision is bit-identical across
+    engines — no pair can flip on a last-ulp float difference. Same
+    broadcast-queries shape as the brute-force baseline: exact, scan-
+    parallel, O(queries x corpus); the IVF/LSH variants above are the
+    pruned scale paths for bigger query sets."""
+    emb = load(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = F.broadcast(q).crossJoin(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+        )
+    )
+    return (
+        pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qe"), F.col("ne")))
+        .filter(F.col("cos") >= RANGE_THRESHOLD)
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+
 QUERIES = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_kmeans_topk": sim_ivf_kmeans_topk,
     "sim_lsh_topk": sim_lsh_topk,
+    "sim_range_search": sim_range_search,
 }
 
 ORACLES = {
@@ -378,4 +411,12 @@ ORACLES = {
         FROM ranked WHERE rank <= {TOP_K}
     """,
     # sim_ivf_topk: rows-only (recall contract tested in pytest).
+    "sim_range_search": f"""
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               {oracle_cosine('q.embedding', 'n.embedding')} AS cos
+        FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN embeddings n
+        WHERE q.vec_id <> n.vec_id
+          AND {oracle_cosine('q.embedding', 'n.embedding')} >= {RANGE_THRESHOLD}
+    """,
 }

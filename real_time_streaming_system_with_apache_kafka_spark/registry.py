@@ -113,6 +113,7 @@ _MODULES: list[str] = [
     "real_time_streaming_system_with_apache_kafka_spark.operators.sampling",
     "real_time_streaming_system_with_apache_kafka_spark.operators.pipeline_analytics",
     "real_time_streaming_system_with_apache_kafka_spark.operators.curation",
+    "real_time_streaming_system_with_apache_kafka_spark.operators.skew",
 ]
 
 

@@ -356,3 +356,38 @@ def test_tfidf_df_and_count_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # Spark's rank-pushdown prunes per-doc rows before the final sort.
     assert "WindowGroupLimit" in plan
+
+
+def test_salted_agg_two_phase_shape(spark, sf_dir):
+    """The salted aggregation's first exchange keys on (event_type,
+    salt) — hot keys fan out — and the merge exchange moves only
+    keys x N_SALT rows."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import skew
+
+    plan = _plan(skew.agg_salted_skew(spark, sf_dir))
+    assert "salt" in plan and "hashpartitioning" in plan
+    # Both branches partial-aggregate map-side before their exchange.
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shuffle_global_order_no_global_sort(spark, sf_dir):
+    """The two-phase global rank must never range-partition the corpus
+    into one global sort: the corpus-side window partitions by the
+    hash-prefix bucket; the only single-partition stage is the 256-row
+    offsets window."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import sampling
+
+    plan = _plan(sampling.shuffle_global_order(spark, sf_dir))
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning(b" in plan
+    assert "BroadcastHashJoin" in plan  # offsets join back by broadcast
+
+
+def test_inverted_index_rank_pushdown(spark, sf_dir):
+    """The postings sample must prune map-side (WindowGroupLimit): a
+    hot term's full posting list never travels the shuffle."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import curation
+
+    plan = _plan(curation.text_inverted_index(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
