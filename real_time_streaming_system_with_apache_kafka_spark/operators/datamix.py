@@ -1,0 +1,275 @@
+"""Dataset-mixing and incremental-ingest operators — the corpus
+assembly layer of a training-data pipeline: what gets ADDED to an
+existing corpus, which copy survives across sources, how much of each
+language/domain enters the mix, and at what sampling weight.
+
+All deterministic (md5 orderings, exact integer token counts) so the
+assembled mix is reproducible across engines, runs, and cluster sizes.
+
+Scale shapes:
+- Incremental dedup is one hash anti-join of the new batch against the
+  historical digest store — the historical TEXT never moves, only its
+  digests; at 100 TB the store is a bucketed digest table and the join
+  is shuffle-free on the bucket key.
+- Cross-source survivor choice is one min_by hash aggregation keyed on
+  content digest (priority rides in the arg-min key).
+- Token-budget selection is a per-language window cumsum in hash
+  order: one shuffle on the language key, same shard-cumsum shape as
+  ``pack_sequences``.
+- Mix weights are a language-count aggregate (tiny) joined broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
+
+# The synthetic corpus has no batch column; split on doc_id so the
+# "historical corpus" and "incoming batch" are disjoint, deterministic,
+# and reproducible in the oracle.
+INGEST_MOD = 5  # doc_id % 5 == 0 -> incoming batch, else historical
+
+TOKEN_BUDGET = 2_500  # per-language token budget for the mix
+
+# Source priority for cross-source survivor choice (position = rank;
+# unlisted sources rank last). The fixture's sources are src0..src19;
+# a real recipe would list e.g. wiki > books > web here.
+SOURCE_PRIORITY = ["src7", "src3", "src11", "src0"]
+
+
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup of an incoming batch against the
+    historical corpus: a new document is admitted iff its content
+    digest is unseen in history AND it is the first (lowest doc_id)
+    copy within its own batch.
+
+    The anti-join touches only digests — at 100 TB the history side is
+    a digest store, not the corpus — and the within-batch survivor is
+    the same min-per-group window as every other dedup here. The
+    digest is the word-order-insensitive fingerprint (sorted distinct
+    words, as in ``text_fingerprint``): the fixture's duplicate
+    structure lives at that level, so the gate genuinely rejects
+    batch docs whose fingerprint is already in history."""
+    docs = load(spark, "documents", sf_dir)
+    digest = F.md5(
+        F.concat_ws(
+            " ", F.array_sort(F.array_distinct(F.split("text", " ")))
+        )
+    ).alias("content_hash")
+    history = docs.filter(
+        F.col("doc_id") % INGEST_MOD != 0
+    ).select(digest)
+    batch = docs.filter(F.col("doc_id") % INGEST_MOD == 0).select(
+        "doc_id", "lang", digest
+    )
+    w = Window.partitionBy("content_hash")
+    return (
+        batch.join(history.distinct(), "content_hash", "left_anti")
+        .withColumn("keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep"))
+        .select("doc_id", "lang", "content_hash")
+    )
+
+
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact dedup with a quality-preference survivor:
+    among copies of the same content, keep the one from the
+    highest-priority source ({SOURCE_PRIORITY}), tie-broken by lowest
+    doc_id — the "prefer the curated copy" rule pipelines apply when
+    the same text arrives from multiple feeds.
+
+    One min_by hash aggregation; the priority is an integer that rides
+    inside the fixed-width arg-min key, so survivor choice is a single
+    shuffle and engine-deterministic. Keyed on the word-order-
+    insensitive fingerprint (the fixture's dup groups span up to 17
+    sources at that level)."""
+    docs = load(spark, "documents", sf_dir)
+    prio = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(i))
+            for i, s in enumerate(SOURCE_PRIORITY)
+        ],
+        F.lit(len(SOURCE_PRIORITY)),
+    )
+    # (priority, doc_id) fixed-width arg-min key; both non-negative.
+    ordkey = F.concat(
+        F.lpad(prio.cast("string"), 2, "0"),
+        F.lit("|"),
+        F.lpad(F.col("doc_id").cast("string"), 20, "0"),
+    )
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    )
+    return (
+        docs.groupBy(fp.alias("content_hash"))
+        .agg(
+            F.min_by("doc_id", ordkey).alias("keep_doc_id"),
+            F.min_by("source", ordkey).alias("keep_source"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .select(
+            "content_hash", "keep_doc_id", "keep_source", "n_copies", "n_sources"
+        )
+    )
+
+
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget selection: admit documents in
+    deterministic md5 order until each language's running token total
+    reaches {TOKEN_BUDGET} (the document that crosses the line is
+    admitted — budgets are floors, matching greedy mix assembly).
+
+    One shuffle on lang for the window cumsum; the hash order makes
+    the selected subset a reproducible uniform sample of each
+    language, not a doc_id-prefix artifact."""
+    docs = load(spark, "documents", sf_dir)
+    n_tok = F.size(F.split("text", " "))
+    h = F.md5(F.concat_ws("#", F.lit("budget_v1"), F.col("doc_id")))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = docs.select(
+        "doc_id", "lang", n_tok.alias("n_tokens"), h.alias("h")
+    )
+    return (
+        scored.withColumn(
+            "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .filter(F.col("tokens_before") < TOKEN_BUDGET)
+        .select("doc_id", "lang", "n_tokens", "tokens_before")
+    )
+
+
+def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weight table: per (source) token share and the
+    integer per-million sampling weight that reshapes the corpus to a
+    UNIFORM target mix across sources — the epochs-per-domain knob of
+    a pretraining data recipe.
+
+    weight_ppm = floor(target_share / actual_share * 1e6) with the
+    shares as exact integer token counts: weight_ppm = floor(
+    total_tokens * 1e6 / (n_sources * source_tokens)) — all integer
+    arithmetic, engine-identical. Tiny aggregate; the weight table is
+    what a sampler broadcast-joins back against the corpus."""
+    docs = load(spark, "documents", sf_dir)
+    n_tok = F.size(F.split("text", " "))
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok.cast("bigint")).alias("source_tokens"),
+    )
+    totals = per_source.agg(
+        F.sum("source_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "source_tokens",
+            # Integral `div` on decimal(38,0) (not `/` + cast): decimal
+            # `/` rounds to the result scale BEFORE any floor, which
+            # could flip a boundary value; `div` truncates exactly like
+            # the oracle's hugeint `//`, and decimal(38,0) holds
+            # total_tokens * 1e6 far past bigint's 9.2e12-token limit.
+            F.expr(
+                "(cast(total_tokens AS decimal(38,0)) * 1000000)"
+                " div (n_sources * source_tokens)"
+            ).alias("weight_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES = {
+    "dedup_incremental_ingest": dedup_incremental_ingest,
+    "dedup_cross_source": dedup_cross_source,
+    "sample_token_budget": sample_token_budget,
+    "mix_domain_weights": mix_domain_weights,
+}
+
+ORACLES = {
+    "dedup_incremental_ingest": f"""
+        WITH fp AS (
+            SELECT doc_id, lang,
+                   md5(list_aggregate(list_sort(list_distinct(
+                       string_split(text, ' '))), 'string_agg', ' '))
+                       AS content_hash
+            FROM documents
+        ),
+        history AS (
+            SELECT DISTINCT content_hash
+            FROM fp WHERE doc_id % {INGEST_MOD} <> 0
+        ),
+        batch AS (
+            SELECT doc_id, lang, content_hash
+            FROM fp WHERE doc_id % {INGEST_MOD} = 0
+        )
+        SELECT doc_id, lang, content_hash
+        FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM history h
+                          WHERE h.content_hash = b.content_hash)
+        QUALIFY doc_id = min(doc_id) OVER (PARTITION BY content_hash)
+    """,
+    "dedup_cross_source": f"""
+        WITH keyed AS (
+            SELECT doc_id, source,
+                   md5(list_aggregate(list_sort(list_distinct(
+                       string_split(text, ' '))), 'string_agg', ' '))
+                       AS content_hash,
+                   lpad(cast(CASE
+                       {' '.join(f"WHEN source = '{s}' THEN {i}" for i, s in enumerate(SOURCE_PRIORITY))}
+                       ELSE {len(SOURCE_PRIORITY)} END AS varchar), 2, '0')
+                   || '|' || lpad(cast(doc_id AS varchar), 20, '0') AS ordkey
+            FROM documents
+        )
+        SELECT content_hash,
+               min_by(doc_id, ordkey) AS keep_doc_id,
+               min_by(source, ordkey) AS keep_source,
+               count(*) AS n_copies,
+               count(DISTINCT source) AS n_sources
+        FROM keyed
+        GROUP BY content_hash
+    """,
+    "sample_token_budget": f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   cast(len(string_split(text, ' ')) AS int) AS n_tokens,
+                   md5('budget_v1' || '#' || cast(doc_id AS varchar)) AS h
+            FROM documents
+        )
+        SELECT doc_id, lang, n_tokens, tokens_before
+        FROM (
+            SELECT doc_id, lang, n_tokens,
+                   cast(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS bigint) AS tokens_before
+            FROM scored
+        )
+        WHERE tokens_before < {TOKEN_BUDGET}
+    """,
+    "mix_domain_weights": """
+        WITH per_source AS (
+            SELECT source, count(*) AS n_docs,
+                   cast(sum(len(string_split(text, ' '))) AS bigint)
+                       AS source_tokens
+            FROM documents GROUP BY source
+        ),
+        totals AS (
+            SELECT cast(sum(source_tokens) AS bigint) AS total_tokens,
+                   count(*) AS n_sources
+            FROM per_source
+        )
+        SELECT source, n_docs, source_tokens,
+               cast(cast(total_tokens AS hugeint) * 1000000
+                    // (n_sources * source_tokens) AS bigint) AS weight_ppm
+        FROM per_source CROSS JOIN totals
+        ORDER BY source
+    """,
+}
