@@ -37,11 +37,13 @@ _PRIORITY: list[str] = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_cc_survivors",
-    # Similarity / ANN suite.
+    # Similarity / ANN suite. (sim_ivf_kmeans_topk stays outside: it is
+    # rows-only by design AND iterative — the window slot buys more
+    # signal spent on the oracled range search.)
     "sim_bruteforce_topk",
     "sim_ivf_topk",
-    "sim_ivf_kmeans_topk",
     "sim_lsh_topk",
+    "sim_range_search",
     # Text analysis suite.
     "corpus_curation_pipeline",
     "text_stats_quality",

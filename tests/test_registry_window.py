@@ -30,8 +30,8 @@ ROTATED_SUITES = {
     "similarity": [
         "sim_bruteforce_topk",
         "sim_ivf_topk",
-        "sim_ivf_kmeans_topk",
         "sim_lsh_topk",
+        "sim_range_search",
     ],
     "text": [
         "corpus_curation_pipeline",

@@ -109,3 +109,37 @@ def test_dedup_state_is_evicted_by_watermark(spark, tmp_path):
     # (plain dropDuplicates) the last batch would report 15.
     assert state_rows, "no state metrics captured"
     assert max(state_rows) <= 10, state_rows
+
+
+def test_ordkey_total_order_for_negative_timestamps(spark):
+    """ADVICE r2: a zero-lpadded signed long breaks the string total
+    order ('-5' sorts after '0'). The bias-shifted _ordkey must pick
+    the true earliest/latest rows even when timestamps predate 1970
+    and event ids are negative."""
+    import datetime as dt
+
+    from real_time_streaming_system_with_apache_kafka_spark.operators import timeseries
+
+    rows = [
+        # (event_id, ts, value): pre-1970 timestamps sort BEFORE 1970+.
+        (-5, dt.datetime(1969, 12, 31, 23, 0, 0), 1.0),
+        (-1, dt.datetime(1969, 12, 31, 23, 30, 0), 2.0),
+        (7, dt.datetime(1970, 1, 1, 0, 30, 0), 3.0),
+        # Tied timestamp: negative id must order before positive.
+        (-9, dt.datetime(1970, 1, 1, 0, 45, 0), 4.0),
+        (9, dt.datetime(1970, 1, 1, 0, 45, 0), 5.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "x", v) for i, t, v in rows],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    bars = (
+        df.groupBy("event_type")
+        .agg(
+            F.min_by("value", timeseries._ordkey()).alias("open"),
+            F.max_by("value", timeseries._ordkey()).alias("close"),
+        )
+        .collect()[0]
+    )
+    assert bars.open == 1.0  # the 23:00 pre-epoch row, not a sign artifact
+    assert bars.close == 5.0  # tied ts resolved by id: 9 after -9
