@@ -55,3 +55,62 @@ def test_exposure_tracker_state_across_batches(spark, tmp_path):
     # State actually persisted across batches: at least one counterparty
     # emitted more than once (8 counterparties, 2 batches of 500).
     assert max(emissions.values()) == 2
+
+
+def test_token_budget_gate_state_across_batches(spark, tmp_path):
+    """The streaming budget gate must admit greedily in doc_id order
+    WITHIN a batch and carry the admitted-token state ACROSS batches:
+    the union of admissions equals the single-pass greedy prefix over
+    the same arrival order."""
+    import json
+
+    from real_time_streaming_system_with_apache_kafka_spark.streaming import budget
+
+    docs = [  # (doc_id, lang, n_tokens) — en budget crosses in batch 2
+        (1, "en", 900), (2, "en", 900), (3, "de", 400),
+        (10, "en", 900), (11, "en", 900), (12, "de", 400),
+    ]
+    d = tmp_path / "docs"
+    d.mkdir()
+    # Two files -> two deterministic micro-batches (doc_id <10 first).
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, batch in enumerate((docs[:3], docs[3:])):
+        f = d / f"b{i}.json"
+        f.write_text(
+            "\n".join(
+                json.dumps({"doc_id": i_, "lang": l, "n_tokens": n})
+                for i_, l, n in batch
+            )
+            + "\n"
+        )
+        # The file source orders micro-batches by modification time;
+        # pin distinct mtimes so batch 0 is deterministically first.
+        _os.utime(f, (now - 100 + i * 50, now - 100 + i * 50))
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, n_tokens int")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    gated = budget.token_budget_gate(stream, budget=2_500)
+    from real_time_streaming_system_with_apache_kafka_spark.streaming import sinks
+
+    q = sinks.start_memory_sink(gated, "budget_gate", output_mode="append")
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.doc_id: (r.lang, r.n_tokens, r.tokens_before)
+        for r in spark.sql("SELECT * FROM budget_gate").collect()
+    }
+    # en: 900+900 in batch1 (before=0,900); batch2 admits doc 10 at
+    # before=1800 (crossing doc admitted: 1800 < 2500) and REJECTS doc
+    # 11 (before=2700 >= 2500). de admits everything (800 << 2500).
+    assert got == {
+        1: ("en", 900, 0),
+        2: ("en", 900, 900),
+        10: ("en", 900, 1800),
+        3: ("de", 400, 0),
+        12: ("de", 400, 400),
+    }
