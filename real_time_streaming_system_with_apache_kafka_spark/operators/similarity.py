@@ -410,7 +410,63 @@ ORACLES = {
         SELECT query_id, cast(rank AS int) AS rank, neighbor_id, cos
         FROM ranked WHERE rank <= {TOP_K}
     """,
-    # sim_ivf_topk: rows-only (recall contract tested in pytest).
+    # Full IVF twin: decimal-exact per-(label,dim) centroid means
+    # (varchar-parsed decimal->double = Spark's correctly-rounded
+    # BigDecimal cast), NPROBE cell probe by rounded quantized cosine,
+    # exact rank within probed cells. Upgraded from rows-only in r3 —
+    # the whole plan is SQL-expressible because init and means are
+    # deterministic (unlike the learned-k-means variant, which stays
+    # rows-only + pytest recall contract).
+    "sim_ivf_topk": f"""
+        WITH exploded AS (
+            SELECT label,
+                   unnest(embedding) AS x,
+                   unnest(generate_series(1, len(embedding))) AS dim
+            FROM embeddings
+        ),
+        per_dim AS (
+            SELECT label, dim,
+                   cast(cast(sum(cast(cast(x AS double) AS decimal(30,15)))
+                             AS varchar) AS double) / count(*) AS mean_x
+            FROM exploded GROUP BY label, dim
+        ),
+        cents AS (
+            SELECT label, list(mean_x ORDER BY dim) AS centroid
+            FROM per_dim GROUP BY label
+        ),
+        q AS (
+            SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ),
+        probed AS (
+            SELECT query_id, qe, label
+            FROM (
+                SELECT q.query_id, q.qe, c.label,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {oracle_cosine('q.qe', 'c.centroid')}
+                                    DESC, c.label
+                       ) AS cell_rank
+                FROM q CROSS JOIN cents c
+            )
+            WHERE cell_rank <= {NPROBE}
+        ),
+        scored AS (
+            SELECT p.query_id, e.vec_id AS neighbor_id,
+                   {oracle_cosine('p.qe', 'e.embedding')} AS cos
+            FROM probed p JOIN embeddings e ON p.label = e.label
+            WHERE p.query_id <> e.vec_id
+        )
+        SELECT query_id, cast(rank AS int) AS rank, neighbor_id, cos
+        FROM (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id)
+                       AS rank
+            FROM scored
+        )
+        WHERE rank <= {TOP_K}
+    """,
     "sim_range_search": f"""
         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
                {oracle_cosine('q.embedding', 'n.embedding')} AS cos
