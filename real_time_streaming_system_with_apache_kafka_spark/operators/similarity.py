@@ -249,6 +249,13 @@ def make_signature_udf(
     workers; must not reference this package — see
     functions/arrays.py:make_qcosine_udf).
 
+    Sign bits come from a QUANTIZED integer dot (embeddings at 7dp,
+    planes at 6dp — products <= ~3.6e13, 64-term sums <= ~2.3e15 <
+    2^53, every float64 addition exact in any order), so the bucket
+    assignment is bit-identical across BLAS implementations AND
+    SQL-expressible: the DuckDB oracle inlines the same quantized
+    planes as literals and recomputes identical signatures.
+
     At 100 TB the bucketing is one Arrow batch scan of the embedding
     column: (batch x dim) @ (dim x tables*planes) BLAS, no shuffle.
     """
@@ -270,7 +277,11 @@ def make_signature_udf(
                 for t in range(n_tables)
             ]
         )
-        bits = (X @ planes.T >= 0).astype(np.uint8) + ord("0")  # (n, T*P)
+        # Half-away-from-zero quantization, same convention as the
+        # cosine kernel (functions/arrays.py).
+        Qx = np.floor(np.abs(X) * 1e7 + 0.5) * np.sign(X)
+        Qp = np.floor(np.abs(planes) * 1e6 + 0.5) * np.sign(planes)
+        bits = (Qx @ Qp.T >= 0).astype(np.uint8) + ord("0")  # (n, T*P)
         return pd.Series(
             [
                 [
@@ -352,6 +363,99 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_topk(candidates)
 
 
+def _lsh_oracle_sql() -> str:
+    """DuckDB twin of sim_lsh_topk, possible because the signature
+    kernel is quantized-integer: the seeded hyperplanes are
+    regenerated here (same PCG64 streams), quantized at 6dp to exact
+    integers, and inlined as SQL literals; sign(sum(qx * w)) over the
+    7dp-quantized embedding is then exact decimal arithmetic in DuckDB
+    and exact integer-in-float64 arithmetic in numpy — identical
+    buckets by construction, not by luck. The probe fan-out
+    (per-table bucket + Hamming-1 flips), candidate dedup, and exact
+    cosine rank mirror the DataFrame plan."""
+    import numpy as np
+
+    planes = np.concatenate(
+        [
+            np.random.default_rng(_LSH_SEED + t).standard_normal(
+                (N_PLANES, EMBEDDING_DIM)
+            )
+            for t in range(N_TABLES)
+        ]
+    )
+    qp = (np.floor(np.abs(planes) * 1e6 + 0.5) * np.sign(planes)).astype(
+        np.int64
+    )
+
+    def bit(t: int, p: int) -> str:
+        w = ", ".join(str(v) for v in qp[t * N_PLANES + p])
+        return (
+            "CASE WHEN list_sum(list_transform(list_zip(embedding, "
+            f"[{w}]), pr -> cast(cast(pr[1] AS double) AS decimal(9,7)) "
+            "* pr[2])) >= 0 THEN '1' ELSE '0' END"
+        )
+
+    sig_cols = ", ".join(
+        " || ".join(bit(t, p) for p in range(N_PLANES)) + f" AS sig{t}"
+        for t in range(N_TABLES)
+    )
+    corpus_buckets = ", ".join(
+        f"'{t}:' || sig{t}" for t in range(N_TABLES)
+    )
+
+    def flips(t: int) -> list[str]:
+        out = [f"'{t}:' || sig{t}"]
+        for i in range(N_PLANES):
+            out.append(
+                f"'{t}:' || substr(sig{t}, 1, {i}) || "
+                f"(CASE WHEN substr(sig{t}, {i + 1}, 1) = '1' "
+                f"THEN '0' ELSE '1' END) || "
+                f"substr(sig{t}, {i + 2}, {N_PLANES - i - 1})"
+            )
+        return out
+
+    probe_buckets = ", ".join(p for t in range(N_TABLES) for p in flips(t))
+
+    return f"""
+        WITH sigs AS (
+            SELECT vec_id, embedding, {sig_cols}
+            FROM embeddings
+            WHERE len(embedding) = {EMBEDDING_DIM}
+        ),
+        corpus AS (
+            SELECT vec_id AS neighbor_id,
+                   unnest([{corpus_buckets}]) AS bucket
+            FROM sigs
+        ),
+        probes AS (
+            SELECT vec_id AS query_id,
+                   unnest([{probe_buckets}]) AS bucket
+            FROM sigs WHERE vec_id < {N_QUERIES}
+        ),
+        pairs AS (
+            SELECT DISTINCT p.query_id, c.neighbor_id
+            FROM probes p JOIN corpus c USING (bucket)
+            WHERE p.query_id <> c.neighbor_id
+        ),
+        scored AS (
+            SELECT pr.query_id, pr.neighbor_id,
+                   {oracle_cosine('q.embedding', 'n.embedding')} AS cos
+            FROM pairs pr
+            JOIN embeddings q ON q.vec_id = pr.query_id
+            JOIN embeddings n ON n.vec_id = pr.neighbor_id
+        )
+        SELECT query_id, cast(rank AS int) AS rank, neighbor_id, cos
+        FROM (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id)
+                       AS rank
+            FROM scored
+        )
+        WHERE rank <= {TOP_K}
+    """
+
+
 RANGE_THRESHOLD = 0.25  # rounded-cosine radius for range search
 
 
@@ -410,6 +514,10 @@ ORACLES = {
         SELECT query_id, cast(rank AS int) AS rank, neighbor_id, cos
         FROM ranked WHERE rank <= {TOP_K}
     """,
+    # Full LSH twin (upgraded from rows-only in r3): quantized-integer
+    # sign bits make the bucket assignment SQL-expressible; the seeded
+    # hyperplanes are regenerated and inlined as literals.
+    "sim_lsh_topk": _lsh_oracle_sql(),
     # Full IVF twin: decimal-exact per-(label,dim) centroid means
     # (varchar-parsed decimal->double = Spark's correctly-rounded
     # BigDecimal cast), NPROBE cell probe by rounded quantized cosine,
