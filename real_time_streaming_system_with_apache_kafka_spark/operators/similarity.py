@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 from real_time_streaming_system_with_apache_kafka_spark.functions.arrays import (
     cosine,
     oracle_cosine,
+    oracle_dot,
+    oracle_norm,
 )
 from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
 
@@ -84,8 +86,8 @@ def cell_centroids(emb: DataFrame) -> DataFrame:
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k: probe the NPROBE cells whose centroids are most
     cosine-similar to the query, exact search inside those cells only.
-    (Rows-only driver check — the recall-vs-bruteforce contract is
-    asserted in tests/test_similarity.py.)"""
+    (Fully oracled since r3 — deterministic decimal-exact centroids;
+    the recall-vs-bruteforce contract is in tests/test_similarity.py.)"""
     emb = load(spark, "embeddings", sf_dir)
     cents = cell_centroids(emb)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -123,7 +125,16 @@ def make_assign_udf(centroids: list[list[float]]):
     the batch against the (K x dim) centroid matrix — map-side only, no
     shuffle. Ties break to the lowest cell id (np.argmax takes the
     first maximum). Self-contained closure: must not reference this
-    package so workers can unpickle it by value."""
+    package so workers can unpickle it by value.
+
+    Cosines use the same quantized-integer kernel as qcosine
+    (functions/arrays.py): 7dp quantization on both sides, exact
+    integer dots in float64, then the identical sqrt/divide op
+    sequence — so every UNROUNDED cosine double is bit-identical to
+    the DuckDB oracle's decimal-sum form, and the argmax (with its
+    first-maximum = lowest-cell tie rule) picks the same cell on
+    every engine. That is what makes the learned-k-means IVF
+    SQL-expressible (see the unrolled-Lloyd oracle)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
@@ -134,10 +145,14 @@ def make_assign_udf(centroids: list[list[float]]):
         if len(emb) == 0:
             return pd.Series([], dtype="int32")
         X = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
         C = np.asarray(centroids, dtype=np.float64)
-        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-        return pd.Series(np.argmax(Xn @ Cn.T, axis=1).astype("int32"))
+        Qx = np.floor(np.abs(X) * 1e7 + 0.5) * np.sign(X)
+        Qc = np.floor(np.abs(C) * 1e7 + 0.5) * np.sign(C)
+        dots = (Qx @ Qc.T) / 1e14  # (n, k), exact ints / one IEEE div
+        nx = np.sqrt(np.einsum("ij,ij->i", Qx, Qx) / 1e14)[:, None]
+        nc = np.sqrt(np.einsum("ij,ij->i", Qc, Qc) / 1e14)[None, :]
+        cos = dots / (nx * nc)
+        return pd.Series(np.argmax(cos, axis=1).astype("int32"))
 
     return assign
 
@@ -191,8 +206,11 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k over LEARNED cells: spherical k-means coarse quantizer
     (K_CELLS cells, KMEANS_ITERS Lloyd's iterations), then the standard
     IVF probe — queries search the NPROBE nearest cells by centroid
-    cosine, exact cosine within those cells. Rows-only driver check;
-    the recall-vs-bruteforce contract lives in tests/test_similarity.py.
+    cosine, exact cosine within those cells. Fully oracled since r3:
+    the quantized assignment kernel makes every Lloyd iteration
+    bit-reproducible, so the DuckDB twin unrolls the loop as chained
+    CTEs (_kmeans_oracle_sql) and matches exactly; the
+    recall-vs-bruteforce contract lives in tests/test_similarity.py.
     """
     emb = load(spark, "embeddings", sf_dir).filter(
         F.size("embedding") == EMBEDDING_DIM
@@ -317,9 +335,9 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per table, its own bucket plus all single-bit flips (multi-probe),
     then exact cosine on the deduped candidate set. The scale path when
     no cluster structure (IVF cells) exists: shuffle is one equality
-    join on the prefixed signature. Rows-only driver check; the
-    recall >= 0.7 and pruning contracts live in
-    tests/test_similarity.py."""
+    join on the prefixed signature. Fully oracled since r3 (quantized
+    sign bits — see _lsh_oracle_sql); the recall >= 0.7 and pruning
+    contracts live in tests/test_similarity.py."""
     emb = load(spark, "embeddings", sf_dir)
     # Mixed dims within one Arrow batch would break np.stack; any real
     # embedding table has a fixed dim, enforce it at the scan.
@@ -361,6 +379,115 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.first("qe").alias("qe"), F.first("ne").alias("ne"))
     )
     return _rank_topk(candidates)
+
+
+def _unrounded_cos(a: str, b: str) -> str:
+    """The assignment kernel's cosine WITHOUT the final 9dp round —
+    bit-identical to make_assign_udf's quantized doubles, so argmax
+    comparisons agree across engines without any rounding step."""
+    return f"({oracle_dot(a, b)} / ({oracle_norm(a)} * {oracle_norm(b)}))"
+
+
+def _kmeans_oracle_sql() -> str:
+    """DuckDB twin of sim_ivf_kmeans_topk: Lloyd's loop UNROLLED as
+    {KMEANS_ITERS} chained CTE stages. Each stage re-assigns every
+    vector to its argmax-cosine cell (unrounded quantized doubles,
+    ties to the lowest cell — the exact numpy first-maximum rule) and
+    recomputes decimal-exact means (varchar-parsed decimal->double =
+    Spark's correctly-rounded BigDecimal cast); empty cells keep the
+    previous centroid via the left-join coalesce. The final probe and
+    in-cell rank mirror the label-IVF oracle. Iterative operators
+    normally settle for rows-only checks; deterministic init (lowest
+    vec_ids) + exact arithmetic make the full loop SQL-expressible."""
+    cos_assign = _unrounded_cos("e.embedding", "c.centroid")
+    stages = [
+        f"""
+        emb AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE len(embedding) = {EMBEDDING_DIM}
+        ),
+        cents0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                   list_transform(embedding, x -> cast(x AS double))
+                       AS centroid
+            FROM emb ORDER BY vec_id LIMIT {K_CELLS}
+        )"""
+    ]
+    for i in range(1, KMEANS_ITERS + 1):
+        p = i - 1
+        stages.append(
+            f"""
+        assign{i} AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT e.vec_id, e.embedding, c.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {cos_assign} DESC, c.cell
+                       ) AS rk
+                FROM emb e CROSS JOIN cents{p} c
+            ) WHERE rk = 1
+        ),
+        perdim{i} AS (
+            SELECT cell, dim,
+                   cast(cast(sum(cast(cast(x AS double) AS decimal(30,15)))
+                             AS varchar) AS double) / count(*) AS mean_x
+            FROM (
+                SELECT cell,
+                       unnest(embedding) AS x,
+                       unnest(generate_series(1, len(embedding))) AS dim
+                FROM assign{i}
+            ) GROUP BY cell, dim
+        ),
+        newc{i} AS (
+            SELECT cell, list(mean_x ORDER BY dim) AS centroid
+            FROM perdim{i} GROUP BY cell
+        ),
+        cents{i} AS (
+            SELECT p.cell, coalesce(n.centroid, p.centroid) AS centroid
+            FROM cents{p} p LEFT JOIN newc{i} n USING (cell)
+        )"""
+        )
+    last = f"cents{KMEANS_ITERS}"
+    tail = f"""
+        corpus AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT e.vec_id, e.embedding, c.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {cos_assign} DESC, c.cell
+                       ) AS rk
+                FROM emb e CROSS JOIN {last} c
+            ) WHERE rk = 1
+        ),
+        probed AS (
+            SELECT query_id, qe, cell FROM (
+                SELECT q.vec_id AS query_id, q.embedding AS qe, c.cell,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {oracle_cosine('q.embedding', 'c.centroid')}
+                                    DESC, c.cell
+                       ) AS cell_rank
+                FROM emb q CROSS JOIN {last} c
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE cell_rank <= {NPROBE}
+        ),
+        scored AS (
+            SELECT p.query_id, n.vec_id AS neighbor_id,
+                   {oracle_cosine('p.qe', 'n.embedding')} AS cos
+            FROM probed p JOIN corpus n USING (cell)
+            WHERE p.query_id <> n.vec_id
+        )
+        SELECT query_id, cast(rank AS int) AS rank, neighbor_id, cos
+        FROM (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id)
+                       AS rank
+            FROM scored
+        )
+        WHERE rank <= {TOP_K}
+    """
+    return "WITH " + ",".join(stages) + "," + tail
 
 
 def _lsh_oracle_sql() -> str:
@@ -518,6 +645,10 @@ ORACLES = {
     # sign bits make the bucket assignment SQL-expressible; the seeded
     # hyperplanes are regenerated and inlined as literals.
     "sim_lsh_topk": _lsh_oracle_sql(),
+    # Full learned-k-means twin (upgraded from rows-only in r3):
+    # Lloyd's loop unrolled as chained CTE stages — see
+    # _kmeans_oracle_sql.
+    "sim_ivf_kmeans_topk": _kmeans_oracle_sql(),
     # Full IVF twin: decimal-exact per-(label,dim) centroid means
     # (varchar-parsed decimal->double = Spark's correctly-rounded
     # BigDecimal cast), NPROBE cell probe by rounded quantized cosine,

@@ -37,9 +37,9 @@ _PRIORITY: list[str] = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_cc_survivors",
-    # Similarity / ANN suite. (sim_ivf_kmeans_topk stays outside: it is
-    # rows-only by design AND iterative — the window slot buys more
-    # signal spent on the oracled range search.)
+    # Similarity / ANN suite. (sim_ivf_kmeans_topk sits just outside
+    # the 50-slot window; it gained a full unrolled-Lloyd oracle in r3
+    # and rotates in next round.)
     "sim_bruteforce_topk",
     "sim_ivf_topk",
     "sim_lsh_topk",
