@@ -47,3 +47,43 @@ def test_sample_is_stable_and_sized(spark, sf_dir):
 
     n = load(spark, "events", sf_dir).count()
     assert 0.05 < len(s1) / n < 0.15
+
+
+def test_shuffle_global_order_is_dense_permutation(spark, sf_dir):
+    """Positions must be exactly 0..N-1 with no gaps or dups, and the
+    assignment must not depend on the physical partitioning."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import sampling
+
+    out = sampling.shuffle_global_order(spark, sf_dir)
+    rows = out.collect()
+    n = len(rows)
+    assert sorted(r.shuffle_pos for r in rows) == list(range(n))
+    # Same answer under a different partitioning of the input scan.
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        again = {r.doc_id: r.shuffle_pos
+                 for r in sampling.shuffle_global_order(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert again == {r.doc_id: r.shuffle_pos for r in rows}
+
+
+def test_token_budget_floor_semantics(spark, sf_dir):
+    """Every language's admitted set must (a) stay below budget before
+    the crossing doc and (b) stop admitting once the floor is crossed:
+    tokens_before < BUDGET for all admitted, and the admitted set is a
+    prefix of the md5 order (no later doc admitted after a rejection)."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import datamix
+
+    rows = datamix.sample_token_budget(spark, sf_dir).collect()
+    assert all(r.tokens_before < datamix.TOKEN_BUDGET for r in rows)
+    by_lang: dict[str, int] = {}
+    for r in rows:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
+    # Each language admits at least one doc and crosses the floor
+    # (total admitted tokens >= budget) unless the stratum is tiny.
+    totals: dict[str, int] = {}
+    for r in rows:
+        totals[r.lang] = totals.get(r.lang, 0) + r.n_tokens
+    for lang, tot in totals.items():
+        assert tot >= datamix.TOKEN_BUDGET or by_lang[lang] > 0
