@@ -33,21 +33,65 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def wf_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank/dense_rank/ntile/percent_rank/cume_dist over a per-group
-    ordering — the full §2.5 analytic-window vocabulary."""
+    ordering — the full §2.5 analytic-window vocabulary.
+
+    Scale rewrite (r3): ntile/percent_rank/cume_dist depend on the
+    PARTITION SIZE, so expressing them as window functions forces the
+    whole partition through the window (no WindowGroupLimit — the
+    plan materializes every row to emit the top 100; the r3 soak
+    measured it ~linear per decade). The ordering here is TOTAL
+    (o_totalprice desc, unique o_orderkey tiebreak), so rank =
+    dense_rank = row_number, and every size-dependent function is a
+    closed-form expression of (row_number, n) with n from a broadcast
+    group-count aggregate:
+      percent_rank = (r-1)/(n-1)        (0 when n = 1)
+      cume_dist    = r/n                (unique keys: peers = self)
+      ntile(k)     = piecewise floor — first n%k tiles get one extra
+    Single IEEE divisions of exact integers, so the doubles are
+    bit-identical to the real window functions; the DuckDB oracle
+    KEEPS rank()/ntile()/percent_rank()/cume_dist(), proving the
+    derivation. The only window left is row_number, which
+    WindowGroupLimit prunes map-side before the shuffle (pinned in
+    tests/test_plans.py)."""
     orders = load(spark, "orders", sf_dir)
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
-    return orders.select(
+    counts = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ranked = (
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .join(F.broadcast(counts), "o_orderpriority")
+    )
+    r, n = F.col("rn"), F.col("n")
+    tile_q = F.expr("n div 4")
+    tile_rem = n % 4
+    boundary = tile_rem * (tile_q + 1)
+    quartile = (
+        F.when(r <= boundary, F.expr("(rn - 1) div ((n div 4) + 1)") + 1)
+        .otherwise(
+            tile_rem
+            + F.expr("(rn - 1 - ((n % 4) * ((n div 4) + 1)))"
+                     " div greatest(n div 4, 1)")
+            + 1
+        )
+        .cast("int")
+    )
+    return ranked.select(
         "o_orderkey",
         "o_orderpriority",
         "o_totalprice",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
-    ).filter(F.col("rnk") <= 100)
+        r.cast("int").alias("rnk"),
+        r.cast("int").alias("drnk"),
+        quartile.alias("quartile"),
+        F.when(n > 1, (r - 1) / (n - 1))
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
+        (r / n).alias("cume"),
+    )
 
 
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:

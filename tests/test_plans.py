@@ -391,3 +391,15 @@ def test_inverted_index_rank_pushdown(spark, sf_dir):
 
     plan = _plan(curation.text_inverted_index(spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+def test_rank_family_recovers_window_group_limit(spark, sf_dir):
+    """The r3 rewrite derives ntile/percent_rank/cume_dist from
+    broadcast counts so the ONLY window is row_number — which Spark
+    prunes map-side. Without this the whole partition materializes to
+    emit 100 rows."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import extras
+
+    plan = _plan(extras.wf_rank_family(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
