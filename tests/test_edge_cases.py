@@ -91,3 +91,51 @@ def test_late_rows_dropped_by_watermark(spark, tmp_path):
     assert by_window["2026-01-05 09:30:00"] == [1]
     # The on-time 09:41 row did produce an update.
     assert "2026-01-05 09:41:00" in by_window
+
+
+def test_rank_family_closed_forms_match_real_window_functions(spark, tmp_path):
+    """The analytic ntile/percent_rank/cume_dist derivation must equal
+    the REAL window functions for every small group size — including
+    n=1 (percent_rank's 0/0 guard) and n<k (each row its own tile),
+    paths the big fixture groups never exercise."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from real_time_streaming_system_with_apache_kafka_spark.operators import extras
+
+    # Groups of size 1, 2, 3, 4, 5, 7, 11 — keys unique within group.
+    rows = []
+    key = 0
+    for gi, size in enumerate([1, 2, 3, 4, 5, 7, 11]):
+        for j in range(size):
+            rows.append((key, f"g{gi}", float(1000 - j)))
+            key += 1
+    pdf = pd.DataFrame(rows, columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    df = spark.createDataFrame(pdf)
+    path = tmp_path / "orders.parquet"
+    df.coalesce(1).write.mode("overwrite").parquet(str(path) + ".dir")
+    # The operator loads "orders" from sf_dir; write a mini sf_dir.
+    import shutil
+
+    shutil.move(str(path) + ".dir", str(tmp_path / "orders.parquet"))
+
+    got = {
+        r.o_orderkey: (r.rnk, r.drnk, r.quartile, r.pct_rank, r.cume)
+        for r in extras.wf_rank_family(spark, str(tmp_path)).collect()
+    }
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    want = {
+        r.o_orderkey: (r.rnk, r.drnk, r.quartile, r.pct_rank, r.cume)
+        for r in df.select(
+            "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        ).collect()
+    }
+    assert got == want
