@@ -60,11 +60,13 @@ HEADLINE = [
     "decontaminate_holdout",
     "ts_ohlc_bars",
     # Round-3 additions: skew-resilient shapes, the deterministic
-    # global training-order shuffle, and the vocabulary inverted index.
+    # global training-order shuffle, the vocabulary inverted index,
+    # and the LSH ANN scale path (fully oracled since r3).
     "agg_salted_skew",
     "join_salted_skew",
     "shuffle_global_order",
     "text_inverted_index",
+    "sim_lsh_topk",
 ]
 
 
