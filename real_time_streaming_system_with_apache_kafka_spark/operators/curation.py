@@ -261,6 +261,65 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-rarity score: the mean corpus rarity
+    (N - df) of the document's distinct words — the cheap
+    LM-free proxy for "is this text unusual for the corpus" that
+    quality pipelines threshold before spending model inference.
+    All integer sums (exact), one final IEEE division per doc.
+
+    Scale: one hash agg builds the (term, df) vocabulary, broadcast
+    back against the exploded distinct words — the corpus scan stays
+    shuffle-free except the per-doc re-aggregation, and the vocabulary
+    table is bounded by the lexicon, not the corpus."""
+    docs = load(spark, "documents", sf_dir)
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+    )
+    df_t = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        terms.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(F.col("n_docs") - F.col("df")).alias("rarity_sum"),
+            (
+                F.sum(F.col("n_docs") - F.col("df"))
+                / F.count(F.lit(1))
+            ).alias("mean_rarity"),
+        )
+    )
+
+
+def profile_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report: how many of a source's documents
+    are fingerprint-level duplicates of an earlier doc (any source),
+    and the redundancy rate — the data-quality dashboard a curation
+    team watches per feed. Survivor = lowest doc_id per fingerprint
+    (the standing convention); everything else in the group counts as
+    a duplicate against ITS OWN source."""
+    docs = load(spark, "documents", sf_dir)
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    )
+    w = Window.partitionBy("fp")
+    flagged = docs.select("doc_id", "source", fp.alias("fp")).withColumn(
+        "is_dup", F.col("doc_id") != F.min("doc_id").over(w)
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if("is_dup").alias("n_dups"),
+            (F.count_if("is_dup") / F.count(F.lit(1))).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 CONTEXT_TOKENS = 512  # packing target (context window)
 PACK_SHARD = 100  # docs per packing shard
 
@@ -311,6 +370,8 @@ QUERIES = {
     "embed_centroid_stats": embed_centroid_stats,
     "profile_length_histogram": profile_length_histogram,
     "text_inverted_index": text_inverted_index,
+    "text_rarity_score": text_rarity_score,
+    "profile_dup_rate_by_source": profile_dup_rate_by_source,
 }
 
 _ORACLE_NGRAMS = f"""
@@ -325,6 +386,43 @@ _ORACLE_NGRAMS = f"""
 """
 
 ORACLES = {
+    "text_rarity_score": """
+        WITH terms AS (
+            SELECT doc_id,
+                   unnest(list_distinct(string_split(text, ' '))) AS term
+            FROM documents
+        ),
+        df AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id,
+               count(*) AS n_terms,
+               cast(sum(n_docs - df) AS bigint) AS rarity_sum,
+               cast(sum(n_docs - df) AS double) / count(*) AS mean_rarity
+        FROM terms JOIN df USING (term) CROSS JOIN n
+        GROUP BY doc_id
+    """,
+    "profile_dup_rate_by_source": """
+        WITH fp AS (
+            SELECT doc_id, source,
+                   md5(list_aggregate(list_sort(list_distinct(
+                       string_split(text, ' '))), 'string_agg', ' '))
+                       AS h
+            FROM documents
+        ),
+        flagged AS (
+            SELECT source,
+                   doc_id <> min(doc_id) OVER (PARTITION BY h) AS is_dup
+            FROM fp
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               count(*) FILTER (WHERE is_dup) AS n_dups,
+               cast(count(*) FILTER (WHERE is_dup) AS double) / count(*)
+                   AS dup_rate
+        FROM flagged
+        GROUP BY source
+        ORDER BY source
+    """,
     "text_inverted_index": f"""
         WITH terms AS (
             SELECT doc_id,
