@@ -67,6 +67,10 @@ HEADLINE = [
     "shuffle_global_order",
     "text_inverted_index",
     "sim_lsh_topk",
+    # Round-3 continuation: Gopher-rule quality gates (scan-only) and
+    # the per-domain cap (map-side WindowGroupLimit prune).
+    "quality_gopher_gates",
+    "sample_domain_cap",
 ]
 
 

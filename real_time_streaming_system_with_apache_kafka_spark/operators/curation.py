@@ -362,8 +362,65 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher-style quality-rule thresholds (Rae et al. 2021, table A1,
+# adapted to this corpus: no newlines, so the line-shape rules are
+# replaced by word-shape rules). Every ratio test is restated as an
+# exact integer inequality (5*n_alpha >= 4*n_words instead of
+# n_alpha/n_words >= 0.8) so no float division crosses engines.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+
+
+def quality_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher-rule quality gates: word-count bounds, mean
+    word length 3..10, >=80% alphabetic words, <=10% symbol-bearing
+    words, >=2 distinct stopwords, unique-word ratio >=0.2 (the
+    repetition gate) — each rule its own boolean column plus the
+    conjunctive ``keep``, so downstream mixes can re-weight individual
+    rules without rescanning.
+
+    Scale shape: pure per-row column expressions inside whole-stage
+    codegen — one corpus scan, zero shuffle, embarrassingly parallel at
+    any executor count."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators.text import STOPWORDS
+
+    all_stop = sorted({w for sw in STOPWORDS.values() for w in sw})
+    docs = load(spark, "documents", sf_dir)
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    # Total in-word chars: text length minus the single-space separators.
+    word_chars = F.length("text") - (n_words - 1)
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    n_sym = F.size(F.filter(words, lambda w: w.rlike("[^a-z0-9]")))
+    n_unique = F.size(F.array_distinct(words))
+    n_stop = F.size(
+        F.array_intersect(words, F.array(*[F.lit(w) for w in all_stop]))
+    )
+    r_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_word_len = (3 * n_words <= word_chars) & (word_chars <= 10 * n_words)
+    r_alpha = 5 * n_alpha >= 4 * n_words
+    r_symbol = 10 * n_sym <= n_words
+    r_stop = n_stop >= 2
+    r_unique = 5 * n_unique >= n_words
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        r_words.alias("rule_word_count"),
+        r_word_len.alias("rule_mean_word_len"),
+        r_alpha.alias("rule_alpha_words"),
+        r_symbol.alias("rule_symbol_ratio"),
+        r_stop.alias("rule_stopwords"),
+        r_unique.alias("rule_unique_ratio"),
+        (r_words & r_word_len & r_alpha & r_symbol & r_stop & r_unique).alias(
+            "keep"
+        ),
+    )
+
+
 QUERIES = {
     "decontaminate_holdout": decontaminate_holdout,
+    "quality_gopher_gates": quality_gopher_gates,
     "pack_sequences": pack_sequences,
     "text_tfidf_terms": text_tfidf_terms,
     "text_pii_redact": text_pii_redact,
@@ -373,6 +430,50 @@ QUERIES = {
     "text_rarity_score": text_rarity_score,
     "profile_dup_rate_by_source": profile_dup_rate_by_source,
 }
+
+def _gopher_sw_sql() -> str:
+    from real_time_streaming_system_with_apache_kafka_spark.operators.text import STOPWORDS
+
+    all_stop = sorted({w for sw in STOPWORDS.values() for w in sw})
+    return "[" + ", ".join(f"'{w}'" for w in all_stop) + "]"
+
+
+_GOPHER_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               string_split(text, ' ') AS words,
+               cast(length(text) AS int) AS nc
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, lang,
+               cast(len(words) AS int) AS n_words,
+               nc - (cast(len(words) AS int) - 1) AS word_chars,
+               cast(len(list_filter(words,
+                        w -> regexp_matches(w, '[a-z]'))) AS int) AS n_alpha,
+               cast(len(list_filter(words,
+                        w -> regexp_matches(w, '[^a-z0-9]'))) AS int) AS n_sym,
+               cast(len(list_distinct(words)) AS int) AS n_unique,
+               cast(len(list_intersect(words, {{sw}})) AS int) AS n_stop
+        FROM base
+    )
+    SELECT doc_id, lang, n_words,
+           n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+               AS rule_word_count,
+           3 * n_words <= word_chars AND word_chars <= 10 * n_words
+               AS rule_mean_word_len,
+           5 * n_alpha >= 4 * n_words AS rule_alpha_words,
+           10 * n_sym <= n_words AS rule_symbol_ratio,
+           n_stop >= 2 AS rule_stopwords,
+           5 * n_unique >= n_words AS rule_unique_ratio,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+               AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+               AND (5 * n_alpha >= 4 * n_words)
+               AND (10 * n_sym <= n_words)
+               AND (n_stop >= 2)
+               AND (5 * n_unique >= n_words) AS keep
+    FROM m
+"""
 
 _ORACLE_NGRAMS = f"""
     SELECT doc_id, doc_id % {BENCH_MOD} = 0 AS is_bench,
@@ -386,6 +487,7 @@ _ORACLE_NGRAMS = f"""
 """
 
 ORACLES = {
+    "quality_gopher_gates": _GOPHER_SQL.replace("{sw}", _gopher_sw_sql()),
     "text_rarity_score": """
         WITH terms AS (
             SELECT doc_id,

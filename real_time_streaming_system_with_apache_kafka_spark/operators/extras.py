@@ -128,6 +128,36 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_quartiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (non-approximate) per-group quartiles of ``l_quantity``.
+
+    Cross-engine exactness: both engines define the continuous quantile
+    at rank ``(n-1)*q`` with linear interpolation. The probed quantiles
+    are dyadic (1/4, 1/2, 3/4) and ``l_quantity`` is integer-valued
+    (1..50), so every interpolation ``a + (b-a)*f`` is exact in IEEE
+    double no matter how the engine associates the arithmetic — the
+    results are bit-identical, not merely close.
+
+    Scale shape: exact quantiles need the group's sorted values — at
+    100 TB the per-group sort is the cost, so the scale path is
+    ``approx_percentile`` (t-digest sketch, map-side mergeable; see
+    ``approx_aggregates``); this operator is the exact twin used to
+    validate the sketch and for medium-cardinality groups."""
+    li = load(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_quantity").alias("min_qty"),
+            F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+            F.expr("percentile(l_quantity, 0.5)").alias("median"),
+            F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array function surface over the embedding column: size, element
     access, min/max, slice, sort, threshold-filter count, argmax.
@@ -238,6 +268,7 @@ def f_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "agg_grouping_sets": agg_grouping_sets,
     "agg_stats_moments": agg_stats_moments,
+    "agg_quartiles_exact": agg_quartiles_exact,
     "wf_rank_family": wf_rank_family,
     "f_array_funcs": f_array_funcs,
     "f_regexp_funcs": f_regexp_funcs,
@@ -252,6 +283,18 @@ ORACLES = {
                {oracle_dsum('l_quantity', 'sum_qty')}
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "agg_quartiles_exact": """
+        SELECT l_returnflag,
+               count(*) AS n,
+               min(l_quantity) AS min_qty,
+               quantile_cont(l_quantity, 0.25) AS q25,
+               quantile_cont(l_quantity, 0.5) AS median,
+               quantile_cont(l_quantity, 0.75) AS q75,
+               max(l_quantity) AS max_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
     """,
     "agg_stats_moments": """
         WITH sums AS (

@@ -184,6 +184,45 @@ def j6_outer_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j7_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: full-outer reconciliation of two aggregates — per-user click
+    activity vs purchase activity, keeping users present on either side
+    (the standard two-pipeline diff/reconcile shape). Completes the join
+    surface: equi/broadcast (j1), semi (j2), anti (j3), range (j4),
+    as-of, left-outer (j6), full-outer (here).
+
+    Scale shape: both inputs aggregate FIRST (map-side combine on
+    user_id), so the full-outer join — which can never broadcast, both
+    sides preserved — joins two already-shrunk keyed aggregates that
+    share the user_id hash partitioning; AQE coalesces the post-join
+    partitions."""
+    ev = load(spark, "events", sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("cu"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"), dsum(F.col("value"), "click_value"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("pu"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum(F.col("value"), "purchase_value"),
+        )
+    )
+    return (
+        clicks.join(purchases, clicks.cu == purchases.pu, "full")
+        .select(
+            F.coalesce(F.col("cu"), F.col("pu")).alias("user_id"),
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+            F.coalesce(F.col("click_value"), F.lit(0.0)).alias("click_value"),
+            F.coalesce(F.col("n_purchases"), F.lit(0)).alias("n_purchases"),
+            F.coalesce(F.col("purchase_value"), F.lit(0.0)).alias("purchase_value"),
+            (F.col("cu").isNotNull() & F.col("pu").isNotNull()).alias("on_both"),
+        )
+    )
+
+
 def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION (distinct) of two overlapping event selections."""
     ev = load(spark, "events", sf_dir)
@@ -217,6 +256,7 @@ QUERIES = {
     "j4_range_join": j4_range_join,
     "j5_topk_per_group": j5_topk_per_group,
     "j6_outer_join_coverage": j6_outer_join_coverage,
+    "j7_full_outer_reconcile": j7_full_outer_reconcile,
     "wf_lag_lead_running": wf_lag_lead_running,
     "asof_join_events": asof_join_events,
     "setop_union_distinct": setop_union_distinct,
@@ -281,6 +321,27 @@ ORACLES = {
         FROM customer
         LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey, c_name
+    """,
+    "j7_full_outer_reconcile": """
+        WITH clicks AS (
+            SELECT user_id AS cu, count(*) AS n_clicks,
+                   cast(sum(cast(value AS decimal(38,6))) AS double)
+                       AS click_value
+            FROM events WHERE event_type = 'click' GROUP BY user_id
+        ),
+        purchases AS (
+            SELECT user_id AS pu, count(*) AS n_purchases,
+                   cast(sum(cast(value AS decimal(38,6))) AS double)
+                       AS purchase_value
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        )
+        SELECT coalesce(cu, pu) AS user_id,
+               coalesce(n_clicks, 0) AS n_clicks,
+               coalesce(click_value, 0.0) AS click_value,
+               coalesce(n_purchases, 0) AS n_purchases,
+               coalesce(purchase_value, 0.0) AS purchase_value,
+               cu IS NOT NULL AND pu IS NOT NULL AS on_both
+        FROM clicks FULL JOIN purchases ON cu = pu
     """,
     "wf_lag_lead_running": """
         SELECT user_id, event_id, ts, value,

@@ -155,8 +155,37 @@ def shuffle_global_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOMAIN_CAP = 15
+
+
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the standard web-corpus curation gate
+    that stops any single source from dominating the training mix: keep
+    at most ``DOMAIN_CAP`` docs per source, chosen in deterministic
+    md5-hash order (a reproducible uniform sample of each domain, not
+    "first N by id").
+
+    Scale shape: one shuffle on ``source``; because the predicate is
+    ``row_number() <= K`` over the partition, Spark plans a
+    WindowGroupLimit that prunes each group to K rows MAP-SIDE before
+    the exchange — a hot domain's millions of docs never travel, only
+    its K survivors per input partition do."""
+    from pyspark.sql import Window
+
+    docs = load(spark, "documents", sf_dir)
+    h = F.md5(F.concat_ws("#", F.lit("domcap_v1"), F.col("doc_id")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source", "lang", h.alias("h"))
+        .withColumn("domain_rank", F.row_number().over(w))
+        .filter(F.col("domain_rank") <= DOMAIN_CAP)
+        .select("doc_id", "source", "lang", "domain_rank")
+    )
+
+
 QUERIES = {
     "split_train_holdout": split_train_holdout,
+    "sample_domain_cap": sample_domain_cap,
     "sample_events_deterministic": sample_events_deterministic,
     "agg_distinct_twophase": agg_distinct_twophase,
     "sample_stratified_balanced": sample_stratified_balanced,
@@ -164,6 +193,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_domain_cap": f"""
+        SELECT doc_id, source, lang,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('domcap_v1' || '#' || cast(doc_id AS varchar)),
+                            doc_id
+               ) AS domain_rank
+        FROM documents
+        QUALIFY domain_rank <= {DOMAIN_CAP}
+    """,
     "split_train_holdout": f"""
         SELECT doc_id,
                {_oracle_bucket('doc_id', 'split_v1')} AS bucket,

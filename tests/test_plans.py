@@ -403,3 +403,25 @@ def test_rank_family_recovers_window_group_limit(spark, sf_dir):
     plan = _plan(extras.wf_rank_family(spark, sf_dir))
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_domain_cap_prunes_map_side(spark, sf_dir):
+    """The per-domain cap must carry a PARTIAL WindowGroupLimit below
+    the exchange: a hot domain contributes at most K rows per input
+    partition to the shuffle, so domain skew cannot overload a
+    reducer."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import sampling
+
+    plan = _plan(sampling.sample_domain_cap(spark, sf_dir))
+    # Both phases present: Partial (map-side, pre-shuffle) and Final.
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "Partial" in plan and "Final" in plan
+
+
+def test_gopher_gates_scan_only(spark, sf_dir):
+    """All six quality rules are per-row column expressions: the plan
+    must contain no exchange at all — one scan, zero shuffle."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import curation
+
+    plan = _plan(curation.quality_gopher_gates(spark, sf_dir))
+    assert "Exchange" not in plan
