@@ -71,6 +71,8 @@ HEADLINE = [
     # the per-domain cap (map-side WindowGroupLimit prune).
     "quality_gopher_gates",
     "sample_domain_cap",
+    # Cascaded continuous-aggregate rollup (mergeability flagship).
+    "w9_cascaded_rollup",
 ]
 
 

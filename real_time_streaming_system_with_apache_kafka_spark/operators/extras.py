@@ -158,6 +158,37 @@ def agg_quartiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wf_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total per group (the ratio_to_report window pattern).
+
+    The textbook form is ``sum(x) OVER ()`` — a window over an
+    unpartitioned frame, which funnels every row through one reducer at
+    scale. The scale-safe rewrite here aggregates per group first
+    (map-side combine), then broadcasts the one-row global total back:
+    same result, no single-reducer stage, and the oracle KEEPS the
+    window formulation to prove equivalence. Both engines divide the
+    same two exactly-summed decimals as doubles, so the share is one
+    IEEE division — bit-identical."""
+    ev = load(spark, "events", sf_dir)
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("tv"),
+    )
+    total = per.agg(F.sum("tv").alias("gt"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "n_events",
+            F.col("tv").cast("double").alias("type_value"),
+            (F.col("tv").cast("double") / F.col("gt").cast("double") * 100.0).alias(
+                "share_pct"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array function surface over the embedding column: size, element
     access, min/max, slice, sort, threshold-filter count, argmax.
@@ -269,6 +300,7 @@ QUERIES = {
     "agg_grouping_sets": agg_grouping_sets,
     "agg_stats_moments": agg_stats_moments,
     "agg_quartiles_exact": agg_quartiles_exact,
+    "wf_share_of_total": wf_share_of_total,
     "wf_rank_family": wf_rank_family,
     "f_array_funcs": f_array_funcs,
     "f_regexp_funcs": f_regexp_funcs,
@@ -283,6 +315,23 @@ ORACLES = {
                {oracle_dsum('l_quantity', 'sum_qty')}
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    # The oracle keeps the textbook unpartitioned-window form the
+    # Spark side rewrites away: parity proves the broadcast plan is
+    # indistinguishable from ratio_to_report.
+    "wf_share_of_total": """
+        WITH per AS (
+            SELECT event_type,
+                   count(*) AS n_events,
+                   sum(cast(value AS decimal(38,6))) AS tv
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, n_events,
+               cast(tv AS double) AS type_value,
+               cast(tv AS double) / cast(sum(tv) OVER () AS double) * 100.0
+                   AS share_pct
+        FROM per
+        ORDER BY event_type
     """,
     "agg_quartiles_exact": """
         SELECT l_returnflag,

@@ -74,13 +74,73 @@ def sliding_window_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cascaded_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascaded continuous aggregate: raw events →
+    minute rollup → hour rollup → day rollup, where each level
+    aggregates the PREVIOUS level's partials, never the raw rows.
+
+    This is the mergeability contract that makes streaming rollups and
+    incremental materialized views work at 100 TB: counts and exact
+    decimal sums re-sum, min/max re-min/re-max, and the average is
+    derived once at the end from (sum, count) — so a day is computable
+    from 24 hourly rows instead of billions of events. The oracle
+    aggregates the raw table directly in one pass; parity proves the
+    cascade is lossless, which holds ONLY because the sums are exact
+    decimals (cascading float sums would re-associate and drift)."""
+    ev = load(spark, "events", sf_dir)
+    minute = ev.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("bucket_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("sv"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+
+    def up(df: DataFrame, unit: str) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc(unit, F.col("bucket_ts")).alias("bucket_ts")
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sv").alias("sv"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+
+    day = up(up(minute, "hour"), "day")
+    return day.select(
+        F.col("bucket_ts").alias("day_ts"),
+        "n_events",
+        F.col("sv").cast("double").alias("total_value"),
+        (F.col("sv").cast("double") / F.col("n_events")).alias("avg_value"),
+        F.col("mn").alias("min_value"),
+        F.col("mx").alias("max_value"),
+    ).orderBy("day_ts")
+
+
 QUERIES = {
     "w1_minute_activity": minute_activity,
+    "w9_cascaded_rollup": cascaded_rollup_day,
     "w1_tumbling_window": tumbling_window_activity,
     "w6_sliding_window": sliding_window_activity,
 }
 
 ORACLES = {
+    # One-pass aggregation of the raw table: the cascaded
+    # minute→hour→day plan must be indistinguishable from it.
+    "w9_cascaded_rollup": """
+        SELECT cast(date_trunc('day', ts) AS timestamp) AS day_ts,
+               count(*) AS n_events,
+               cast(sum(cast(value AS decimal(38,6))) AS double)
+                   AS total_value,
+               cast(sum(cast(value AS decimal(38,6))) AS double) / count(*)
+                   AS avg_value,
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """,
     "w1_minute_activity": f"""
         SELECT date_trunc('minute', ts) AS minute_ts,
                count(*) AS n_events,
