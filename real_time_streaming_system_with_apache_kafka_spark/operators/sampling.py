@@ -195,11 +195,11 @@ QUERIES = {
 ORACLES = {
     "sample_domain_cap": f"""
         SELECT doc_id, source, lang,
-               row_number() OVER (
+               cast(row_number() OVER (
                    PARTITION BY source
                    ORDER BY md5('domcap_v1' || '#' || cast(doc_id AS varchar)),
                             doc_id
-               ) AS domain_rank
+               ) AS int) AS domain_rank
         FROM documents
         QUALIFY domain_rank <= {DOMAIN_CAP}
     """,

@@ -139,3 +139,60 @@ def test_rank_family_closed_forms_match_real_window_functions(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_gopher_keep_is_rule_conjunction(spark, sf_dir):
+    """`keep` must equal the AND of the six rule columns row-for-row,
+    and the gates must actually discriminate on this corpus (not all
+    true / all false)."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import curation
+
+    rows = curation.quality_gopher_gates(spark, sf_dir).collect()
+    rules = [
+        "rule_word_count", "rule_mean_word_len", "rule_alpha_words",
+        "rule_symbol_ratio", "rule_stopwords", "rule_unique_ratio",
+    ]
+    for r in rows:
+        assert r["keep"] == all(r[k] for k in rules)
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept < len(rows)
+
+
+def test_quartiles_are_ordered_and_in_range(spark, sf_dir):
+    from real_time_streaming_system_with_apache_kafka_spark.operators import extras
+
+    for r in extras.agg_quartiles_exact(spark, sf_dir).collect():
+        assert r["min_qty"] <= r["q25"] <= r["median"] <= r["q75"] <= r["max_qty"]
+
+
+def test_share_of_total_sums_to_100(spark, sf_dir):
+    from real_time_streaming_system_with_apache_kafka_spark.operators import extras
+
+    shares = [r["share_pct"] for r in extras.wf_share_of_total(spark, sf_dir).collect()]
+    assert abs(sum(shares) - 100.0) < 1e-9
+
+
+def test_cascaded_rollup_matches_direct_day_aggregate(spark, sf_dir):
+    """The minute->hour->day cascade must be indistinguishable from
+    aggregating the raw table straight to days (mergeability)."""
+    from pyspark.sql import functions as F
+
+    from real_time_streaming_system_with_apache_kafka_spark.operators import windows
+    from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
+
+    cascade = windows.cascaded_rollup_day(spark, sf_dir).collect()
+    ev = load(spark, "events", sf_dir)
+    direct = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+            (F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+             / F.count(F.lit(1))).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("day_ts")
+        .collect()
+    )
+    assert [tuple(r) for r in cascade] == [tuple(r) for r in direct]

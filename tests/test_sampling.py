@@ -87,3 +87,34 @@ def test_token_budget_floor_semantics(spark, sf_dir):
         totals[r.lang] = totals.get(r.lang, 0) + r.n_tokens
     for lang, tot in totals.items():
         assert tot >= datamix.TOKEN_BUDGET or by_lang[lang] > 0
+
+
+def test_domain_cap_bound_and_partitioning_invariance(spark, sf_dir):
+    """Every source keeps at most DOMAIN_CAP docs, survivors are a
+    subset of that source's docs, and the selection is identical under
+    any input partitioning (the md5 order is data-derived, not
+    partition-derived)."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import sampling
+
+    out = sampling.sample_domain_cap(spark, sf_dir).collect()
+    per_source: dict[str, int] = {}
+    for r in out:
+        per_source[r["source"]] = per_source.get(r["source"], 0) + 1
+        assert 1 <= r["domain_rank"] <= sampling.DOMAIN_CAP
+    assert max(per_source.values()) <= sampling.DOMAIN_CAP
+
+    # Same result regardless of how the input arrives partitioned.
+    from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
+    from pyspark.sql import functions as F, Window
+
+    docs = load(spark, "documents", sf_dir).repartition(7, "lang")
+    h = F.md5(F.concat_ws("#", F.lit("domcap_v1"), F.col("doc_id")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    again = (
+        docs.select("doc_id", "source", "lang", h.alias("h"))
+        .withColumn("domain_rank", F.row_number().over(w))
+        .filter(F.col("domain_rank") <= sampling.DOMAIN_CAP)
+        .select("doc_id", "source", "lang", "domain_rank")
+        .collect()
+    )
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -53,3 +53,18 @@ def test_quarantine_is_two_filters_one_scan(spark, tmp_path):
             df._jdf.queryExecution(), "formatted"
         )
         assert "Exchange" not in plan
+
+
+def test_orc_roundtrip_preserves_rows(spark, sf_dir, tmp_path):
+    """ORC is the other columnar format Spark ships natively; the
+    engine's tables must survive a parquet -> ORC -> read roundtrip
+    bit-for-bit (schema and values), so an ORC-based lake is a drop-in
+    source."""
+    from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
+
+    src = load(spark, "customer", sf_dir)
+    out = str(tmp_path / "customer_orc")
+    src.write.format("orc").mode("overwrite").save(out)
+    back = spark.read.format("orc").load(out)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
