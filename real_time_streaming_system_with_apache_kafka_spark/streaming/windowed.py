@@ -43,6 +43,28 @@ def minute_activity_stream(
     )
 
 
+def minute_partials_stream(
+    trades: DataFrame, watermark: str | None = None
+) -> DataFrame:
+    """Mergeable minute partials — the streaming counterpart of
+    ``w9_cascaded_rollup``: emits the EXACT decimal sum (not the
+    presentation double) plus the count, so hour/day rollups
+    re-aggregate the stored partials losslessly instead of rescanning
+    raw events. This is the continuous-aggregate maintenance contract:
+    the materialized level keeps mergeable state; presentation values
+    (doubles, averages) derive at query time."""
+    if watermark is not None:
+        trades = trades.withWatermark("timestamp", watermark)
+    return (
+        trades.groupBy(F.window(F.col("timestamp"), "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_trades"),
+            F.sum(F.col("notional_value").cast("decimal(38,6)")).alias("sv_dec"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_trades", "sv_dec")
+    )
+
+
 def break_alerts(trades: DataFrame) -> DataFrame:
     """W5: break detection (dashboard.py:117-122) as a standing filter
     query — stateless, so it works in append mode with no watermark."""

@@ -250,3 +250,44 @@ def test_stream_batch_ohlc_equivalence(spark, wire_dir):
     assert sorted(map(tuple, got.collect()), key=str) == sorted(
         map(tuple, want.collect()), key=str
     )
+
+
+def test_stream_partials_cascade_to_hour_losslessly(spark, wire_dir):
+    """Continuous-aggregate maintenance: minute partials emitted by the
+    STREAM (exact decimal sums) must roll up to hours bit-identically
+    to an hour aggregate computed directly from the raw batch — the
+    property that lets a 100 TB pipeline maintain day rollups from 24
+    hourly rows instead of rescanning events."""
+    path, n_base, n_dup = wire_dir
+    stream = ingest.read_trade_stream_from_json_dir(spark, path)
+    partials = windowed.minute_partials_stream(ingest.dedup_trades(stream))
+    minute_rows = _drain(partials, "cascade_stream", mode="complete")
+
+    cascaded = (
+        minute_rows.groupBy(
+            F.date_trunc("hour", F.col("window_start")).alias("hour_ts")
+        )
+        .agg(
+            F.sum("n_trades").alias("n_trades"),
+            F.sum("sv_dec").cast("double").alias("sum_notional"),
+        )
+        .collect()
+    )
+
+    parsed = ingest.parse_wire(spark.read.text(path), value_col="value")
+    batch = (
+        parsed.groupBy("trade_id")
+        .agg(F.min_by(F.struct(*[c for c in parsed.columns]), "timestamp").alias("r"))
+        .select("r.*")
+    )
+    direct = (
+        batch.groupBy(F.date_trunc("hour", F.col("timestamp")).alias("hour_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_trades"),
+            F.sum(F.col("notional_value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_notional"),
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, cascaded)) == sorted(map(tuple, direct))
