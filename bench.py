@@ -73,6 +73,9 @@ HEADLINE = [
     "sample_domain_cap",
     # Cascaded continuous-aggregate rollup (mergeability flagship).
     "w9_cascaded_rollup",
+    # Iterative graph op: PageRank over the LSH dup-candidate graph
+    # (Pregel-on-DataFrames, quantized contributions, unrolled oracle).
+    "graph_pagerank_dupgraph",
 ]
 
 

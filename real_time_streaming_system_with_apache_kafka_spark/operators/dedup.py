@@ -434,6 +434,128 @@ def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_ITERS = 4  # fixed-round PageRank (unrolled in the oracle)
+
+
+def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the duplicate-candidate graph (the
+    undirected LSH pair set CC clusters): which documents sit at the
+    center of near-dup neighborhoods — the "canonical-ness" signal a
+    curation pipeline uses to pick survivors by authority rather than
+    min-id.
+
+    Spark-first iterative shape (the Pregel-on-DataFrames pattern):
+    per round ONE join (scores to edges) and ONE aggregation (sum of
+    contributions per destination), with ``localCheckpoint`` truncating
+    lineage; a FIXED iteration count so nothing but the final top-100
+    ever reaches the driver. Per-edge contributions are quantized to
+    integer 1e-9 units (floor over bit-identical doubles — engine-safe,
+    same trick as tpch_full's derived supply view), so each round's
+    sums are exact integers in any order and the next round's scores
+    are bit-identical on any cluster size AND in the DuckDB oracle,
+    which unrolls the same fixed rounds as chained CTEs — the
+    iterative-operator-with-exact-oracle standard set by ts_ewma_exact
+    and sim_ivf_kmeans_topk."""
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= CC_EDGE_EST)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    score = nodes.select(F.col("src").alias("doc_id"), "deg", F.lit(1.0).alias("score"))
+    for _ in range(PR_ITERS):
+        contribs = edges.join(
+            score.select(F.col("doc_id").alias("src"), "deg", "score"), "src"
+        ).select(
+            "dst",
+            F.floor(F.col("score") / F.col("deg") * F.lit(1000000000.0))
+            .cast("bigint")
+            .alias("c"),
+        )
+        sums = contribs.groupBy(F.col("dst").alias("doc_id")).agg(
+            F.sum("c").alias("sum_c")
+        )
+        score = (
+            score.select("doc_id", "deg")
+            .join(sums, "doc_id", "left")
+            .select(
+                "doc_id",
+                "deg",
+                (
+                    F.lit(0.15)
+                    + F.lit(0.85)
+                    * (
+                        F.coalesce(F.col("sum_c"), F.lit(0)).cast("double")
+                        / F.lit(1000000000.0)
+                    )
+                ).alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        score.select("doc_id", F.col("deg").alias("n_neighbors"), "score")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(100)
+    )
+
+
+def _pagerank_oracle() -> str:
+    it = """
+        c{k} AS (
+            SELECT e.dst,
+                   cast(floor(s.score / s.deg * 1000000000.0) AS bigint) AS c
+            FROM edges e JOIN s{k} s ON e.src = s.doc_id
+        ),
+        s{k1} AS (
+            SELECT n.doc_id, n.deg,
+                   0.15 + 0.85 * (cast(coalesce(g.sum_c, 0) AS double)
+                                  / 1000000000.0) AS score
+            FROM s0 n LEFT JOIN (
+                SELECT dst, sum(c) AS sum_c FROM c{k} GROUP BY dst
+            ) g ON n.doc_id = g.dst
+        )"""
+    rounds = ",".join(it.format(k=k, k1=k + 1) for k in range(PR_ITERS))
+    return f"""
+        WITH sig AS ({_ORACLE_SIG}),
+        bands AS (
+            SELECT doc_id, sig, b AS band,
+                   sig[b * {BAND_ROWS} + 1] || '|' || sig[b * {BAND_ROWS} + 2] AS key
+            FROM sig, (SELECT unnest(range(0, {N_HASHES // BAND_ROWS})) AS b)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            a.sig AS sig_a, b.sig AS sig_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        qual AS (
+            SELECT doc_a, doc_b FROM cand
+            WHERE len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2]))
+                  / {float(N_HASHES)} >= {CC_EDGE_EST}
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM qual
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM qual
+        ),
+        s0 AS (
+            SELECT src AS doc_id, count(*) AS deg, 1.0 AS score
+            FROM edges GROUP BY src
+        ),{rounds}
+        SELECT doc_id, cast(deg AS bigint) AS n_neighbors, score
+        FROM s{PR_ITERS}
+        ORDER BY score DESC, doc_id
+        LIMIT 100
+    """
+
+
 PREFIX_WORDS = 20
 
 
@@ -463,6 +585,7 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_prefix": dedup_prefix,
+    "graph_pagerank_dupgraph": graph_pagerank_dupgraph,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -504,6 +627,7 @@ _ORACLE_JACCARD_CTES = f"""
 """
 
 ORACLES = {
+    "graph_pagerank_dupgraph": _pagerank_oracle(),
     "dedup_prefix": f"""
         SELECT md5(array_to_string(string_split(text, ' ')[1:{PREFIX_WORDS}],
                                    ' ')) AS prefix_hash,

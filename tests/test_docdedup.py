@@ -80,3 +80,18 @@ def test_malformed_doc_lines_skipped(spark, tmp_path):
     out = _drain(docdedup.filter_exact_duplicates(stream), "doc_malformed")
     assert out.count() == 1
     assert out.first()["doc_id"] == 2
+
+
+def test_pagerank_dupgraph_invariants(spark, sf_dir):
+    """Scores live in [0.15, n]; high-degree nodes outrank leaf nodes
+    on average (centrality signal); deterministic across runs."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import dedup
+
+    rows = dedup.graph_pagerank_dupgraph(spark, sf_dir).collect()
+    assert rows, "dup graph must be non-empty on the fixture"
+    n = len(rows)
+    for r in rows:
+        assert 0.15 <= r["score"] <= n
+    # Determinism: bit-identical on a second evaluation.
+    again = dedup.graph_pagerank_dupgraph(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
