@@ -386,9 +386,8 @@ def quality_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pure per-row column expressions inside whole-stage
     codegen — one corpus scan, zero shuffle, embarrassingly parallel at
     any executor count."""
-    from real_time_streaming_system_with_apache_kafka_spark.operators.text import STOPWORDS
+    from real_time_streaming_system_with_apache_kafka_spark.operators.text import ALL_STOPWORDS
 
-    all_stop = sorted({w for sw in STOPWORDS.values() for w in sw})
     docs = load(spark, "documents", sf_dir)
     words = F.split(F.col("text"), " ")
     n_words = F.size(words)
@@ -398,7 +397,7 @@ def quality_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_sym = F.size(F.filter(words, lambda w: w.rlike("[^a-z0-9]")))
     n_unique = F.size(F.array_distinct(words))
     n_stop = F.size(
-        F.array_intersect(words, F.array(*[F.lit(w) for w in all_stop]))
+        F.array_intersect(words, F.array(*[F.lit(w) for w in ALL_STOPWORDS]))
     )
     r_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
     r_word_len = (3 * n_words <= word_chars) & (word_chars <= 10 * n_words)
@@ -435,11 +434,10 @@ QUERIES = {
     "profile_dup_rate_by_source": profile_dup_rate_by_source,
 }
 
-def _gopher_sw_sql() -> str:
-    from real_time_streaming_system_with_apache_kafka_spark.operators.text import STOPWORDS
+def _gopher_all_sw_sql() -> str:
+    from real_time_streaming_system_with_apache_kafka_spark.operators.text import ALL_SW_SQL
 
-    all_stop = sorted({w for sw in STOPWORDS.values() for w in sw})
-    return "[" + ", ".join(f"'{w}'" for w in all_stop) + "]"
+    return ALL_SW_SQL
 
 
 _GOPHER_SQL = f"""
@@ -491,7 +489,7 @@ _ORACLE_NGRAMS = f"""
 """
 
 ORACLES = {
-    "quality_gopher_gates": _GOPHER_SQL.replace("{sw}", _gopher_sw_sql()),
+    "quality_gopher_gates": _GOPHER_SQL.replace("{sw}", _gopher_all_sw_sql()),
     "text_rarity_score": """
         WITH terms AS (
             SELECT doc_id,

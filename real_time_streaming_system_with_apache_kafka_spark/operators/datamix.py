@@ -186,14 +186,76 @@ def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed sampling weights per language (the
+    multilingual-pretraining standard: p_i ∝ n_i^α flattens head
+    languages and boosts the tail; α = 0.5 here).
+
+    Cross-engine exactness without giving up the non-integral power:
+    IEEE sqrt is correctly rounded on every conforming engine, so
+    q_i = floor(sqrt(n_i) * 1e9) is a deterministic integer; the
+    smoothed share is then a single division of two exact integers —
+    bit-identical to the oracle in any summation order. Tiny aggregate
+    (one row per language), broadcast back by a sampler at use time."""
+    docs = load(spark, "documents", sf_dir)
+    n_tok = F.size(F.split("text", " "))
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok.cast("bigint")).alias("lang_tokens"),
+    )
+    q = F.floor(F.sqrt(F.col("lang_tokens")) * F.lit(1000000000.0)).cast("bigint")
+    smoothed = per_lang.select("lang", "n_docs", "lang_tokens", q.alias("q"))
+    totals = smoothed.agg(
+        F.sum("lang_tokens").alias("total_tokens"), F.sum("q").alias("total_q")
+    )
+    return (
+        smoothed.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            "lang_tokens",
+            (
+                F.col("lang_tokens").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("raw_share"),
+            (F.col("q").cast("double") / F.col("total_q").cast("double")).alias(
+                "smoothed_share"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "dedup_incremental_ingest": dedup_incremental_ingest,
+    "mix_temperature_weights": mix_temperature_weights,
     "dedup_cross_source": dedup_cross_source,
     "sample_token_budget": sample_token_budget,
     "mix_domain_weights": mix_domain_weights,
 }
 
 ORACLES = {
+    "mix_temperature_weights": """
+        WITH per AS (
+            SELECT lang, count(*) AS n_docs,
+                   cast(sum(len(string_split(text, ' '))) AS bigint)
+                       AS lang_tokens
+            FROM documents GROUP BY lang
+        ),
+        q AS (
+            SELECT lang, n_docs, lang_tokens,
+                   cast(floor(sqrt(lang_tokens) * 1000000000.0) AS bigint)
+                       AS qv
+            FROM per
+        )
+        SELECT lang, n_docs, lang_tokens,
+               cast(lang_tokens AS double)
+                   / cast(sum(lang_tokens) OVER () AS double) AS raw_share,
+               cast(qv AS double) / cast(sum(qv) OVER () AS double)
+                   AS smoothed_share
+        FROM q
+        ORDER BY lang
+    """,
     "dedup_incremental_ingest": f"""
         WITH fp AS (
             SELECT doc_id, lang,

@@ -352,6 +352,29 @@ CC_MAX_ITERS = 12  # pointer jumping: components of diameter <= 2^12
 CC_EDGE_EST = 0.5
 
 
+def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected near-dup graph shared by connected components and
+    PageRank — the MinHash-LSH candidate pairs qualified at
+    ``CC_EDGE_EST`` signature agreement, symmetrized to (src, dst).
+    One definition so the two graph operators can never desynchronize.
+
+    Materialized ONCE via ``localCheckpoint``: every iteration's action
+    downstream would otherwise re-run the whole LSH banding join that
+    produced the edges."""
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= CC_EDGE_EST)
+        .select("doc_a", "doc_b")
+    )
+    return (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+
+
 def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters -> canonical survivors: connected components
     over the MinHash-LSH candidate pairs (the O(docs) scale path — at
@@ -370,20 +393,7 @@ def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage instead).
     """
     docs = load(spark, "documents", sf_dir)
-    pairs = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .filter(F.col("est_jaccard") >= CC_EDGE_EST)
-        .select("doc_a", "doc_b")
-    )
-    edges = (
-        pairs.union(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
-        .toDF("src", "dst")
-        # Materialize ONCE: every iteration's action would otherwise
-        # re-run the whole LSH banding join that produced the edges.
-        .localCheckpoint(eager=True)
-    )
+    edges = _dup_edges(spark, sf_dir)
     labels = docs.select("doc_id", F.col("doc_id").alias("label"))
     for _ in range(CC_MAX_ITERS):
         nbr_min = (
@@ -456,18 +466,7 @@ def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     which unrolls the same fixed rounds as chained CTEs — the
     iterative-operator-with-exact-oracle standard set by ts_ewma_exact
     and sim_ivf_kmeans_topk."""
-    pairs = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .filter(F.col("est_jaccard") >= CC_EDGE_EST)
-        .select("doc_a", "doc_b")
-    )
-    edges = (
-        pairs.union(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
-        .toDF("src", "dst")
-        .localCheckpoint(eager=True)
-    )
+    edges = _dup_edges(spark, sf_dir)
     nodes = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     score = nodes.select(F.col("src").alias("doc_id"), "deg", F.lit(1.0).alias("score"))
     for _ in range(PR_ITERS):
@@ -523,28 +522,7 @@ def _pagerank_oracle() -> str:
         )"""
     rounds = ",".join(it.format(k=k, k1=k + 1) for k in range(PR_ITERS))
     return f"""
-        WITH sig AS ({_ORACLE_SIG}),
-        bands AS (
-            SELECT doc_id, sig, b AS band,
-                   sig[b * {BAND_ROWS} + 1] || '|' || sig[b * {BAND_ROWS} + 2] AS key
-            FROM sig, (SELECT unnest(range(0, {N_HASHES // BAND_ROWS})) AS b)
-        ),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                            a.sig AS sig_a, b.sig AS sig_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-        ),
-        qual AS (
-            SELECT doc_a, doc_b FROM cand
-            WHERE len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2]))
-                  / {float(N_HASHES)} >= {CC_EDGE_EST}
-        ),
-        edges AS (
-            SELECT doc_a AS src, doc_b AS dst FROM qual
-            UNION ALL
-            SELECT doc_b AS src, doc_a AS dst FROM qual
-        ),
+        WITH {_ORACLE_LSH_EDGES},
         s0 AS (
             SELECT src AS doc_id, count(*) AS deg, 1.0 AS score
             FROM edges GROUP BY src
@@ -602,6 +580,37 @@ _ORACLE_SIG = f"""
           FROM ({_ORACLE_SHINGLES}))
 """
 
+# Shared LSH candidate CTE chain (sig -> bands -> cand): the single
+# SQL definition of the banding join, used by the minhash pair query,
+# connected components, and PageRank oracles — mirroring _dup_edges on
+# the Spark side so the graphs can never desynchronize.
+_ORACLE_LSH_CAND = f"""sig AS ({_ORACLE_SIG}),
+        bands AS (
+            SELECT doc_id, sig, b AS band,
+                   sig[b * {BAND_ROWS} + 1] || '|' || sig[b * {BAND_ROWS} + 2] AS key
+            FROM sig, (SELECT unnest(range(0, {N_HASHES // BAND_ROWS})) AS b)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            a.sig AS sig_a, b.sig AS sig_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        )"""
+
+# cand qualified at CC_EDGE_EST and symmetrized — the oracle twin of
+# _dup_edges.
+_ORACLE_LSH_EDGES = f"""{_ORACLE_LSH_CAND},
+        qual AS (
+            SELECT doc_a, doc_b FROM cand
+            WHERE len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2]))
+                  / {float(N_HASHES)} >= {CC_EDGE_EST}
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM qual
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM qual
+        )"""
+
 # Shared CTE chain: exact-Jaccard candidate pairs (used by the pair
 # query and as the edge set of the connected-components oracle).
 _ORACLE_JACCARD_CTES = f"""
@@ -647,33 +656,12 @@ ORACLES = {
         SELECT doc_a, doc_b, jaccard FROM jp
     """,
     "dedup_cc_survivors": f"""
-        WITH RECURSIVE sig AS ({_ORACLE_SIG}),
-        bands AS (
-            SELECT doc_id, sig, b AS band,
-                   sig[b * {BAND_ROWS} + 1] || '|' || sig[b * {BAND_ROWS} + 2] AS key
-            FROM sig, (SELECT unnest(range(0, {N_HASHES // BAND_ROWS})) AS b)
-        ),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                            a.sig AS sig_a, b.sig AS sig_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-        ),
-        jp AS (
-            SELECT doc_a, doc_b FROM cand
-            WHERE len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2]))
-                      / {float(N_HASHES)} >= {CC_EDGE_EST}
-        ),
-        edges AS (
-            SELECT doc_a AS s, doc_b AS d FROM jp
-            UNION ALL
-            SELECT doc_b, doc_a FROM jp
-        ),
+        WITH RECURSIVE {_ORACLE_LSH_EDGES},
         reach(n, m) AS (
-            SELECT s, d FROM edges
+            SELECT src, dst FROM edges
             UNION
-            SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
-            WHERE e.d <> r.n
+            SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src
+            WHERE e.dst <> r.n
         ),
         comp AS (
             SELECT n AS doc_id, least(n, min(m)) AS component
@@ -685,22 +673,11 @@ ORACLES = {
         FROM documents d LEFT JOIN comp c USING (doc_id)
     """,
     "dedup_minhash_lsh": f"""
-        WITH sig AS ({_ORACLE_SIG}),
-        bands AS (
-            SELECT doc_id, sig, b AS band,
-                   sig[b * {BAND_ROWS} + 1] || '|' || sig[b * {BAND_ROWS} + 2] AS key
-            FROM sig, (SELECT unnest(range(0, {N_HASHES // BAND_ROWS})) AS b)
-        ),
-        pairs AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                            a.sig AS sig_a, b.sig AS sig_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-        )
+        WITH {_ORACLE_LSH_CAND}
         SELECT doc_a, doc_b,
                len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2]))
                    / {float(N_HASHES)} AS est_jaccard
-        FROM pairs
+        FROM cand
     """,
     "dedup_simhash": """
         WITH sims AS (

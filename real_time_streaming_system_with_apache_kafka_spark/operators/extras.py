@@ -149,9 +149,9 @@ def agg_quartiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("l_quantity").alias("min_qty"),
-            F.expr("percentile(l_quantity, 0.25)").alias("q25"),
-            F.expr("percentile(l_quantity, 0.5)").alias("median"),
-            F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+            F.percentile(F.col("l_quantity"), F.lit(0.25)).alias("q25"),
+            F.percentile(F.col("l_quantity"), F.lit(0.5)).alias("median"),
+            F.percentile(F.col("l_quantity"), F.lit(0.75)).alias("q75"),
             F.max("l_quantity").alias("max_qty"),
         )
         .orderBy("l_returnflag")

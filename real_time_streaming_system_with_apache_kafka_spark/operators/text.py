@@ -26,6 +26,8 @@ STOPWORDS = {
     "zh": ["de", "shi", "bu", "le", "zai", "ren", "you", "wo", "ta", "zhe"],
 }
 LANG_ORDER = ["en", "es", "de", "fr", "zh"]  # deterministic tie order
+# Flat union for corpus-wide gates (curation.quality_gopher_gates).
+ALL_STOPWORDS = sorted({w for sw in STOPWORDS.values() for w in sw})
 
 # Token pattern: word runs, digit runs, or single non-alphanumerics —
 # the BPE-ish pre-tokenization split (simple char classes so Java and
@@ -191,9 +193,14 @@ QUERIES = {
     "text_token_stats_by_lang": text_token_stats_by_lang,
 }
 
-_SW_SQL = {
-    lang: "[" + ", ".join(f"'{w}'" for w in sw) + "]" for lang, sw in STOPWORDS.items()
-}
+def _sw_literal(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_SW_SQL = {lang: _sw_literal(sw) for lang, sw in STOPWORDS.items()}
+# DuckDB literal of the flat union — the single quoting implementation
+# shared with curation's Gopher-gate oracle.
+ALL_SW_SQL = _sw_literal(ALL_STOPWORDS)
 
 _LANGID_SCORES = ", ".join(
     f"len(list_intersect(words, {_SW_SQL[lang]})) AS score_{lang}"
