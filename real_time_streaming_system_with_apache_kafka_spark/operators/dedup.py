@@ -534,6 +534,47 @@ def _pagerank_oracle() -> str:
     """
 
 
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-stage scale pattern in one operator: LSH candidate
+    generation (cheap, O(docs x bands), some false positives) followed
+    by EXACT Jaccard verification computed ONLY on the candidates —
+    never all pairs. This is how a 100 TB dedup actually runs: the
+    quadratic exact measure is confined to the candidate set, whose
+    size the banding controls.
+
+    Plan shape: candidates come from the banding equality join; each
+    side then broadcasts nothing — the per-doc distinct-shingle arrays
+    join back by doc_id (two hash joins), and the intersect/union
+    arithmetic is per-row array math in codegen. Output is the
+    verified pair set with both the LSH estimate and the exact value,
+    so the estimator's calibration is auditable."""
+    docs = load(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    shingle_sets = docs.select(
+        "doc_id", F.array_distinct(_shingles(_words())).alias("sh")
+    )
+    cand = dedup_minhash_lsh(spark, sf_dir)
+    a = shingle_sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = shingle_sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            (
+                n_common
+                / (F.size("sh_a") + F.size("sh_b") - n_common)
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "est_jaccard", "jaccard")
+    )
+
+
 PREFIX_WORDS = 20
 
 
@@ -563,6 +604,7 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_prefix": dedup_prefix,
+    "dedup_lsh_verified": dedup_lsh_verified,
     "graph_pagerank_dupgraph": graph_pagerank_dupgraph,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -636,6 +678,29 @@ _ORACLE_JACCARD_CTES = f"""
 """
 
 ORACLES = {
+    "dedup_lsh_verified": f"""
+        WITH {_ORACLE_LSH_CAND},
+        ss AS (
+            SELECT doc_id, list_distinct(shingles) AS sh
+            FROM ({_ORACLE_SHINGLES})
+        ),
+        est AS (
+            SELECT doc_a, doc_b,
+                   len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2]))
+                       / {float(N_HASHES)} AS est_jaccard
+            FROM cand
+        )
+        SELECT doc_a, doc_b, est_jaccard,
+               len(list_intersect(a.sh, b.sh))
+                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                   AS jaccard
+        FROM est
+        JOIN ss a ON doc_a = a.doc_id
+        JOIN ss b ON doc_b = b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+              >= {JACCARD_THRESHOLD}
+    """,
     "graph_pagerank_dupgraph": _pagerank_oracle(),
     "dedup_prefix": f"""
         SELECT md5(array_to_string(string_split(text, ' ')[1:{PREFIX_WORDS}],

@@ -189,6 +189,58 @@ def wf_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wf_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value functions (first_value / last_value / nth_value)
+    per user over event time, with the full-partition frame stated
+    explicitly — last_value over the DEFAULT frame (unbounded preceding
+    .. current row) is the classic silent-wrong-answer; pinning ROWS
+    BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING makes the
+    semantics the ones people actually mean. One shuffle on user_id;
+    all four values ride the same window."""
+    from pyspark.sql import Window
+
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.first("value").over(full).alias("first_value"),
+            F.last("value").over(full).alias("last_value"),
+            F.nth_value("value", 2).over(full).alias("second_value"),
+            F.row_number().over(w).alias("seq"),
+        )
+    )
+
+
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value) with a deterministic
+    tiebreak — the missing member of the aggregate-function surface.
+    Built-in ``mode()`` breaks ties arbitrarily (engine- and
+    partitioning-dependent), so this is the two-level form: count per
+    (group, value), then argmax with (count DESC, value ASC) — the
+    same result on any engine and any executor count. Both levels are
+    hash aggregations; the argmax is a max_by on an exact struct."""
+    ev = load(spark, "events", sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # max_by over (n, reversed-type) would need a string trick for the
+    # ASC tiebreak; a row_number window on the tiny per-user group is
+    # clearer and WindowGroupLimit-prunable.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("modal_event_type"), F.col("n").alias("n_events"))
+    )
+
+
 def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array function surface over the embedding column: size, element
     access, min/max, slice, sort, threshold-filter count, argmax.
@@ -301,6 +353,8 @@ QUERIES = {
     "agg_stats_moments": agg_stats_moments,
     "agg_quartiles_exact": agg_quartiles_exact,
     "wf_share_of_total": wf_share_of_total,
+    "wf_first_last_nth": wf_first_last_nth,
+    "agg_mode_exact": agg_mode_exact,
     "wf_rank_family": wf_rank_family,
     "f_array_funcs": f_array_funcs,
     "f_regexp_funcs": f_regexp_funcs,
@@ -315,6 +369,29 @@ ORACLES = {
                {oracle_dsum('l_quantity', 'sum_qty')}
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "wf_first_last_nth": """
+        SELECT user_id, event_id, ts, value,
+               first_value(value) OVER wfull AS first_value,
+               last_value(value) OVER wfull AS last_value,
+               nth_value(value, 2) OVER wfull AS second_value,
+               cast(row_number() OVER w AS int) AS seq
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               wfull AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING)
+    """,
+    "agg_mode_exact": """
+        SELECT user_id, event_type AS modal_event_type, n AS n_events
+        FROM (
+            SELECT user_id, event_type, count(*) AS n,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY count(*) DESC, event_type)
+                       AS rk
+            FROM events GROUP BY user_id, event_type
+        )
+        WHERE rk = 1
     """,
     # The oracle keeps the textbook unpartitioned-window form the
     # Spark side rewrites away: parity proves the broadcast plan is
