@@ -425,3 +425,14 @@ def test_gopher_gates_scan_only(spark, sf_dir):
 
     plan = _plan(curation.quality_gopher_gates(spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_lsh_verified_no_cartesian(spark, sf_dir):
+    """The exact-Jaccard verify stage must join shingle sets back to
+    the candidate pairs by doc_id (hash joins) — never a cartesian
+    re-derivation of the pair space."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import dedup
+
+    plan = _plan(dedup.dedup_lsh_verified(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
