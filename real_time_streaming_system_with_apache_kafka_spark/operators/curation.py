@@ -421,8 +421,38 @@ def quality_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_schema_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiler (the ANALYZE/data-quality pass a lake
+    pipeline runs after ingest): per column — null count, exact
+    distinct count, min and max (as strings, one schema for all
+    types). ALL columns profile in a SINGLE aggregation over one scan;
+    the wide one-row result unpivots driver-side via ``stack`` — at
+    100 TB this is one pass over the table regardless of column count.
+    Exact distincts ride the same shuffle; the approximate profiler
+    would swap in approx_count_distinct with zero shape change."""
+    docs = load(spark, "documents", sf_dir)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"),
+            F.count_distinct(c).alias(f"nd_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"mn_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"mx_{c}"),
+        ]
+    wide = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)"
+    ).orderBy("column_name")
+
+
 QUERIES = {
     "decontaminate_holdout": decontaminate_holdout,
+    "profile_schema_stats": profile_schema_stats,
     "quality_gopher_gates": quality_gopher_gates,
     "pack_sequences": pack_sequences,
     "text_tfidf_terms": text_tfidf_terms,
@@ -489,6 +519,43 @@ _ORACLE_NGRAMS = f"""
 """
 
 ORACLES = {
+    "profile_schema_stats": """
+        SELECT 'doc_id' AS column_name,
+               count(*) - count(doc_id) AS n_nulls,
+               count(DISTINCT doc_id) AS n_distinct,
+               min(cast(doc_id AS varchar)) AS min_value,
+               max(cast(doc_id AS varchar)) AS max_value
+        FROM documents
+        UNION ALL
+        SELECT 'text' AS column_name,
+               count(*) - count(text) AS n_nulls,
+               count(DISTINCT text) AS n_distinct,
+               min(cast(text AS varchar)) AS min_value,
+               max(cast(text AS varchar)) AS max_value
+        FROM documents
+        UNION ALL
+        SELECT 'lang' AS column_name,
+               count(*) - count(lang) AS n_nulls,
+               count(DISTINCT lang) AS n_distinct,
+               min(cast(lang AS varchar)) AS min_value,
+               max(cast(lang AS varchar)) AS max_value
+        FROM documents
+        UNION ALL
+        SELECT 'source' AS column_name,
+               count(*) - count(source) AS n_nulls,
+               count(DISTINCT source) AS n_distinct,
+               min(cast(source AS varchar)) AS min_value,
+               max(cast(source AS varchar)) AS max_value
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars' AS column_name,
+               count(*) - count(n_chars) AS n_nulls,
+               count(DISTINCT n_chars) AS n_distinct,
+               min(cast(n_chars AS varchar)) AS min_value,
+               max(cast(n_chars AS varchar)) AS max_value
+        FROM documents
+        ORDER BY column_name
+    """,
     "quality_gopher_gates": _GOPHER_SQL.replace("{sw}", _gopher_all_sw_sql()),
     "text_rarity_score": """
         WITH terms AS (
