@@ -76,6 +76,8 @@ HEADLINE = [
     # Iterative graph op: PageRank over the LSH dup-candidate graph
     # (Pregel-on-DataFrames, quantized contributions, unrolled oracle).
     "graph_pagerank_dupgraph",
+    # Two-stage dedup flagship: LSH candidates -> exact-Jaccard verify.
+    "dedup_lsh_verified",
 ]
 
 
