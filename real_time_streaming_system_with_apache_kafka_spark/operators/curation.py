@@ -34,6 +34,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
+from real_time_streaming_system_with_apache_kafka_spark.operators.text import (
+    ALL_STOPWORDS,
+    ALL_SW_SQL,
+)
 from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
 
 # Every doc_id = 0 (mod BENCH_MOD) plays the role of a held-out
@@ -386,8 +390,6 @@ def quality_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pure per-row column expressions inside whole-stage
     codegen — one corpus scan, zero shuffle, embarrassingly parallel at
     any executor count."""
-    from real_time_streaming_system_with_apache_kafka_spark.operators.text import ALL_STOPWORDS
-
     docs = load(spark, "documents", sf_dir)
     words = F.split(F.col("text"), " ")
     n_words = F.size(words)
@@ -421,6 +423,9 @@ def quality_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
 def profile_schema_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass table profiler (the ANALYZE/data-quality pass a lake
     pipeline runs after ingest): per column — null count, exact
@@ -431,7 +436,7 @@ def profile_schema_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact distincts ride the same shuffle; the approximate profiler
     would swap in approx_count_distinct with zero shape change."""
     docs = load(spark, "documents", sf_dir)
-    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    cols = _PROFILE_COLS
     aggs = []
     for c in cols:
         aggs += [
@@ -463,12 +468,6 @@ QUERIES = {
     "text_rarity_score": text_rarity_score,
     "profile_dup_rate_by_source": profile_dup_rate_by_source,
 }
-
-def _gopher_all_sw_sql() -> str:
-    from real_time_streaming_system_with_apache_kafka_spark.operators.text import ALL_SW_SQL
-
-    return ALL_SW_SQL
-
 
 _GOPHER_SQL = f"""
     WITH base AS (
@@ -518,45 +517,22 @@ _ORACLE_NGRAMS = f"""
     FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
 """
 
+def _profile_oracle() -> str:
+    """Generated from the same _PROFILE_COLS list the Spark side uses,
+    so adding a column cannot desynchronize the twins."""
+    selects = "\n        UNION ALL\n".join(
+        f"""        SELECT '{c}' AS column_name,
+               count(*) - count({c}) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               min(cast({c} AS varchar)) AS min_value,
+               max(cast({c} AS varchar)) AS max_value
+        FROM documents""" for c in _PROFILE_COLS)
+    return selects + "\n        ORDER BY column_name"
+
+
 ORACLES = {
-    "profile_schema_stats": """
-        SELECT 'doc_id' AS column_name,
-               count(*) - count(doc_id) AS n_nulls,
-               count(DISTINCT doc_id) AS n_distinct,
-               min(cast(doc_id AS varchar)) AS min_value,
-               max(cast(doc_id AS varchar)) AS max_value
-        FROM documents
-        UNION ALL
-        SELECT 'text' AS column_name,
-               count(*) - count(text) AS n_nulls,
-               count(DISTINCT text) AS n_distinct,
-               min(cast(text AS varchar)) AS min_value,
-               max(cast(text AS varchar)) AS max_value
-        FROM documents
-        UNION ALL
-        SELECT 'lang' AS column_name,
-               count(*) - count(lang) AS n_nulls,
-               count(DISTINCT lang) AS n_distinct,
-               min(cast(lang AS varchar)) AS min_value,
-               max(cast(lang AS varchar)) AS max_value
-        FROM documents
-        UNION ALL
-        SELECT 'source' AS column_name,
-               count(*) - count(source) AS n_nulls,
-               count(DISTINCT source) AS n_distinct,
-               min(cast(source AS varchar)) AS min_value,
-               max(cast(source AS varchar)) AS max_value
-        FROM documents
-        UNION ALL
-        SELECT 'n_chars' AS column_name,
-               count(*) - count(n_chars) AS n_nulls,
-               count(DISTINCT n_chars) AS n_distinct,
-               min(cast(n_chars AS varchar)) AS min_value,
-               max(cast(n_chars AS varchar)) AS max_value
-        FROM documents
-        ORDER BY column_name
-    """,
-    "quality_gopher_gates": _GOPHER_SQL.replace("{sw}", _gopher_all_sw_sql()),
+    "profile_schema_stats": _profile_oracle(),
+    "quality_gopher_gates": _GOPHER_SQL.replace("{sw}", ALL_SW_SQL),
     "text_rarity_score": """
         WITH terms AS (
             SELECT doc_id,

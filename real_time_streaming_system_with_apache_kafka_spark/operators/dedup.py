@@ -126,25 +126,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH candidate pairs: band-key equality groupBy (the
-    O(docs) scale path), then exact-signature agreement fraction as the
-    similarity estimate."""
-    # Decouple compute parallelism from input file layout — a single
-    # small parquet file must not serialize the kernel onto one task
-    # (and at 100 TB this repartition is noise next to the scan).
-    docs = load(spark, "documents", sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, distinct-shingle array) — the shared input of the LSH
+    signature path and the exact-Jaccard verify stage.
+
+    The repartition decouples compute parallelism from input file
+    layout — a single small parquet file must not serialize the
+    shingle kernel onto one task (and at 100 TB it is noise next to
+    the scan). Shingling happens AFTER the exchange so it runs at full
+    width."""
+    return (
+        load(spark, "documents", sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.array_distinct(_shingles(_words())).alias("sh"))
     )
+
+
+def _lsh_pairs(sh: DataFrame) -> DataFrame:
+    """LSH candidate pairs with signature-agreement estimate, from an
+    EXPLODED (doc_id, s) shingle DataFrame. Callers choose the explode
+    form: the standalone query keeps the whole shingle expression
+    INSIDE the generator (InferFiltersFromGenerate skips complex
+    generators — with a plain column reference, the inferred
+    ``size(sh) > 0`` filter is substituted through the projection and
+    pushed below the repartition, re-evaluating the full shingle
+    transform on the single-task scan: a measured 3x regression);
+    the verify query explodes a checkpointed array column, where the
+    inferred filter is a cheap size check over materialized rows."""
     # Signatures via explode -> one codegen'd projection of all
     # n_hashes md5 columns -> partial-min aggregation. Equivalent to
     # the per-row `minhash_signature` helper (min over the same set)
     # but ~8x faster: higher-order array lambdas are interpreted,
     # while this path stays in whole-stage codegen with map-side
     # combine on the min.
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(_shingles(_words()))).alias("s")
-    )
     hcols = [
         F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))).alias(f"h{i}")
         for i in range(N_HASHES)
@@ -199,6 +213,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ) / float(N_HASHES)
     return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH candidate pairs: band-key equality groupBy (the
+    O(docs) scale path), then exact-signature agreement fraction as the
+    similarity estimate."""
+    docs = load(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return _lsh_pairs(
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(_shingles(_words()))).alias("s"),
+        )
+    )
 
 
 def simhash16(text: Column) -> Column:
@@ -548,15 +577,13 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is per-row array math in codegen. Output is the
     verified pair set with both the LSH estimate and the exact value,
     so the estimator's calibration is auditable."""
-    docs = load(spark, "documents", sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    shingle_sets = docs.select(
-        "doc_id", F.array_distinct(_shingles(_words())).alias("sh")
-    )
-    cand = dedup_minhash_lsh(spark, sf_dir)
-    a = shingle_sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = shingle_sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # Shingle ONCE: the same materialized (doc_id, sh) feeds both the
+    # signature path and the verify arrays (without the checkpoint,
+    # Spark would re-scan and re-shingle the corpus for each branch).
+    ss = _shingle_sets(spark, sf_dir).localCheckpoint(eager=True)
+    cand = _lsh_pairs(ss.select("doc_id", F.explode("sh").alias("s")))
+    a = ss.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = ss.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
         cand.join(a, "doc_a")

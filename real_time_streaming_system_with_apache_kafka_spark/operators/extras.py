@@ -197,8 +197,6 @@ def wf_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING makes the
     semantics the ones people actually mean. One shuffle on user_id;
     all four values ride the same window."""
-    from pyspark.sql import Window
-
     ev = load(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -231,8 +229,6 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_by over (n, reversed-type) would need a string trick for the
     # ASC tiebreak; a row_number window on the tiny per-user group is
     # clearer and WindowGroupLimit-prunable.
-    from pyspark.sql import Window
-
     w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type").asc())
     return (
         counts.withColumn("rk", F.row_number().over(w))

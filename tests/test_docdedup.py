@@ -89,17 +89,13 @@ def test_pagerank_dupgraph_invariants(spark, sf_dir):
 
     rows = dedup.graph_pagerank_dupgraph(spark, sf_dir).collect()
     assert rows, "dup graph must be non-empty on the fixture"
-    # Sound bounds: base score 0.15; after any round a node's score is
-    # at most 0.15 + 0.85 * (its in-degree) * (max previous score /
-    # min out-degree >= 1) — bounded here by the loosest safe cap,
-    # 0.15 + 0.85 * deg * max_score_0 where score_0 = 1 everywhere
-    # only for round 1; for the fixed 4 rounds use the graph-wide
-    # invariant score <= 0.15 + 0.85 * deg * max_score and check
-    # against the observed max instead of an a-priori constant.
-    max_score = max(r["score"] for r in rows)
+    # Sound lower bound only: every score is at least the 0.15 base.
+    # (A per-node upper bound would need the PREVIOUS round's max —
+    # not observable from the final output — so none is asserted.)
+    import math
+
     for r in rows:
-        assert r["score"] >= 0.15
-        assert r["score"] <= 0.15 + 0.85 * r["n_neighbors"] * max_score
+        assert r["score"] >= 0.15 and math.isfinite(r["score"])
     # Centrality signal: the top-degree half must outrank the
     # bottom-degree half on average.
     by_deg = sorted(rows, key=lambda r: r["n_neighbors"])
