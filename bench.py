@@ -78,6 +78,16 @@ HEADLINE = [
     "graph_pagerank_dupgraph",
     # Two-stage dedup flagship: LSH candidates -> exact-Jaccard verify.
     "dedup_lsh_verified",
+    # Late round-3: corpus-wide KNN self-join (blocked-GEMM argmax),
+    # asymmetric containment over LSH candidates, passage-level dedup,
+    # the RAG chunker (generate-only plan), the broadcast linear
+    # quality classifier, and per-lang trigram diversity.
+    "sim_knn_join",
+    "dedup_containment",
+    "dedup_passage",
+    "chunk_documents",
+    "quality_weighted_terms",
+    "text_ngram_diversity",
 ]
 
 

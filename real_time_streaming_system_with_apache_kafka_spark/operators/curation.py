@@ -423,6 +423,101 @@ def quality_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 40  # retrieval chunk size (tokens)
+CHUNK_STRIDE = 30  # 10-token overlap between consecutive chunks
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunker: split every document into overlapping
+    ``CHUNK_TOKENS``-token windows advancing by ``CHUNK_STRIDE`` —
+    (doc_id, chunk_idx, chunk_text, n_tokens), the unit a retrieval
+    index embeds. Start positions are every stride multiple below the
+    word count, so short documents yield exactly one (possibly
+    partial) chunk and no document is dropped.
+
+    Scale shape: one generator projection per row (posexplode of the
+    start-offset sequence) — zero shuffle, zero joins; output size is
+    corpus x (1/stride) rows, streamed straight to the sink. Token
+    counts are whitespace words; a real tokenizer swaps in via the
+    same column substitution as pack_sequences."""
+    docs = load(spark, "documents", sf_dir)
+    words = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(0), F.size(words) - 1, F.lit(CHUNK_STRIDE))
+    chunks = docs.select(
+        "doc_id",
+        words.alias("words"),
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(
+            " ", F.slice("words", F.col("start") + 1, CHUNK_TOKENS)
+        ).alias("chunk_text"),
+        F.least(F.lit(CHUNK_TOKENS), F.size("words") - F.col("start")).alias(
+            "n_tokens"
+        ),
+    )
+
+
+# Tiny fasttext-style linear text classifier: integer term weights +
+# bias, decision = score >= threshold. Weights are a fixed vocabulary
+# table (in production: the exported coefficients of a trained linear
+# model); scoring is a sparse dot product of the document's bag of
+# words with the weight vector.
+QUALITY_WEIGHTS = {
+    "spark": 4,
+    "data": 3,
+    "vector": 3,
+    "query": 2,
+    "table": 2,
+    "hash": 2,
+    "row": 1,
+    "the": -1,
+    "a": -2,
+    "slow": -3,
+}
+QUALITY_BIAS = -5
+QUALITY_KEEP = 10
+
+
+def quality_weighted_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: score = bias + sum over word
+    OCCURRENCES of the term's weight (bag-of-words dot product with a
+    linear model's coefficient vector), keep = score >= threshold.
+    Complements the rule-based Gopher gates with the
+    classifier-shaped filter every production curation stack runs.
+
+    Scale shape: explode -> broadcast hash join against the (tiny)
+    weight vocabulary -> per-doc sum. The explode preserves document
+    locality, so the partial aggregation collapses each document to
+    one row map-side before the single O(docs) shuffle; the weight
+    table broadcasts (a real model vocabulary is ~100k rows — still a
+    broadcast). Docs with no weighted terms re-enter via the left join
+    with score = bias, so the filter's domain is the whole corpus."""
+    docs = load(spark, "documents", sf_dir)
+    w_df = spark.createDataFrame(
+        sorted(QUALITY_WEIGHTS.items()), "term string, weight int"
+    )
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    term_scores = (
+        toks.join(F.broadcast(w_df), "term")
+        .groupBy("doc_id")
+        .agg(F.sum("weight").alias("term_score"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(term_scores, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("term_score"), F.lit(0)) + QUALITY_BIAS).alias(
+                "score"
+            ),
+        )
+        .withColumn("keep", F.col("score") >= QUALITY_KEEP)
+    )
+
+
 _PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 
@@ -467,6 +562,8 @@ QUERIES = {
     "text_inverted_index": text_inverted_index,
     "text_rarity_score": text_rarity_score,
     "profile_dup_rate_by_source": profile_dup_rate_by_source,
+    "chunk_documents": chunk_documents,
+    "quality_weighted_terms": quality_weighted_terms,
 }
 
 _GOPHER_SQL = f"""
@@ -685,5 +782,40 @@ ORACLES = {
                count(*) AS n_docs, min(n_chars) AS lo, max(n_chars) AS hi
         FROM documents CROSS JOIN b
         GROUP BY 1
+    """,
+    "chunk_documents": f"""
+        SELECT doc_id,
+               cast(chunk_idx AS int) AS chunk_idx,
+               array_to_string(
+                   words[chunk_idx*{CHUNK_STRIDE}+1 :
+                         chunk_idx*{CHUNK_STRIDE}+{CHUNK_TOKENS}],
+                   ' ') AS chunk_text,
+               cast(least({CHUNK_TOKENS},
+                          len(words) - chunk_idx*{CHUNK_STRIDE}) AS int)
+                   AS n_tokens
+        FROM (
+            SELECT doc_id, words,
+                   unnest(range(0, (len(words) - 1) // {CHUNK_STRIDE} + 1))
+                       AS chunk_idx
+            FROM (SELECT doc_id, string_split(text, ' ') AS words
+                  FROM documents)
+        )
+    """,
+    "quality_weighted_terms": f"""
+        WITH weights(term, weight) AS (VALUES {", ".join(
+            f"('{t}', {w})" for t, w in sorted(QUALITY_WEIGHTS.items())
+        )}),
+        term_scores AS (
+            SELECT doc_id, cast(sum(weight) AS bigint) AS term_score
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            JOIN weights USING (term)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(term_score, 0) + {QUALITY_BIAS} AS score,
+               coalesce(term_score, 0) + {QUALITY_BIAS} >= {QUALITY_KEEP}
+                   AS keep
+        FROM documents d LEFT JOIN term_scores t ON d.doc_id = t.doc_id
     """,
 }

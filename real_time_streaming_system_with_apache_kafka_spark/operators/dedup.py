@@ -628,6 +628,99 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Containment C(A in B) = |A ∩ B| / |A| — the asymmetric near-dup
+# measure (Broder's resemblance/containment pair): a short document
+# quoted wholesale inside a longer one scores near 1.0 on containment
+# while Jaccard stays low (the union is dominated by the long side).
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment pairs over the LSH candidate set: for each
+    candidate pair, C(a in b) = |sh_a ∩ sh_b| / |sh_a| — catches
+    truncations, quote-wrapping, and boilerplate-plus-payload copies
+    that symmetric Jaccard misses (reference has no dedup at all; this
+    extends the two-stage scale pattern of dedup_lsh_verified).
+
+    Scale shape: identical to the verified-Jaccard query — candidates
+    from the banding equality join (O(docs x bands)), exact set math
+    only on candidates, per-row codegen array intersect. Both
+    directions of a pair are evaluated; only directions clearing the
+    threshold surface. Containment is a ratio of exact integers, so
+    the doubles are engine-identical."""
+    ss = _shingle_sets(spark, sf_dir).localCheckpoint(eager=True)
+    cand = _lsh_pairs(ss.select("doc_id", F.explode("sh").alias("s"))).select(
+        "doc_a", "doc_b"
+    )
+    # Symmetrize: candidate (a, b) yields directed rows a->b and b->a.
+    directed = cand.unionByName(
+        cand.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    a = ss.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = ss.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        directed.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (n_common / F.size("sh_a")).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+
+
+PASSAGE_WORDS = 10
+
+
+def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dup profile: split every document into
+    non-overlapping ``PASSAGE_WORDS``-word passages, count global
+    occurrences of each passage, and report per-document how many of
+    its passages also appear elsewhere (in another document, or again
+    in the same one). The sub-document dedup signal used to strip
+    syndicated paragraphs / boilerplate blocks that whole-doc dedup
+    cannot see.
+
+    Scale shape: one generator projection (explode of the passage
+    array), one hash-agg on the passage digest for global counts, one
+    broadcast-free re-join keyed on the digest (shuffle is O(total
+    passages), rows are (digest, count) narrow), then a per-doc
+    hash-agg. No quadratic stage anywhere; the passage dictionary is
+    never collected."""
+    docs = load(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    words = _words()
+    n_pass = F.ceil(F.size(words) / PASSAGE_WORDS).cast("int")
+    passages = F.transform(
+        F.sequence(F.lit(0), n_pass - 1),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(words, i * PASSAGE_WORDS + 1, PASSAGE_WORDS))
+        ),
+    )
+    pos = docs.select(
+        "doc_id", F.explode(passages).alias("ph")
+    ).localCheckpoint(eager=True)
+    counts = pos.groupBy("ph").agg(F.count(F.lit(1)).alias("n_global"))
+    return (
+        pos.join(counts, "ph")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.when(F.col("n_global") > 1, 1).otherwise(0)).alias(
+                "n_dup_passages"
+            ),
+        )
+        .withColumn(
+            "dup_ratio", F.col("n_dup_passages") / F.col("n_passages")
+        )
+        .filter(F.col("n_dup_passages") > 0)
+        .select("doc_id", "n_passages", "n_dup_passages", "dup_ratio")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_prefix": dedup_prefix,
@@ -638,6 +731,8 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_cc_survivors": dedup_cc_survivors,
+    "dedup_containment": dedup_containment,
+    "dedup_passage": dedup_passage,
 }
 
 _ORACLE_SIG = f"""
@@ -729,6 +824,47 @@ ORACLES = {
               >= {JACCARD_THRESHOLD}
     """,
     "graph_pagerank_dupgraph": _pagerank_oracle(),
+    "dedup_containment": f"""
+        WITH {_ORACLE_LSH_CAND},
+        ss AS (
+            SELECT doc_id, list_distinct(shingles) AS sh
+            FROM ({_ORACLE_SHINGLES})
+        ),
+        directed AS (
+            SELECT doc_a, doc_b FROM cand
+            UNION ALL
+            SELECT doc_b AS doc_a, doc_a AS doc_b FROM cand
+        )
+        SELECT doc_a, doc_b,
+               len(list_intersect(a.sh, b.sh)) / len(a.sh) AS containment
+        FROM directed
+        JOIN ss a ON doc_a = a.doc_id
+        JOIN ss b ON doc_b = b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) / len(a.sh)
+              >= {CONTAINMENT_THRESHOLD}
+    """,
+    "dedup_passage": f"""
+        WITH pos AS (
+            SELECT doc_id,
+                   unnest([md5(array_to_string(
+                               words[i*{PASSAGE_WORDS}+1 : i*{PASSAGE_WORDS}+{PASSAGE_WORDS}],
+                               ' '))
+                           for i in range(0, cast(ceil(len(words) / {PASSAGE_WORDS}.0)
+                                                  AS bigint))]) AS ph
+            FROM (SELECT doc_id, string_split(text, ' ') AS words
+                  FROM documents)
+        ),
+        counts AS (SELECT ph, count(*) AS n_global FROM pos GROUP BY ph)
+        SELECT doc_id,
+               count(*) AS n_passages,
+               cast(sum(CASE WHEN n_global > 1 THEN 1 ELSE 0 END) AS bigint)
+                   AS n_dup_passages,
+               cast(sum(CASE WHEN n_global > 1 THEN 1 ELSE 0 END) AS bigint)
+                   / count(*) AS dup_ratio
+        FROM pos JOIN counts USING (ph)
+        GROUP BY doc_id
+        HAVING sum(CASE WHEN n_global > 1 THEN 1 ELSE 0 END) > 0
+    """,
     "dedup_prefix": f"""
         SELECT md5(array_to_string(string_split(text, ' ')[1:{PREFIX_WORDS}],
                                    ' ')) AS prefix_hash,

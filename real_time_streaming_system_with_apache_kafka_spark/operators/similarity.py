@@ -615,12 +615,121 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def make_block_knn_kernel():
+    """Blocked-GEMM 1-NN kernel for ``applyInPandas`` — self-contained
+    closure (unpickled by value on workers, must not reference this
+    package; see functions/arrays.py:make_qcosine_udf).
+
+    Per (label, salt) group: this salt's probe rows x ALL label
+    vectors through one BLAS matmul on 7dp-quantized integers (the
+    Gram matrix is exact — every float64 addition is of integer-valued
+    operands < 2**53), then a per-row argmax with ties resolved to the
+    SMALLEST neighbor id via an explicit min over the tie set (numpy's
+    argmax first-occurrence rule would depend on row order, which
+    Spark does not guarantee)."""
+
+    def block_nn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "label": pd.Series([], dtype="int32"),
+                "vec_id": pd.Series([], dtype="int64"),
+                "nn_id": pd.Series([], dtype="int64"),
+                "cos": pd.Series([], dtype="float64"),
+            }
+        )
+        probe_mask = pdf["is_probe"].values
+        if not probe_mask.any() or probe_mask.all():
+            return empty
+
+        def quant(rows):
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in rows])
+            # Half away from zero == decimal(9,7) cast (np.rint's
+            # half-to-even diverges on dyadic floats).
+            return np.floor(np.abs(X) * 1e7 + 0.5) * np.sign(X)
+
+        a, b = pdf[probe_mask], pdf[~probe_mask]
+        Qa, Qb = quant(a["embedding"].values), quant(b["embedding"].values)
+        G = Qa @ Qb.T  # exact: integer-valued float64, |G| < 2**53
+        na = np.sqrt(np.einsum("ij,ij->i", Qa, Qa) / 1e14)
+        nb = np.sqrt(np.einsum("ij,ij->i", Qb, Qb) / 1e14)
+        C = (G / 1e14) / np.outer(na, nb)
+        ids_a, ids_b = a["vec_id"].values, b["vec_id"].values
+        C[ids_a[:, None] == ids_b[None, :]] = -np.inf
+        best = C.max(axis=1)
+        nn = np.where(
+            C == best[:, None], ids_b[None, :], np.iinfo(np.int64).max
+        ).min(axis=1)
+        valid = np.isfinite(best)  # singleton cells have no neighbor
+        if not valid.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "label": np.full(int(valid.sum()), pdf["label"].iloc[0]),
+                "vec_id": ids_a[valid],
+                "nn_id": nn[valid],
+                "cos": best[valid],
+            }
+        )
+
+    return block_nn
+
+
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN self-join: EVERY corpus vector mapped to its exact nearest
+    neighbor within its coarse cell (label; at 100 TB the cell comes
+    from the learned quantizer) — the all-corpus companion of the
+    5-query top-k searches, and the building block of SemDeDup-style
+    semantic pruning and kNN-graph construction.
+
+    Scale shape: the dedup_embedding_cosine salted-block pattern with
+    an argmax instead of a threshold — probe side salted, candidate
+    side replicated per salt, so each (label, salt) group is one Arrow
+    batch -> one BLAS matmul, and each probe's full candidate row is
+    present in exactly one group (the per-group argmax IS the global
+    within-cell argmax). The quadratic score matrix exists only inside
+    numpy; output is exactly one row per non-singleton vector. Shuffle
+    is O(corpus x n_salts) narrow rows — never O(corpus^2)."""
+    emb = load(spark, "embeddings", sf_dir)
+    n_salts = spark.sparkContext.defaultParallelism
+    a = emb.select(
+        "label",
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_salts)).alias("salt"),
+        F.lit(True).alias("is_probe"),
+    )
+    b = emb.select(
+        "label",
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long"))
+        ).alias("salt"),
+        F.lit(False).alias("is_probe"),
+    )
+    raw = (
+        a.unionByName(b)
+        .groupBy("label", "salt")
+        .applyInPandas(
+            make_block_knn_kernel(),
+            "label int, vec_id long, nn_id long, cos double",
+        )
+    )
+    return raw.select(
+        "label", "vec_id", "nn_id", F.round("cos", 9).alias("cos")
+    )
+
+
 QUERIES = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_kmeans_topk": sim_ivf_kmeans_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_range_search": sim_range_search,
+    "sim_knn_join": sim_knn_join,
 }
 
 ORACLES = {
@@ -713,5 +822,25 @@ ORACLES = {
         CROSS JOIN embeddings n
         WHERE q.vec_id <> n.vec_id
           AND {oracle_cosine('q.embedding', 'n.embedding')} >= {RANGE_THRESHOLD}
+    """,
+    # KNN self-join twin: the argmax orders by the UNROUNDED quantized
+    # cosine (bit-identical to the kernel's exact Gram matrix), ties to
+    # the lowest neighbor id; only the reported cos is rounded.
+    "sim_knn_join": f"""
+        WITH scored AS (
+            SELECT a.label AS label, a.vec_id AS vec_id,
+                   b.vec_id AS nn_id,
+                   {_unrounded_cos('a.embedding', 'b.embedding')} AS rawcos
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id <> b.vec_id
+        )
+        SELECT label, vec_id, nn_id, round(rawcos, 9) AS cos
+        FROM (
+            SELECT label, vec_id, nn_id, rawcos,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY rawcos DESC, nn_id) AS rk
+            FROM scored
+        )
+        WHERE rk = 1
     """,
 }

@@ -184,6 +184,51 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language n-gram diversity (the distinct-n memorization /
+    templating signal): distinct word-trigram count over total
+    trigram occurrences. A language slice dominated by boilerplate
+    shows a collapsing ratio long before per-document gates fire.
+
+    Scale shape: one generator projection (trigram explode preserving
+    the multiplicity the metric is defined over), one hash aggregate
+    keyed (lang, trigram) for the distinct side riding the same
+    shuffle as the total — expressed as a two-level aggregate:
+    count per (lang, trigram), then per-lang sum/count. Both levels
+    get map-side partial combines; no joins, no second scan.
+    Diversity is a ratio of exact integers -> engine-identical
+    doubles."""
+    docs = load(spark, "documents", sf_dir)
+    words = _words()
+    n = F.size(words)
+    # Trigrams with multiplicity, clamped like dedup's shingles: docs
+    # under 3 words contribute their whole text as one trigram.
+    tris = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.try_element_at(words, i + 1),
+            F.try_element_at(words, i + 2),
+            F.try_element_at(words, i + 3),
+        ),
+    )
+    per_tri = (
+        docs.select("lang", F.explode(tris).alias("tri"))
+        .groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    return (
+        per_tri.groupBy("lang")
+        .agg(
+            F.sum("n_occ").alias("n_trigrams"),
+            F.count(F.lit(1)).alias("n_distinct_trigrams"),
+        )
+        .withColumn(
+            "diversity", F.col("n_distinct_trigrams") / F.col("n_trigrams")
+        )
+    )
+
+
 QUERIES = {
     "corpus_curation_pipeline": corpus_curation_pipeline,
     "text_stats_quality": text_stats_quality,
@@ -191,6 +236,7 @@ QUERIES = {
     "text_langid_confusion": text_langid_confusion,
     "text_fingerprint": text_fingerprint,
     "text_token_stats_by_lang": text_token_stats_by_lang,
+    "text_ngram_diversity": text_ngram_diversity,
 }
 
 def _sw_literal(words: list[str]) -> str:
@@ -319,5 +365,25 @@ ORACLES = {
         FROM documents
         GROUP BY lang
         ORDER BY lang
+    """,
+    # Trigrams with multiplicity, same <3-word clamp as the dedup
+    # shingle oracles (the whole text counts as one trigram).
+    "text_ngram_diversity": """
+        WITH tris AS (
+            SELECT lang,
+                   unnest(CASE WHEN len(words) < 3
+                               THEN [array_to_string(words, ' ')]
+                               ELSE [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                     for i in range(1, len(words) - 1)]
+                          END) AS tri
+            FROM (SELECT lang, string_split(text, ' ') AS words
+                  FROM documents)
+        )
+        SELECT lang,
+               cast(count(*) AS bigint) AS n_trigrams,
+               cast(count(DISTINCT tri) AS bigint) AS n_distinct_trigrams,
+               cast(count(DISTINCT tri) AS bigint) / count(*) AS diversity
+        FROM tris
+        GROUP BY lang
     """,
 }

@@ -436,3 +436,47 @@ def test_lsh_verified_no_cartesian(spark, sf_dir):
     plan = _plan(dedup.dedup_lsh_verified(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunker_is_generate_only(spark, sf_dir):
+    """The RAG chunker is a per-row generator: one scan, a Generate
+    (posexplode) node, zero shuffle, zero joins."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import curation
+
+    plan = _plan(curation.chunk_documents(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Generate" in plan
+
+
+def test_weighted_terms_broadcasts_vocabulary(spark, sf_dir):
+    """The linear-model vocabulary must broadcast; the only shuffle is
+    the per-doc score aggregation (plus the corpus-side join exchange
+    for the left join back to the doc spine)."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import curation
+
+    plan = _plan(curation.quality_weighted_terms(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # Partial aggregation collapses each doc map-side before shuffling.
+    assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_knn_join_no_pair_shuffle(spark, sf_dir):
+    """The KNN self-join must keep the quadratic score matrix inside
+    the Arrow kernel: no join node at all — only the salted-group
+    exchange feeding FlatMapGroupsInPandas."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import similarity
+
+    plan = _plan(similarity.sim_knn_join(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_passage_dedup_no_cartesian_single_count_shuffle(spark, sf_dir):
+    from real_time_streaming_system_with_apache_kafka_spark.operators import dedup
+
+    plan = _plan(dedup.dedup_passage(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,202 @@
+"""Semantic invariants for the late-round-3 operators (beyond the
+DuckDB parity suite): chunker coverage, KNN-join structure, passage
+dedup vs exact dedup consistency, containment bounds, linear-classifier
+scoring, trigram-diversity accounting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_streaming_system_with_apache_kafka_spark.operators.curation import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    QUALITY_BIAS,
+    QUALITY_WEIGHTS,
+    chunk_documents,
+    quality_weighted_terms,
+)
+from real_time_streaming_system_with_apache_kafka_spark.operators.dedup import (
+    CONTAINMENT_THRESHOLD,
+    dedup_containment,
+    dedup_exact,
+    dedup_passage,
+)
+from real_time_streaming_system_with_apache_kafka_spark.operators.similarity import (
+    sim_knn_join,
+)
+from real_time_streaming_system_with_apache_kafka_spark.operators.text import (
+    text_ngram_diversity,
+)
+from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
+
+
+def test_chunker_covers_every_word(spark, sf_smoke):
+    chunks = chunk_documents(spark, sf_smoke)
+    docs = load(spark, "documents", sf_smoke).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_words")
+    )
+    # Per doc: chunk 0 exists, indices are dense, and the last chunk's
+    # start + n_tokens reaches the word count (full coverage — the
+    # stride < chunk size guarantees interior coverage).
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.min("chunk_idx").alias("first_idx"),
+        F.max("chunk_idx").alias("last_idx"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max(F.col("chunk_idx") * CHUNK_STRIDE + F.col("n_tokens")).alias(
+            "covered"
+        ),
+    )
+    joined = per_doc.join(docs, "doc_id")
+    n_docs = docs.count()
+    assert per_doc.count() == n_docs  # no document dropped
+    assert joined.filter(F.col("first_idx") != 0).count() == 0
+    assert (
+        joined.filter(
+            F.col("n_chunks") != F.col("last_idx") + 1
+        ).count()
+        == 0
+    )  # dense indices
+    assert joined.filter(F.col("covered") < F.col("n_words")).count() == 0
+
+
+def test_chunker_first_chunk_is_prefix(spark, sf_smoke):
+    row = (
+        chunk_documents(spark, sf_smoke)
+        .filter((F.col("doc_id") == 1) & (F.col("chunk_idx") == 0))
+        .collect()[0]
+    )
+    text = (
+        load(spark, "documents", sf_smoke)
+        .filter(F.col("doc_id") == 1)
+        .collect()[0]["text"]
+    )
+    words = text.split(" ")
+    assert row["chunk_text"] == " ".join(words[:CHUNK_TOKENS])
+    assert row["n_tokens"] == min(CHUNK_TOKENS, len(words))
+
+
+def test_knn_join_structure(spark, sf_smoke):
+    emb = load(spark, "embeddings", sf_smoke)
+    knn = sim_knn_join(spark, sf_smoke)
+    # Exactly one row per vector whose label cell has >= 2 members.
+    cell_sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    expected = (
+        emb.join(cell_sizes, "label").filter(F.col("n") >= 2).count()
+    )
+    assert knn.count() == expected
+    assert knn.select("vec_id").distinct().count() == expected
+    # Neighbor is a different vector from the same cell; cosine bounded.
+    lab = emb.select(
+        F.col("vec_id").alias("nn_id"), F.col("label").alias("nn_label")
+    )
+    bad = (
+        knn.join(lab, "nn_id")
+        .filter(
+            (F.col("nn_label") != F.col("label"))
+            | (F.col("nn_id") == F.col("vec_id"))
+            | (F.col("cos") > 1.0000001)
+            | (F.col("cos") < -1.0000001)
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_knn_join_matches_exhaustive_within_cell(spark, sf_smoke):
+    """The kernel's argmax equals a plain DataFrame max over all
+    same-cell cosines (independent derivation through the exact
+    pair-join path)."""
+    from real_time_streaming_system_with_apache_kafka_spark.functions.arrays import (
+        cosine,
+    )
+
+    emb = load(spark, "embeddings", sf_smoke)
+    a = emb.select("label", F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = emb.select("label", F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    best = (
+        a.join(b, "label")
+        .filter(F.col("va") != F.col("vb"))
+        .withColumn("cos", cosine(F.col("ea"), F.col("eb")))
+        .groupBy("va")
+        .agg(F.max("cos").alias("best_cos"))
+    )
+    knn = sim_knn_join(spark, sf_smoke).select(
+        F.col("vec_id").alias("va"), "cos"
+    )
+    mism = (
+        knn.join(best, "va")
+        .filter(F.abs(F.col("cos") - F.col("best_cos")) > 1e-12)
+        .count()
+    )
+    assert mism == 0
+
+
+def test_passage_dedup_flags_prefix_groups(spark, sf_dir):
+    """Documents sharing a 20-word prefix (dedup_prefix groups) share
+    at least their first 10-word passage, so every member must surface
+    in the passage-dedup report with n_dup_passages >= 1."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators.dedup import (
+        PREFIX_WORDS,
+        dedup_prefix,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    groups = dedup_prefix(spark, sf_dir)  # only n_members > 1 groups
+    prefix = F.md5(
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, PREFIX_WORDS))
+    )
+    members = (
+        docs.withColumn("prefix_hash", prefix)
+        .join(F.broadcast(groups.select("prefix_hash")), "prefix_hash")
+        .select("doc_id")
+    )
+    n_members = members.count()
+    assert n_members > 0, "fixture should contain shared-prefix docs"
+    flagged = dedup_passage(spark, sf_dir).join(members, "doc_id")
+    assert flagged.count() == n_members
+    assert flagged.filter(F.col("n_dup_passages") < 1).count() == 0
+
+
+def test_containment_bounds_and_direction(spark, sf_dir):
+    pairs = dedup_containment(spark, sf_dir)
+    rows = pairs.collect()
+    assert len(rows) > 0, "fixture near-dups should produce containments"
+    for r in rows:
+        assert CONTAINMENT_THRESHOLD <= r["containment"] <= 1.0
+        assert r["doc_a"] != r["doc_b"]
+
+
+def test_weighted_terms_scores_one_doc(spark, sf_smoke):
+    docs = load(spark, "documents", sf_smoke)
+    n_docs = docs.count()
+    scored = quality_weighted_terms(spark, sf_smoke)
+    assert scored.count() == n_docs  # whole-corpus domain
+    text = docs.filter(F.col("doc_id") == 0).collect()[0]["text"]
+    expected = QUALITY_BIAS + sum(
+        QUALITY_WEIGHTS.get(w, 0) for w in text.split(" ")
+    )
+    got = scored.filter(F.col("doc_id") == 0).collect()[0]["score"]
+    assert got == expected
+
+
+def test_ngram_diversity_accounting(spark, sf_smoke):
+    """Total trigram occurrences per lang must equal the sum over docs
+    of max(n_words - 2, 1) — the clamp's arithmetic identity."""
+    docs = load(spark, "documents", sf_smoke)
+    expected = {
+        r["lang"]: r["total"]
+        for r in docs.select(
+            "lang",
+            F.greatest(
+                F.size(F.split("text", " ")) - 2, F.lit(1)
+            ).alias("k"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("k").alias("total"))
+        .collect()
+    }
+    got = text_ngram_diversity(spark, sf_smoke).collect()
+    assert {r["lang"]: r["n_trigrams"] for r in got} == expected
+    for r in got:
+        assert 0 < r["diversity"] <= 1.0
+        assert r["n_distinct_trigrams"] <= r["n_trigrams"]
