@@ -88,6 +88,7 @@ HEADLINE = [
     "chunk_documents",
     "quality_weighted_terms",
     "text_ngram_diversity",
+    "dedup_semdedup",
 ]
 
 

@@ -342,6 +342,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume is O(corpus x n_salts) narrow rows, the same guard a
     coarse-quantizer block join needs at 100 TB.
     """
+    return _cosine_pairs(spark, sf_dir, COSINE_THRESHOLD)
+
+
+def _cosine_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """Shared salted-block GEMM pair derivation (see
+    dedup_embedding_cosine for the shape argument): exact quantized
+    cosine pairs (vec_a < vec_b) at ``threshold``, rounded JVM-side."""
     emb = load(spark, "embeddings", sf_dir)
     n_salts = spark.sparkContext.defaultParallelism
     a = emb.select(
@@ -364,14 +373,49 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.unionByName(b)
         .groupBy("label", "salt")
         .applyInPandas(
-            make_block_cosine_kernel(COSINE_THRESHOLD),
+            make_block_cosine_kernel(threshold),
             "label int, vec_a long, vec_b long, cos double",
         )
     )
     return (
         raw.withColumn("cos", F.round("cos", 9))
-        .filter(F.col("cos") >= COSINE_THRESHOLD)
+        .filter(F.col("cos") >= threshold)
         .select("label", "vec_a", "vec_b", "cos")
+    )
+
+
+# SemDeDup drop threshold, calibrated like COSINE_THRESHOLD to the
+# synthetic fixture's cosine range (max same-label cosine ~0.51) so
+# the decision set is non-trivial at every SF; real corpora run ~0.95+.
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by embedding similarity within quantizer cells — a
+    vector is DROPPED when some lower-id cell-mate sits above the
+    cosine threshold (deterministic min-id survivor per near-dup
+    relation), giving a per-vector keep/drop decision table rather
+    than a pair list.
+
+    Scale shape: the same salted-block GEMM as dedup_embedding_cosine
+    (quadratic work confined to per-block numpy), then one distinct on
+    the dropped side and a left anti-ish join back to the corpus spine
+    — shuffles are O(pairs above threshold) + O(corpus), never
+    O(corpus^2)."""
+    emb = load(spark, "embeddings", sf_dir)
+    dropped = (
+        _cosine_pairs(spark, sf_dir, SEMDEDUP_THRESHOLD)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        emb.select("label", "vec_id")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "label", "vec_id", F.col("dropped").isNull().alias("keep")
+        )
     )
 
 
@@ -733,6 +777,7 @@ QUERIES = {
     "dedup_cc_survivors": dedup_cc_survivors,
     "dedup_containment": dedup_containment,
     "dedup_passage": dedup_passage,
+    "dedup_semdedup": dedup_semdedup,
 }
 
 _ORACLE_SIG = f"""
@@ -927,5 +972,16 @@ ORACLES = {
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE {oracle_cosine('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
+    """,
+    "dedup_semdedup": f"""
+        WITH dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE {oracle_cosine('a.embedding', 'b.embedding')}
+                  >= {SEMDEDUP_THRESHOLD}
+        )
+        SELECT e.label, e.vec_id, d.vec_id IS NULL AS keep
+        FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
     """,
 }

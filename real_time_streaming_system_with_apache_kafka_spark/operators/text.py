@@ -197,21 +197,25 @@ def text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     count per (lang, trigram), then per-lang sum/count. Both levels
     get map-side partial combines; no joins, no second scan.
     Diversity is a ratio of exact integers -> engine-identical
-    doubles."""
-    docs = load(spark, "documents", sf_dir)
-    words = _words()
-    n = F.size(words)
-    # Trigrams with multiplicity, clamped like dedup's shingles: docs
-    # under 3 words contribute their whole text as one trigram.
-    tris = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ",
-            F.try_element_at(words, i + 1),
-            F.try_element_at(words, i + 2),
-            F.try_element_at(words, i + 3),
-        ),
+    doubles.
+
+    Trigram generation is a single codegen'd regex pass
+    (zero-width lookbehind/lookahead capture of overlapping word
+    windows) — the higher-order ``transform``+``try_element_at``
+    form is interpreted per element and measured 5x slower at sf0.1.
+    Assumes single-space word separation (the corpus contract shared
+    with every shingle oracle); <3-word docs contribute their whole
+    text as one trigram, same clamp as dedup's shingles."""
+    docs = load(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
     )
+    n = F.size(_words())
+    tris = F.when(
+        n >= 3,
+        F.regexp_extract_all(
+            F.col("text"), F.lit("(?<=^| )(?=([^ ]+ [^ ]+ [^ ]+))"), 1
+        ),
+    ).otherwise(F.array(F.col("text")))
     per_tri = (
         docs.select("lang", F.explode(tris).alias("tri"))
         .groupBy("lang", "tri")

@@ -200,3 +200,33 @@ def test_ngram_diversity_accounting(spark, sf_smoke):
     for r in got:
         assert 0 < r["diversity"] <= 1.0
         assert r["n_distinct_trigrams"] <= r["n_trigrams"]
+
+
+def test_semdedup_consistent_with_pair_derivation(spark, sf_dir):
+    """keep/drop must agree with an independent pair derivation: a
+    vector is dropped iff some LOWER-id same-label vector clears the
+    SemDeDup threshold (note: relative to ALL lower-id cell-mates, not
+    only kept ones — the deterministic variant the oracle encodes)."""
+    from real_time_streaming_system_with_apache_kafka_spark.functions.arrays import (
+        cosine,
+    )
+    from real_time_streaming_system_with_apache_kafka_spark.operators.dedup import (
+        SEMDEDUP_THRESHOLD,
+        dedup_semdedup,
+    )
+
+    emb = load(spark, "embeddings", sf_dir)
+    a = emb.select("label", F.col("vec_id").alias("lo"), F.col("embedding").alias("ea"))
+    b = emb.select("label", F.col("vec_id").alias("hi"), F.col("embedding").alias("eb"))
+    expected_dropped = (
+        a.join(b, "label")
+        .filter(F.col("lo") < F.col("hi"))
+        .withColumn("cos", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos") >= SEMDEDUP_THRESHOLD)
+        .select(F.col("hi").alias("vec_id"))
+        .distinct()
+    )
+    got_dropped = dedup_semdedup(spark, sf_dir).filter(~F.col("keep")).select("vec_id")
+    assert got_dropped.count() == expected_dropped.count()
+    assert got_dropped.exceptAll(expected_dropped).count() == 0
+    assert got_dropped.count() > 0, "fixture should drop some vectors"

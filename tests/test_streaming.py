@@ -291,3 +291,61 @@ def test_stream_partials_cascade_to_hour_losslessly(spark, wire_dir):
         .collect()
     )
     assert sorted(map(tuple, cascaded)) == sorted(map(tuple, direct))
+
+
+def test_checkpoint_recovery_resumes_dedup_state(spark, tmp_path):
+    """Kill-and-restart MID-stream with new data arriving after the
+    restart (the recovery scenario test_parquet_append_exactly_once
+    doesn't cover): the restarted query must resume from checkpointed
+    dedup state, so batch-1 trades redelivered after the restart are
+    still dropped while genuinely-new trades append."""
+    import json as _json
+
+    wire = tmp_path / "wire"
+    wire.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def wire_lines(ids):
+        return [
+            _json.dumps(
+                {
+                    "trade_id": i,
+                    "notional_value": 50.0,
+                    "status": "Settled",
+                    "timestamp": f"2026-01-05T10:00:{s:02d}.000000",
+                }
+            )
+            for s, i in enumerate(ids)
+        ]
+
+    def start():
+        return sinks.start_parquet_append(
+            ingest.dedup_trades(
+                ingest.read_trade_stream_from_json_dir(spark, str(wire))
+            ),
+            out,
+            ckpt,
+        )
+
+    batch1 = [f"t{k:03d}" for k in range(50)]
+    (wire / "b1.txt").write_text("\n".join(wire_lines(batch1)) + "\n")
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # crash/redeploy point
+
+    # After the restart: 10 at-least-once redeliveries of batch-1
+    # trades (same ids, same timestamps — inside the 2-minute
+    # watermark, so their keys are still in checkpointed state) plus
+    # 50 new trades.
+    (wire / "b2.txt").write_text(
+        "\n".join(wire_lines(batch1[:10] + [f"u{k:03d}" for k in range(50)]))
+        + "\n"
+    )
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    stored = spark.read.parquet(out)
+    assert stored.count() == 100  # 50 + 50, redeliveries dropped
+    assert stored.select("trade_id").distinct().count() == 100
