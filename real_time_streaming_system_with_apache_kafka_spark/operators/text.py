@@ -200,22 +200,18 @@ def text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles.
 
     Trigram generation is a single codegen'd regex pass
-    (zero-width lookbehind/lookahead capture of overlapping word
-    windows) — the higher-order ``transform``+``try_element_at``
-    form is interpreted per element and measured 5x slower at sf0.1.
-    Assumes single-space word separation (the corpus contract shared
-    with every shingle oracle); <3-word docs contribute their whole
-    text as one trigram, same clamp as dedup's shingles."""
+    (``functions.ngrams.regex_word_ngrams``) — the higher-order
+    ``transform``+``try_element_at`` form is interpreted per element
+    and measured 5x slower at sf0.1. <3-word docs contribute their
+    whole text as one trigram, same clamp as dedup's shingles."""
+    from real_time_streaming_system_with_apache_kafka_spark.functions.ngrams import (
+        regex_word_ngrams,
+    )
+
     docs = load(spark, "documents", sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     )
-    n = F.size(_words())
-    tris = F.when(
-        n >= 3,
-        F.regexp_extract_all(
-            F.col("text"), F.lit("(?<=^| )(?=([^ ]+ [^ ]+ [^ ]+))"), 1
-        ),
-    ).otherwise(F.array(F.col("text")))
+    tris = regex_word_ngrams(F.col("text"), 3)
     per_tri = (
         docs.select("lang", F.explode(tris).alias("tri"))
         .groupBy("lang", "tri")

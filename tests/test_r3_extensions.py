@@ -230,3 +230,28 @@ def test_semdedup_consistent_with_pair_derivation(spark, sf_dir):
     assert got_dropped.count() == expected_dropped.count()
     assert got_dropped.exceptAll(expected_dropped).count() == 0
     assert got_dropped.count() > 0, "fixture should drop some vectors"
+
+
+def test_regex_ngrams_match_lambda_form(spark, sf_dir):
+    """The codegen'd regex gram pass must produce byte-identical gram
+    arrays to the interpreted transform-lambda spec for every document
+    and every n used by an operator (3: diversity/shingles, 5:
+    decontamination)."""
+    from real_time_streaming_system_with_apache_kafka_spark.functions.ngrams import (
+        regex_word_ngrams,
+    )
+    from real_time_streaming_system_with_apache_kafka_spark.operators.curation import (
+        _ngrams,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    for n in (3, 5):
+        mism = (
+            docs.select(
+                _ngrams(F.split("text", " "), n).alias("spec"),
+                regex_word_ngrams(F.col("text"), n).alias("fast"),
+            )
+            .filter(F.col("spec") != F.col("fast"))
+            .count()
+        )
+        assert mism == 0, f"n={n}"
