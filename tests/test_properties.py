@@ -99,3 +99,28 @@ def test_quantized_kernel_matches_decimal_referee(spark):
     # O(1e-7/|v|); the fixture norms are ~2.8, so 1e-6 is generous.
     for r in got:
         assert abs(r["q"] - r["r"]) < 1e-6, (r["q"], r["r"])
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    words=st.lists(_text, min_size=1, max_size=30),
+    n=st.sampled_from([2, 3, 5]),
+)
+def test_regex_ngrams_equal_lambda_spec_on_arbitrary_words(spark, words, n):
+    """regex_word_ngrams must equal the interpreted transform-lambda
+    spec for ARBITRARY single-space-joined word lists (not just the
+    fixture corpus), for every n in operator use."""
+    from real_time_streaming_system_with_apache_kafka_spark.functions.ngrams import (
+        regex_word_ngrams,
+    )
+    from real_time_streaming_system_with_apache_kafka_spark.operators.curation import (
+        _ngrams,
+    )
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(
+        _ngrams(F.split("text", " "), n).alias("spec"),
+        regex_word_ngrams(F.col("text"), n).alias("fast"),
+    ).collect()[0]
+    assert row["spec"] == row["fast"]
