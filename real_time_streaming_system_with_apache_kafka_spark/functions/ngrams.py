@@ -26,9 +26,13 @@ from pyspark.sql import functions as F
 
 def regex_word_ngrams(text: Column, n: int) -> Column:
     """Array of overlapping word ``n``-grams of a single-space-joined
-    text column, whole-text clamp below ``n`` words."""
+    text column, whole-text clamp below ``n`` words. NULL text yields
+    ``['']`` — the same degenerate gram the interpreted spec twin
+    produces (split(NULL) -> size NULL -> clamp keeps one gram whose
+    concat_ws skips every null element)."""
     pattern = "(?<=^| )(?=(" + " ".join(["[^ ]+"] * n) + "))"
-    n_words = F.size(F.split(text, " "))
+    safe = F.coalesce(text, F.lit(""))
+    n_words = F.size(F.split(safe, " "))
     return F.when(
-        n_words >= n, F.regexp_extract_all(text, F.lit(pattern), 1)
-    ).otherwise(F.array(text))
+        n_words >= n, F.regexp_extract_all(safe, F.lit(pattern), 1)
+    ).otherwise(F.array(safe))

@@ -33,6 +33,9 @@ from pyspark.sql import functions as F
 from real_time_streaming_system_with_apache_kafka_spark.functions.arrays import (
     oracle_cosine,
 )
+from real_time_streaming_system_with_apache_kafka_spark.functions.blocks import (
+    salted_block_union,
+)
 from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
 
 N_HASHES = 8
@@ -346,31 +349,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cosine_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    emb: DataFrame | None = None,
 ) -> DataFrame:
     """Shared salted-block GEMM pair derivation (see
     dedup_embedding_cosine for the shape argument): exact quantized
-    cosine pairs (vec_a < vec_b) at ``threshold``, rounded JVM-side."""
-    emb = load(spark, "embeddings", sf_dir)
-    n_salts = spark.sparkContext.defaultParallelism
-    a = emb.select(
-        "label",
-        "vec_id",
-        "embedding",
-        F.pmod(F.xxhash64("vec_id"), F.lit(n_salts)).alias("salt"),
-        F.lit(True).alias("is_probe"),
-    )
-    b = emb.select(
-        "label",
-        "vec_id",
-        "embedding",
-        F.explode(
-            F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long"))
-        ).alias("salt"),
-        F.lit(False).alias("is_probe"),
-    )
+    cosine pairs (vec_a < vec_b) at ``threshold``, rounded JVM-side.
+    Callers that already hold the embeddings scan pass it via ``emb``
+    so one job never reads the corpus twice."""
+    if emb is None:
+        emb = load(spark, "embeddings", sf_dir)
     raw = (
-        a.unionByName(b)
+        salted_block_union(emb, spark.sparkContext.defaultParallelism)
         .groupBy("label", "salt")
         .applyInPandas(
             make_block_cosine_kernel(threshold),
@@ -405,7 +397,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(corpus^2)."""
     emb = load(spark, "embeddings", sf_dir)
     dropped = (
-        _cosine_pairs(spark, sf_dir, SEMDEDUP_THRESHOLD)
+        _cosine_pairs(spark, sf_dir, SEMDEDUP_THRESHOLD, emb=emb)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
         .withColumn("dropped", F.lit(True))
@@ -621,9 +613,36 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is per-row array math in codegen. Output is the
     verified pair set with both the LSH estimate and the exact value,
     so the estimator's calibration is auditable."""
-    # Shingle ONCE: the same materialized (doc_id, sh) feeds both the
-    # signature path and the verify arrays (without the checkpoint,
-    # Spark would re-scan and re-shingle the corpus for each branch).
+    triples = _verified_triples(spark, sf_dir)
+    return (
+        triples.select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "est_jaccard", "jaccard")
+    )
+
+
+def _verified_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared scaffold of the two-stage verify pattern (the single
+    definition dedup_lsh_verified and dedup_containment both build on,
+    so their candidate sets can never desynchronize): LSH candidate
+    pairs joined back to both documents' distinct-shingle sets, with
+    the exact set sizes precomputed — (doc_a, doc_b, est_jaccard,
+    n_common, n_a, n_b). Every derived measure (Jaccard, either
+    containment direction, overlap coefficient) is a ratio of these
+    exact integers.
+
+    Shingle ONCE: the same materialized (doc_id, sh) feeds both the
+    signature path and the verify arrays (without the checkpoint,
+    Spark would re-scan and re-shingle the corpus for each branch);
+    the intersect runs once per undirected candidate pair."""
     ss = _shingle_sets(spark, sf_dir).localCheckpoint(eager=True)
     cand = _lsh_pairs(ss.select("doc_id", F.explode("sh").alias("s")))
     a = ss.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -636,13 +655,10 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             "est_jaccard",
-            (
-                n_common
-                / (F.size("sh_a") + F.size("sh_b") - n_common)
-            ).alias("jaccard"),
+            n_common.alias("n_common"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "est_jaccard", "jaccard")
     )
 
 
@@ -689,29 +705,19 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to the verified-Jaccard query — candidates
     from the banding equality join (O(docs x bands)), exact set math
     only on candidates, per-row codegen array intersect. Each
-    UNDIRECTED candidate pair is joined and intersected ONCE; both
-    directed containments are derived from that single (|A∩B|, |A|,
-    |B|) triple and emitted via a generator (symmetrizing before the
-    join would double the verify-join and intersect work — measured 2x
-    at sf10). Containment is a ratio of exact integers, so the
-    doubles are engine-identical."""
-    ss = _shingle_sets(spark, sf_dir).localCheckpoint(eager=True)
-    cand = _lsh_pairs(ss.select("doc_id", F.explode("sh").alias("s"))).select(
-        "doc_a", "doc_b"
-    )
-    a = ss.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = ss.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
-    triples = (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            n_common.alias("nc"),
-            F.size("sh_a").alias("na"),
-            F.size("sh_b").alias("nb"),
-        )
+    UNDIRECTED candidate pair is joined and intersected ONCE (the
+    shared ``_verified_triples`` scaffold); both directed containments
+    are derived from that single (|A∩B|, |A|, |B|) triple and emitted
+    via a generator (symmetrizing before the join would double the
+    verify-join and intersect work — measured 2x at sf10). Containment
+    is a ratio of exact integers, so the doubles are
+    engine-identical."""
+    triples = _verified_triples(spark, sf_dir).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").alias("nc"),
+        F.col("n_a").alias("na"),
+        F.col("n_b").alias("nb"),
     )
     directed = triples.select(
         F.explode(

@@ -27,6 +27,9 @@ from real_time_streaming_system_with_apache_kafka_spark.functions.arrays import 
     oracle_dot,
     oracle_norm,
 )
+from real_time_streaming_system_with_apache_kafka_spark.functions.blocks import (
+    salted_block_union,
+)
 from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
 
 N_QUERIES = 5  # vec_id < 5 are the demo query vectors
@@ -693,25 +696,8 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy; output is exactly one row per non-singleton vector. Shuffle
     is O(corpus x n_salts) narrow rows — never O(corpus^2)."""
     emb = load(spark, "embeddings", sf_dir)
-    n_salts = spark.sparkContext.defaultParallelism
-    a = emb.select(
-        "label",
-        "vec_id",
-        "embedding",
-        F.pmod(F.xxhash64("vec_id"), F.lit(n_salts)).alias("salt"),
-        F.lit(True).alias("is_probe"),
-    )
-    b = emb.select(
-        "label",
-        "vec_id",
-        "embedding",
-        F.explode(
-            F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long"))
-        ).alias("salt"),
-        F.lit(False).alias("is_probe"),
-    )
     raw = (
-        a.unionByName(b)
+        salted_block_union(emb, spark.sparkContext.defaultParallelism)
         .groupBy("label", "salt")
         .applyInPandas(
             make_block_knn_kernel(),

@@ -255,3 +255,24 @@ def test_regex_ngrams_match_lambda_form(spark, sf_dir):
             .count()
         )
         assert mism == 0, f"n={n}"
+
+
+def test_regex_ngrams_null_text_matches_spec(spark):
+    """Out-of-contract input hardening (review finding): NULL text must
+    yield the same degenerate gram list [''] as the interpreted spec
+    twin, not [NULL] — a null gram would silently diverge from DuckDB
+    count(DISTINCT) semantics if a corpus ever carried null text."""
+    from real_time_streaming_system_with_apache_kafka_spark.functions.ngrams import (
+        regex_word_ngrams,
+    )
+    from real_time_streaming_system_with_apache_kafka_spark.operators.curation import (
+        _ngrams,
+    )
+
+    df = spark.createDataFrame([(None,)], "text string")
+    for n in (3, 5):
+        row = df.select(
+            _ngrams(F.split("text", " "), n).alias("spec"),
+            regex_word_ngrams(F.col("text"), n).alias("fast"),
+        ).collect()[0]
+        assert row["spec"] == row["fast"] == [""], f"n={n}"
