@@ -1,0 +1,261 @@
+"""Physical-layout operators: Z-order clustering and bucketed joins.
+
+At 100 TB the dominant costs are scans and shuffles, and both are
+layout problems:
+
+- **Z-order clustering** (`layout_zorder_events`): multi-dimensional
+  data skipping. A table range-partitioned on ONE column skips scans
+  only for predicates on that column; interleaving the bits of two
+  normalized dimensions into one Z-value and clustering on it keeps
+  BOTH dimensions tight within every file, so min/max footer stats
+  prune scans for predicates on either (the Morton-curve layout used
+  by Delta OPTIMIZE ZORDER and Databricks liquid clustering). The
+  query computes the Z-key with exact integer arithmetic (normalize
+  each dim to 16 bits by integer scaling against broadcast global
+  bounds, then interleave — 32 codegen'd shift/mask terms, no UDF)
+  and reports the per-Z-bucket min/max envelope of both raw
+  dimensions: the exact statistics a scan planner would prune with.
+  The DuckDB oracle recomputes the identical bit arithmetic.
+
+- **Bucketed co-located join** (`j8_bucketed_join`): the one-time
+  layout investment that deletes the shuffle from every subsequent
+  join on the bucket key. Both join sides are written once with
+  ``bucketBy(N, key)`` + ``sortBy(key)``; Spark's bucketed scan then
+  reports HashPartitioning(key, N), so a sort-merge join of the two
+  tables needs NO Exchange on either side — at 100 TB that converts
+  the fact-fact join from the cluster's largest shuffle into a
+  partition-local merge (the plan audit in tests/test_plans.py pins
+  the Exchange-free join subtree). The reference recomputes its
+  dashboard joins from a snapshot each poll (dashboard.py:236-303);
+  bucketing is how the same repeated-join workload stays cheap at
+  scale. Bucket tables are written to a session-scoped warehouse
+  under the system temp dir, keyed by sf_dir, and reused when
+  present (the economics of bucketing: write once, join many).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_streaming_system_with_apache_kafka_spark.functions.exact import (
+    ORACLE_REVENUE_SUM,
+    revenue_dec,
+)
+from real_time_streaming_system_with_apache_kafka_spark.sources.layout import (
+    write_bucketed_table,
+)
+from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
+
+_DEC = "decimal(38,6)"
+
+# --------------------------------------------------------------------
+# Z-order clustering
+
+Z_BITS = 16  # bits per dimension after normalization
+Z_BUCKET_SHIFT = 24  # keep the top 4 bits of each dim -> 256 buckets
+
+
+def _z_interleave(ux: str, tx: str, *, spark_sql: bool) -> str:
+    """Codegen the 32-term Morton interleave of two 16-bit ints.
+
+    ``ux`` occupies even bit positions, ``tx`` odd. Emitted once per
+    engine dialect (Spark: shiftleft/shiftright functions; DuckDB:
+    <</>> operators) from the same Python loop so the formulas cannot
+    drift. Pure integer codegen — whole-stage-compiled JVM-side, no
+    UDF, exact in both engines.
+    """
+    terms = []
+    for i in range(Z_BITS):
+        for name, off in ((ux, 0), (tx, 1)):
+            bit = 2 * i + off
+            if spark_sql:
+                terms.append(f"shiftleft(shiftright({name}, {i}) & 1, {bit})")
+            else:
+                terms.append(f"((({name} >> {i}) & 1) << {bit})")
+    return " + ".join(terms)
+
+
+def _norm16(v: str, lo: str, hi: str, *, spark_sql: bool) -> str:
+    """Normalize ``v`` in [lo, hi] to 0..65535 with exact integer
+    scaling. Spark ``div`` truncates toward zero, DuckDB ``//``
+    floors — identical for the non-negative operands here."""
+    op = "div" if spark_sql else "//"
+    return f"(({v} - {lo}) * 65535 {op} greatest(1, {hi} - {lo}))"
+
+
+def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-Z-bucket skipping envelope of events over (user_id, minute).
+
+    Both dimensions are normalized to 16 bits against broadcast global
+    bounds, bit-interleaved into a Z-value, and the report shows — for
+    each of the 256 leading-byte Z-buckets — the min/max of BOTH raw
+    dimensions: the footer statistics a Z-clustered writer would give
+    a scan planner. Tightness of these envelopes (asserted in
+    tests/test_r3_extensions.py against a 1-D layout) is exactly the
+    multi-dimension pruning win. One scan + one small aggregation; the
+    bounds row is a broadcast scalar."""
+    ev = load(spark, "events", sf_dir).select(
+        "user_id", F.expr("unix_micros(ts) div 60000000").alias("minute_idx")
+    )
+    bounds = ev.agg(
+        F.min("user_id").alias("u_lo"),
+        F.max("user_id").alias("u_hi"),
+        F.min("minute_idx").alias("t_lo"),
+        F.max("minute_idx").alias("t_hi"),
+    )
+    ux = _norm16("user_id", "u_lo", "u_hi", spark_sql=True)
+    tx = _norm16("minute_idx", "t_lo", "t_hi", spark_sql=True)
+    z = _z_interleave(f"({ux})", f"({tx})", spark_sql=True)
+    keyed = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "zbucket", F.expr(f"shiftright({z}, {Z_BUCKET_SHIFT})")
+    )
+    return (
+        keyed.groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("user_id").alias("u_min"),
+            F.max("user_id").alias("u_max"),
+            F.min("minute_idx").alias("t_min"),
+            F.max("minute_idx").alias("t_max"),
+        )
+        .orderBy("zbucket")
+    )
+
+
+def _zorder_oracle_sql() -> str:
+    ux = _norm16("user_id", "u_lo", "u_hi", spark_sql=False)
+    tx = _norm16("minute_idx", "t_lo", "t_hi", spark_sql=False)
+    z = _z_interleave(f"({ux})", f"({tx})", spark_sql=False)
+    return f"""
+        WITH ev AS (
+            SELECT user_id, epoch_us(ts) // 60000000 AS minute_idx
+            FROM events
+        ), bounds AS (
+            SELECT min(user_id) AS u_lo, max(user_id) AS u_hi,
+                   min(minute_idx) AS t_lo, max(minute_idx) AS t_hi
+            FROM ev
+        )
+        SELECT ({z}) >> {Z_BUCKET_SHIFT} AS zbucket,
+               count(*) AS n,
+               min(user_id) AS u_min, max(user_id) AS u_max,
+               min(minute_idx) AS t_min, max(minute_idx) AS t_max
+        FROM ev CROSS JOIN bounds
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+# --------------------------------------------------------------------
+# Bucketed co-located join
+
+N_BUCKETS = 16
+_TABLE_VERSION = "v1"  # bump to invalidate previously-written buckets
+
+
+def bucket_db(spark: SparkSession, sf_dir: str) -> str:
+    """Session-scoped bucket warehouse keyed by sf_dir (so scale
+    factors never share tables). Works on the default in-memory
+    catalog — no Hive metastore needed."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    db = f"rtss_buckets_{_TABLE_VERSION}_{tag}"
+    loc = os.path.join(tempfile.gettempdir(), db)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    return db
+
+
+def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write lineitem/orders bucketed by order key if absent; return
+    the two table identifiers. The write is the one-time layout cost
+    bucketing amortizes over every later join."""
+    db = bucket_db(spark, sf_dir)
+    li_t, od_t = f"{db}.lineitem_b", f"{db}.orders_b"
+
+    def _clear_stale(table: str) -> None:
+        # The in-memory catalog forgets tables across sessions while
+        # their directories persist; a location left by a previous
+        # process would fail the managed-table write. The inputs are
+        # deterministic, so dropping and rewriting is safe.
+        import shutil
+
+        loc = os.path.join(
+            tempfile.gettempdir(), db, table.split(".")[-1]
+        )
+        shutil.rmtree(loc, ignore_errors=True)
+
+    if not spark.catalog.tableExists(li_t):
+        _clear_stale(li_t)
+        write_bucketed_table(
+            load(spark, "lineitem", sf_dir).select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            li_t,
+            "l_orderkey",
+            n_buckets=N_BUCKETS,
+        )
+    if not spark.catalog.tableExists(od_t):
+        _clear_stale(od_t)
+        write_bucketed_table(
+            load(spark, "orders", sf_dir).select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            od_t,
+            "o_orderkey",
+            n_buckets=N_BUCKETS,
+        )
+    return li_t, od_t
+
+
+def bucketed_join_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The two bucketed sides, for reuse by the plan audit."""
+    li_t, od_t = _ensure_bucketed(spark, sf_dir)
+    return spark.table(li_t), spark.table(od_t)
+
+
+def j8_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority over the bucketed lineitem⋈orders.
+
+    Both sides are bucketed {N_BUCKETS} ways on the order key, so the
+    merge join runs Exchange-free (both scans already report
+    HashPartitioning on the key — the plan audit pins a join subtree
+    with no Exchange). The ``merge`` hint keeps the demo honest: at
+    100 TB neither fact side broadcasts. The oracle is the plain join
+    over the unbucketed parquet — layout must be invisible in the
+    result."""
+    li, od = bucketed_join_frames(spark, sf_dir)
+    joined = li.hint("merge").join(
+        od, li.l_orderkey == od.o_orderkey
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(revenue_dec().cast(_DEC)).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES = {
+    "layout_zorder_events": layout_zorder_events,
+    "j8_bucketed_join": j8_bucketed_join,
+}
+
+ORACLES = {
+    "layout_zorder_events": _zorder_oracle_sql(),
+    # The oracle joins the UNBUCKETED tables: the layout change must
+    # be invisible in the result.
+    "j8_bucketed_join": f"""
+        SELECT o_orderpriority,
+               count(*) AS n_lines,
+               {ORACLE_REVENUE_SUM} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+}

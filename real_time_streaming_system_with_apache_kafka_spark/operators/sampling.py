@@ -183,8 +183,44 @@ def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Importance-weighted sampling bands: keep probability by word-count
+# band (the stand-in for a quality score — mid-length docs are the
+# "high quality" band). Percent units so the md5 bucket compares with
+# exact integers.
+IMP_HI, IMP_MID, IMP_LO = 90, 50, 10
+
+
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling: per-doc keep probability from
+    a quality proxy (word-count band), realized as an exact integer
+    comparison of the md5 uniform bucket against the band's percent.
+
+    This is the quality-weighted downsampling step of a curation
+    pipeline (keep most of the good band, thin the tails) in the
+    reproducible form: the kept set is a pure function of doc_id, so
+    re-runs, engine swaps, and cluster resizes keep identical corpora.
+    Scan-only plan — no shuffle, no UDF."""
+    docs = load(spark, "documents", sf_dir)
+    wc = F.size(F.split(F.col("text"), " "))
+    weight = (
+        F.when((wc >= 40) & (wc <= 80), IMP_HI)
+        .when((wc >= 20) & (wc <= 120), IMP_MID)
+        .otherwise(IMP_LO)
+    )
+    out = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        wc.alias("wc"),
+        weight.alias("weight_pct"),
+        _hash_bucket(F.col("doc_id"), "imp_v1").alias("bucket"),
+    )
+    return out.filter(F.col("bucket") < F.col("weight_pct"))
+
+
 QUERIES = {
     "split_train_holdout": split_train_holdout,
+    "sample_importance_weighted": sample_importance_weighted,
     "sample_domain_cap": sample_domain_cap,
     "sample_events_deterministic": sample_events_deterministic,
     "agg_distinct_twophase": agg_distinct_twophase,
@@ -193,6 +229,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_importance_weighted": f"""
+        WITH w AS (
+            SELECT doc_id, lang, source,
+                   len(string_split(text, ' ')) AS wc,
+                   CASE WHEN len(string_split(text, ' ')) BETWEEN 40 AND 80
+                        THEN {IMP_HI}
+                        WHEN len(string_split(text, ' ')) BETWEEN 20 AND 120
+                        THEN {IMP_MID}
+                        ELSE {IMP_LO} END AS weight_pct,
+                   {_oracle_bucket('doc_id', 'imp_v1')} AS bucket
+            FROM documents
+        )
+        SELECT doc_id, lang, source, cast(wc AS int) AS wc,
+               cast(weight_pct AS int) AS weight_pct, bucket
+        FROM w WHERE bucket < weight_pct
+    """,
     "sample_domain_cap": f"""
         SELECT doc_id, source, lang,
                cast(row_number() OVER (

@@ -709,8 +709,264 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Product quantization (PQ) ANN --------------------------------
+# The compression-based scale path: each 64-float vector is encoded as
+# M_SUB small codes (256 bytes -> 16 bytes, 16x), queries score every
+# candidate with M_SUB lookup-table adds (no float math on the scan
+# side), and only the ADC shortlist is re-ranked with the exact
+# kernel. This is the FAISS ADC + rerank recipe; at 100 TB the codes
+# column is what the ANN scan actually reads, and the exact kernel
+# touches PQ_SHORTLIST/corpus ≈ 10% of rows per query.
+#
+# Determinism: vectors are normalized by the exact-integer norm (one
+# IEEE sqrt + divide, same op sequence both engines) so L2 ADC ranks
+# like cosine; subvector distances then run on 7dp-quantized integer
+# arithmetic — code assignment, query LUTs, and ADC sums are
+# integer-exact and the DuckDB twin recomputes them bit-for-bit. The
+# codebook is the K_CODES corpus vectors from PQ_CB_BASE
+# (deterministic; a production index would train it with k-means — the
+# learned-quantizer pattern is already covered by sim_ivf_kmeans_topk).
+M_SUB = 16  # subspaces
+D_SUB = 4  # dims per subspace (M_SUB * D_SUB = embedding dim)
+K_CODES = 64  # centroids per subspace
+PQ_CB_BASE = 100  # vec_id PQ_CB_BASE .. PQ_CB_BASE+K_CODES-1 seed the codebook
+PQ_SHORTLIST = 50  # ADC candidates per query fed to the exact rerank
+
+
+def _pq_quant_rows(rows):
+    """Normalize-then-quantize: 7dp quantization, exact integer norm,
+    one IEEE sqrt + divide, requantize to 1e7-scaled integers.
+
+    Normalizing first makes L2 ADC distance rank like cosine (PQ's
+    standard cosine recipe). Reproducibility: every step is either
+    exact integer math or a single correctly-rounded IEEE op on
+    identical inputs, and the DuckDB twin spells out the SAME op
+    sequence (floor(abs(x/n)*1e7+0.5)*sign) — so both engines produce
+    bit-identical integer vectors."""
+    import numpy as np
+
+    A = np.stack([np.asarray(v, dtype=np.float64) for v in rows])
+    Q1 = np.floor(np.abs(A) * 1e7 + 0.5) * np.sign(A)
+    n = np.sqrt(np.einsum("ij,ij->i", Q1, Q1))  # exact int sum, IEEE sqrt
+    Xn = Q1 / n[:, None]
+    return np.floor(np.abs(Xn) * 1e7 + 0.5) * np.sign(Xn)
+
+
+def make_pq_encode_udf(codebook_raw: list[list[float]]):
+    """Arrow-vectorized PQ encoder: per row, the argmin-subdistance
+    code in each subspace (ties to the lowest code id — matching the
+    oracle's (dist, cid) row_number order). Self-contained closure for
+    worker unpickling."""
+    from pyspark.sql.functions import pandas_udf
+
+    cb_raw = [list(map(float, v)) for v in codebook_raw]
+    m_sub, d_sub = M_SUB, D_SUB
+
+    @pandas_udf("array<int>")
+    def encode(col):
+        import numpy as np
+        import pandas as pd
+
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        def norm_quant(rows):
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in rows])
+            Q1 = np.floor(np.abs(A) * 1e7 + 0.5) * np.sign(A)
+            n = np.sqrt(np.einsum("ij,ij->i", Q1, Q1))
+            Xn = Q1 / n[:, None]
+            return np.floor(np.abs(Xn) * 1e7 + 0.5) * np.sign(Xn)
+
+        CB = norm_quant(cb_raw)
+        Q = norm_quant(list(col))
+        codes = np.empty((len(col), m_sub), dtype=np.int32)
+        for m in range(m_sub):
+            sub = Q[:, m * d_sub : (m + 1) * d_sub]
+            cb = CB[:, m * d_sub : (m + 1) * d_sub]
+            # Integer-valued float64: every square and d_sub-term sum
+            # < 2**53 — exact, so argmin matches the SQL twin; argmin
+            # returns the FIRST minimum = lowest code id on ties.
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+            codes[:, m] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC shortlist + exact rerank: corpus encoded once to
+    M_SUB-code rows, each query scores every candidate by summing
+    M_SUB broadcast LUT entries (exact integers; lower ADC distance =
+    closer), keeps the PQ_SHORTLIST best, and re-ranks only those with
+    the exact cosine kernel — so the output rows carry true cosines
+    (hits are value-identical to sim_bruteforce_topk).
+
+    Plan shape: one Arrow-batched encode pass over the corpus (the
+    index build — in production the codes are written once and
+    reused), a broadcast nested-loop of 5 query LUT rows with a
+    codegen'd 16-term lookup sum, a per-query shortlist window, then
+    the exact kernel on shortlist-size candidates only. Codebook and
+    query LUTs are bounded model state (K_CODES x dim and
+    N_QUERIES x M_SUB x K_CODES integers). Recall-vs-bruteforce
+    contract: tests/test_similarity.py."""
+    emb = load(spark, "embeddings", sf_dir)
+    cb_rows = (
+        emb.filter(
+            (F.col("vec_id") >= PQ_CB_BASE)
+            & (F.col("vec_id") < PQ_CB_BASE + K_CODES)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cb_raw = [r.embedding for r in sorted(cb_rows, key=lambda r: r.vec_id)]
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+
+    import numpy as np
+
+    CB = _pq_quant_rows(cb_raw)
+    luts = []
+    for r in sorted(q_rows, key=lambda r: r.vec_id):
+        Qv = _pq_quant_rows([r.embedding])[0]
+        lut: list[int] = []
+        for m in range(M_SUB):
+            sub = Qv[m * D_SUB : (m + 1) * D_SUB]
+            cb = CB[:, m * D_SUB : (m + 1) * D_SUB]
+            d2 = ((sub[None, :] - cb) ** 2).sum(-1)
+            lut.extend(int(x) for x in d2)
+        luts.append((int(r.vec_id), lut))
+    q_lut = spark.createDataFrame(luts, "query_id long, lut array<long>")
+
+    encode = make_pq_encode_udf(cb_raw)
+    coded = emb.select(
+        F.col("vec_id").alias("neighbor_id"), encode("embedding").alias("codes")
+    )
+    adc = " + ".join(
+        f"element_at(lut, {m * K_CODES} + element_at(codes, {m + 1}) + 1)"
+        for m in range(M_SUB)
+    )
+    scored = (
+        coded.join(F.broadcast(q_lut))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adist", F.expr(f"cast({adc} as bigint)"))
+    )
+    sw = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("srank", F.row_number().over(sw))
+        .filter(F.col("srank") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    candidates = shortlist.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")),
+        "neighbor_id",
+    ).join(F.broadcast(qe), "query_id")
+    return _rank_topk(candidates)
+
+
+def _pq_oracle_sql() -> str:
+    """SQL twin: the same normalize-then-quantize op sequence
+    (decimal(9,7) quantize -> exact integer norm -> IEEE sqrt/divide ->
+    floor(abs(x/n)*1e7+0.5)*sign requantize), identical integer
+    subdistances, argmin code assignment with (dist, cid) tie-break,
+    LUT-sum ADC scores."""
+    return f"""
+        WITH idx AS (SELECT unnest(range({M_SUB})) AS m),
+        q1t AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> cast(cast(cast(x AS double) AS decimal(9,7))
+                                 * 10000000 AS bigint)) AS q1
+            FROM embeddings
+        ),
+        qn AS (
+            SELECT vec_id,
+                   list_transform(q1,
+                       x -> cast(floor(abs(cast(x AS double) / n)
+                                       * 10000000 + 0.5) AS bigint)
+                            * (CASE WHEN x < 0 THEN -1 ELSE 1 END)) AS q2
+            FROM (
+                SELECT vec_id, q1,
+                       sqrt(cast(list_sum(list_transform(q1, x -> x * x))
+                                 AS double)) AS n
+                FROM q1t
+            )
+        ),
+        qv AS (
+            SELECT vec_id, m,
+                   list_slice(q2, m * {D_SUB} + 1, (m + 1) * {D_SUB}) AS sub
+            FROM qn CROSS JOIN idx
+        ),
+        cb AS (
+            SELECT vec_id - {PQ_CB_BASE} AS cid, m, sub
+            FROM qv
+            WHERE vec_id >= {PQ_CB_BASE} AND vec_id < {PQ_CB_BASE + K_CODES}
+        ),
+        d2 AS (
+            SELECT v.vec_id, v.m, b.cid,
+                   cast(list_sum(list_transform(list_zip(v.sub, b.sub),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS bigint)
+                       AS dist
+            FROM qv v JOIN cb b USING (m)
+        ),
+        codes AS (
+            SELECT vec_id, m, cid FROM (
+                SELECT vec_id, m, cid,
+                       row_number() OVER (PARTITION BY vec_id, m
+                                          ORDER BY dist, cid) AS rn
+                FROM d2
+            ) WHERE rn = 1
+        ),
+        lut AS (
+            SELECT vec_id AS query_id, m, cid, dist
+            FROM d2 WHERE vec_id < {N_QUERIES}
+        ),
+        scores AS (
+            SELECT l.query_id, c.vec_id AS neighbor_id,
+                   cast(sum(l.dist) AS bigint) AS adist
+            FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.cid
+            WHERE c.vec_id <> l.query_id
+            GROUP BY 1, 2
+        ),
+        shortlist AS (
+            SELECT query_id, neighbor_id
+            FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY adist, neighbor_id)
+                           AS srank
+                FROM scores
+            )
+            WHERE srank <= {PQ_SHORTLIST}
+        ),
+        exact AS (
+            SELECT s.query_id, s.neighbor_id,
+                   {oracle_cosine('q.embedding', 'n.embedding')} AS cos
+            FROM shortlist s
+            JOIN embeddings q ON q.vec_id = s.query_id
+            JOIN embeddings n ON n.vec_id = s.neighbor_id
+        )
+        SELECT query_id, cast(rank AS int) AS rank, neighbor_id, cos
+        FROM (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id)
+                       AS rank
+            FROM exact
+        )
+        WHERE rank <= {TOP_K}
+    """
+
+
 QUERIES = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
+    "sim_pq_topk": sim_pq_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_kmeans_topk": sim_ivf_kmeans_topk,
     "sim_lsh_topk": sim_lsh_topk,
@@ -719,6 +975,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sim_pq_topk": _pq_oracle_sql(),
     "sim_bruteforce_topk": f"""
         WITH scored AS (
             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,

@@ -117,6 +117,7 @@ _MODULES: list[str] = [
     "real_time_streaming_system_with_apache_kafka_spark.operators.curation",
     "real_time_streaming_system_with_apache_kafka_spark.operators.skew",
     "real_time_streaming_system_with_apache_kafka_spark.operators.datamix",
+    "real_time_streaming_system_with_apache_kafka_spark.operators.layout",
 ]
 
 

@@ -1,6 +1,7 @@
-"""Storage-layout plan proofs: partition pruning reaches the scan and
-bucketed joins run without exchanges — the two properties the layout
-module exists to provide (asserted on the physical plan, not assumed)."""
+"""Storage-layout proofs: partition pruning reaches the scan, bucketed
+joins run without exchanges (sources/layout.py), and the registry-level
+layout operators hold their envelope/plan contracts
+(operators/layout.py)."""
 
 from __future__ import annotations
 
@@ -8,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from real_time_streaming_system_with_apache_kafka_spark import generator
+from real_time_streaming_system_with_apache_kafka_spark.operators import layout as op_layout
 from real_time_streaming_system_with_apache_kafka_spark.sources import layout
 
 
@@ -58,3 +60,60 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS trades_left_b")
         spark.sql("DROP TABLE IF EXISTS trades_right_b")
+
+
+# --------------------------------------------------------------------
+# Registry-level layout operators (operators/layout.py)
+
+
+def test_zorder_envelopes_tight_in_both_dimensions(spark, sf_dir):
+    """Fixing the leading 4 bits of BOTH normalized dims (256 Z
+    buckets) bounds every bucket's raw envelope to ~1/16 of each
+    dimension's range — the multi-dim pruning property a 1-D layout
+    cannot give (a time-sorted layout leaves user spans at full
+    range)."""
+    rows = op_layout.layout_zorder_events(spark, sf_dir).collect()
+    assert rows, "no buckets"
+    u_lo = min(r.u_min for r in rows)
+    u_hi = max(r.u_max for r in rows)
+    t_lo = min(r.t_min for r in rows)
+    t_hi = max(r.t_max for r in rows)
+    u_cap = (u_hi - u_lo) // 16 + 2  # 1/16 window + normalization rounding
+    t_cap = (t_hi - t_lo) // 16 + 2
+    for r in rows:
+        assert r.u_max - r.u_min <= u_cap, r
+        assert r.t_max - r.t_min <= t_cap, r
+    # The win vs a 1-D (time-only) layout: there, any bucket spanning
+    # >1 minute covers ~the full user range; here every bucket's user
+    # span is a sliver.
+    assert max(r.u_max - r.u_min for r in rows) <= (u_hi - u_lo) // 8
+
+
+def test_j8_bucketed_star_tables_join_without_exchange(spark, sf_dir):
+    """The registry operator's lineitem/orders bucket tables: the
+    sort-merge join subtree carries NO Exchange — the shuffle is paid
+    once at write time, never per join."""
+    li, od = op_layout.bucketed_join_frames(spark, sf_dir)
+    joined = li.hint("merge").join(
+        od, li.l_orderkey == od.o_orderkey
+    ).select("l_orderkey", "l_extendedprice", "o_orderpriority")
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "Bucketed: true" in plan
+
+
+def test_j8_bucketed_join_rowcount_matches_plain_join(spark, sf_dir):
+    from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
+
+    li, od = op_layout.bucketed_join_frames(spark, sf_dir)
+    n_bucketed = li.join(od, li.l_orderkey == od.o_orderkey).count()
+    n_plain = (
+        load(spark, "lineitem", sf_dir)
+        .join(
+            load(spark, "orders", sf_dir),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert n_bucketed == n_plain

@@ -151,3 +151,53 @@ def test_kmeans_cells_are_balanced(spark, sf_dir):
     n = sum(counts.values())
     assert len(counts) == similarity.K_CELLS  # every cell populated
     assert max(counts.values()) <= 0.5 * n  # no collapsed quantizer
+
+
+def test_pq_rerank_recall_and_exact_values(spark, sf_dir):
+    """PQ shortlist + exact rerank: recall@5 >= 0.8 against brute
+    force, and every hit carries the IDENTICAL exact cosine (the
+    rerank runs the same kernel, so values must match bit-for-bit).
+    Also pins the compression contract: codes are M_SUB small ints."""
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in similarity.sim_bruteforce_topk(spark, sf_dir).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in similarity.sim_pq_topk(spark, sf_dir).collect()
+    }
+    hits = set(bf) & set(pq)
+    recall = len(hits) / len(bf)
+    assert recall >= 0.8, f"PQ rerank recall below contract: {recall}"
+    for k in hits:
+        assert bf[k] == pq[k]
+
+
+def test_pq_codes_are_small_ints(spark, sf_dir):
+    """The stored index really is M_SUB codes in [0, K_CODES) — the
+    16x compression claim depends on it."""
+    from pyspark.sql import functions as F
+
+    emb = similarity.load(spark, "embeddings", sf_dir)
+    cb_rows = (
+        emb.filter(
+            (F.col("vec_id") >= similarity.PQ_CB_BASE)
+            & (F.col("vec_id") < similarity.PQ_CB_BASE + similarity.K_CODES)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cb_raw = [r.embedding for r in sorted(cb_rows, key=lambda r: r.vec_id)]
+    encode = similarity.make_pq_encode_udf(cb_raw)
+    stats = (
+        emb.select(encode("embedding").alias("codes"))
+        .select(
+            F.min(F.array_min("codes")).alias("lo"),
+            F.max(F.array_max("codes")).alias("hi"),
+            F.min(F.size("codes")).alias("m_lo"),
+            F.max(F.size("codes")).alias("m_hi"),
+        )
+        .collect()[0]
+    )
+    assert stats.lo >= 0 and stats.hi < similarity.K_CODES
+    assert stats.m_lo == stats.m_hi == similarity.M_SUB
