@@ -89,6 +89,15 @@ HEADLINE = [
     "quality_weighted_terms",
     "text_ngram_diversity",
     "dedup_semdedup",
+    # Continuation batch: PQ compression ANN (ADC shortlist + exact
+    # rerank), the Exchange-free bucketed join, Z-order skipping
+    # stats, and deterministic importance sampling.
+    "sim_pq_topk",
+    "j8_bucketed_join",
+    "layout_zorder_events",
+    "sample_importance_weighted",
+    "text_boilerplate_strip",
+    "reconcile_checksum",
 ]
 
 

@@ -558,8 +558,102 @@ def profile_schema_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("column_name")
 
 
+# --- Boilerplate stripping ------------------------------------------
+BP_WINDOW = 10  # words per non-overlapping window
+BP_THRESHOLD = 2  # windows appearing >= this many times corpus-wide drop
+
+
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the CCNet/RefinedWeb
+    step): split every document into non-overlapping BP_WINDOW-word
+    windows, count each window's occurrences across the whole corpus,
+    drop windows seen >= BP_THRESHOLD times (nav bars, legal footers,
+    syndicated blocks), and re-emit the cleaned text in original
+    window order. Complements dedup_passage (which only *profiles*
+    sub-document duplication) by producing the repaired documents.
+
+    Scale shape: one generator projection (posexplode of the window
+    array), one hash-agg keyed on the window digest for global counts
+    (map-side combine collapses each partition's repeats before the
+    shuffle), one narrow digest-keyed re-join, then a per-doc
+    rebuild agg — collect_list here is bounded by document length
+    (windows of ONE document), never corpus-wide. No quadratic
+    stage; the window dictionary is never collected."""
+    docs = load(spark, "documents", sf_dir)
+    words = F.split(F.col("text"), " ")
+    n_win = F.ceil(F.size(words) / BP_WINDOW).cast("int")
+    windows = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * BP_WINDOW + 1, BP_WINDOW)
+        ),
+    )
+    win = docs.select(
+        "doc_id", F.posexplode(windows).alias("widx", "wtext")
+    ).withColumn("wh", F.md5("wtext"))
+    counts = win.groupBy("wh").agg(F.count(F.lit(1)).alias("n_global"))
+    keep = F.col("n_global") < BP_THRESHOLD
+    return (
+        win.join(counts, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(~keep, 1).otherwise(0)).alias("n_dropped"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("widx", "wtext"))
+                        )
+                    ),
+                    lambda s: s.getField("wtext"),
+                ),
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BOILERPLATE_SQL = f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words
+        FROM documents
+    ),
+    x AS (
+        SELECT doc_id, words,
+               cast(ceil(len(words) / {BP_WINDOW}.0) AS bigint) AS nw
+        FROM w
+    ),
+    ch AS (
+        SELECT doc_id, unnest(range(nw)) AS widx, words FROM x
+    ),
+    t AS (
+        SELECT doc_id, cast(widx AS int) AS widx,
+               array_to_string(
+                   list_slice(words, widx * {BP_WINDOW} + 1,
+                              (widx + 1) * {BP_WINDOW}), ' ') AS wtext
+        FROM ch
+    ),
+    c AS (
+        SELECT wtext, count(*) AS n_global FROM t GROUP BY wtext
+    )
+    SELECT doc_id,
+           count(*) AS n_windows,
+           cast(sum(CASE WHEN n_global >= {BP_THRESHOLD} THEN 1 ELSE 0 END)
+                AS bigint) AS n_dropped,
+           coalesce(string_agg(
+               CASE WHEN n_global < {BP_THRESHOLD} THEN t.wtext END,
+               ' ' ORDER BY widx), '') AS clean_text
+    FROM t JOIN c USING (wtext)
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "decontaminate_holdout": decontaminate_holdout,
+    "text_boilerplate_strip": text_boilerplate_strip,
     "profile_schema_stats": profile_schema_stats,
     "quality_gopher_gates": quality_gopher_gates,
     "pack_sequences": pack_sequences,
@@ -636,6 +730,7 @@ def _profile_oracle() -> str:
 
 
 ORACLES = {
+    "text_boilerplate_strip": _BOILERPLATE_SQL,
     "profile_schema_stats": _profile_oracle(),
     "quality_gopher_gates": _GOPHER_SQL.replace("{sw}", ALL_SW_SQL),
     "text_rarity_score": """

@@ -344,7 +344,48 @@ def f_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def reconcile_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprint for cross-engine / pre-post
+    migration reconciliation: every row hashes to a 60-bit integer
+    (md5 over a canonical integer/string rendering of its columns —
+    doubles pass through the exact decimal(12,4)/decimal(6,4) casts so
+    both engines print identical digits), and the per-flag SUM of row
+    hashes plus row count is the table's signature. Sums commute, so
+    the signature is independent of row order, partitioning, and
+    cluster size — two tables match iff (modulo astronomically
+    unlikely md5 collisions) they hold identical multisets of rows.
+    Scan + one tiny hash-agg; this is how you check a 100 TB copy
+    without sorting or shipping it."""
+    li = load(spark, "lineitem", sf_dir)
+    canon = F.concat_ws(
+        "|",
+        F.col("l_orderkey"),
+        F.col("l_partkey"),
+        F.col("l_suppkey"),
+        F.col("l_linenumber"),
+        (F.col("l_quantity").cast("decimal(12,4)") * 10000).cast("bigint"),
+        (F.col("l_extendedprice").cast("decimal(12,4)") * 10000).cast("bigint"),
+        (F.col("l_discount").cast("decimal(6,4)") * 10000).cast("bigint"),
+        (F.col("l_tax").cast("decimal(6,4)") * 10000).cast("bigint"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.expr("unix_micros(l_shipdate)"),
+    )
+    rowhash = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(rowhash).cast("string").alias("hash_sum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
+    "reconcile_checksum": reconcile_checksum,
     "agg_grouping_sets": agg_grouping_sets,
     "agg_stats_moments": agg_stats_moments,
     "agg_quartiles_exact": agg_quartiles_exact,
@@ -359,6 +400,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "reconcile_checksum": """
+        WITH h AS (
+            SELECT l_returnflag,
+                   cast(concat('0x', substr(md5(concat_ws('|',
+                       l_orderkey, l_partkey, l_suppkey, l_linenumber,
+                       cast(cast(l_quantity AS decimal(12,4)) * 10000 AS bigint),
+                       cast(cast(l_extendedprice AS decimal(12,4)) * 10000 AS bigint),
+                       cast(cast(l_discount AS decimal(6,4)) * 10000 AS bigint),
+                       cast(cast(l_tax AS decimal(6,4)) * 10000 AS bigint),
+                       l_returnflag, l_linestatus,
+                       epoch_us(l_shipdate))), 1, 15)) AS bigint) AS rh
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               cast(sum(rh) AS varchar) AS hash_sum
+        FROM h GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     "agg_grouping_sets": f"""
         SELECT l_returnflag, l_linestatus,
                count(*) AS n,

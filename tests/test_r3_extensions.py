@@ -276,3 +276,98 @@ def test_regex_ngrams_null_text_matches_spec(spark):
             regex_word_ngrams(F.col("text"), n).alias("fast"),
         ).collect()[0]
         assert row["spec"] == row["fast"] == [""], f"n={n}"
+
+
+def test_boilerplate_strip_agrees_with_passage_profile(spark, sf_dir):
+    """Cross-operator invariant: with the same 10-word windows,
+    text_boilerplate_strip's dropped-window count per doc must equal
+    dedup_passage's duplicated-passage count (strip REMOVES exactly
+    what the profile COUNTS), and the cleaned text must contain
+    exactly the kept windows' words."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import curation, dedup
+
+    assert curation.BP_WINDOW == dedup.PASSAGE_WORDS
+    assert curation.BP_THRESHOLD == 2  # profile counts n_global > 1
+    prof = {
+        r.doc_id: r.n_dup_passages
+        for r in dedup.dedup_passage(spark, sf_dir).collect()
+    }
+    stripped = dedup.load(spark, "documents", sf_dir).select("doc_id").join(
+        curation.text_boilerplate_strip(spark, sf_dir), "doc_id"
+    )
+    rows = stripped.collect()
+    assert len(rows) >= len(prof)  # profile reports dup-bearing docs only
+    for r in rows:
+        assert r.n_dropped == prof.get(r.doc_id, 0), r.doc_id
+        # Rebuilt text word count = kept windows' words (last window
+        # may be short only if it is the document's final window).
+        kept = r.n_windows - r.n_dropped
+        n_words = len(r.clean_text.split(" ")) if r.clean_text else 0
+        assert n_words <= kept * curation.BP_WINDOW
+        assert n_words > (kept - 1) * curation.BP_WINDOW - 1 or kept == 0
+
+
+def test_reconcile_checksum_order_invariant_and_sensitive(spark, sf_dir):
+    """The signature is invariant to partitioning/row order (sums
+    commute) and sensitive to any single-row change."""
+    from pyspark.sql import functions as F
+
+    from real_time_streaming_system_with_apache_kafka_spark.operators import extras
+
+    base = {
+        r.l_returnflag: (r.n_rows, r.hash_sum)
+        for r in extras.reconcile_checksum(spark, sf_dir).collect()
+    }
+
+    # Invariance: recompute over an adversarially repartitioned and
+    # re-sorted copy (different partitioning AND row order).
+    orig_load = extras.load
+    shuffled = (
+        orig_load(spark, "lineitem", sf_dir)
+        .repartition(7, "l_partkey")
+        .sortWithinPartitions(F.col("l_extendedprice").desc())
+    )
+    try:
+        extras.load = (
+            lambda s, name, sf: shuffled
+            if name == "lineitem"
+            else orig_load(s, name, sf)
+        )
+        again = {
+            r.l_returnflag: (r.n_rows, r.hash_sum)
+            for r in extras.reconcile_checksum(spark, sf_dir).collect()
+        }
+    finally:
+        extras.load = orig_load
+    assert base == again
+
+    # Sensitivity: perturb one row's quantity -> that flag's signature
+    # moves, others stay (recompute the canon inline on mutated data).
+    probe = (
+        extras.load(spark, "lineitem", sf_dir)
+        .orderBy("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .limit(1)
+        .collect()[0]
+    )
+    flag = probe.l_returnflag
+    mut = extras.load(spark, "lineitem", sf_dir).withColumn(
+        "l_quantity",
+        F.when(
+            (F.col("l_orderkey") == probe.l_orderkey)
+            & (F.col("l_linenumber") == probe.l_linenumber),
+            F.col("l_quantity") + 1,
+        ).otherwise(F.col("l_quantity")),
+    )
+    try:
+        extras.load = lambda s, name, sf: mut if name == "lineitem" else orig_load(s, name, sf)
+        mutated = {
+            r.l_returnflag: (r.n_rows, r.hash_sum)
+            for r in extras.reconcile_checksum(spark, sf_dir).collect()
+        }
+    finally:
+        extras.load = orig_load
+    assert mutated[flag] != base[flag]
+    for k in base:
+        if k != flag:
+            assert mutated[k] == base[k]
