@@ -206,8 +206,43 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_hll_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-event_type Datasketches HLL
+    sketches of user_id, unioned into the global distinct estimate —
+    the pre-aggregated sketch-table pattern (store small per-segment
+    sketches once; answer any segment-combination distinct question
+    by union, never rescanning the fact table). At 100 TB this is the
+    only affordable form of re-groupable COUNT(DISTINCT).
+
+    Output: one row per event_type with its estimate and exact
+    distinct, plus the '(all)' union row whose estimate comes ONLY
+    from merging the per-type sketches. Rows-only driver check
+    (sketch binaries are engine-specific); the pytest contract pins
+    the merge identity — union-of-partials == direct whole-table
+    sketch — and <5%% error vs exact."""
+    ev = load(spark, "events", sf_dir)
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("n_exact"),
+    )
+    typed = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("n_hll"),
+        "n_exact",
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_hll")
+    ).select(
+        F.lit("(all)").alias("event_type"),
+        "n_hll",
+        F.lit(None).cast("long").alias("n_exact"),
+    )
+    return typed.unionByName(merged).orderBy("event_type")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "approx_hll_partials": approx_hll_partials,
     "pivot_status_by_day": pivot_status_by_day,
     "sessionize_events": sessionize_events,
     "q3_shipping_priority": q3_shipping_priority,

@@ -27,7 +27,7 @@ md5 identically (so DuckDB can oracle-check the whole pipeline).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_streaming_system_with_apache_kafka_spark.functions.arrays import (
@@ -755,11 +755,16 @@ def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot see.
 
     Scale shape: one generator projection (explode of the passage
-    array), one hash-agg on the passage digest for global counts, one
-    broadcast-free re-join keyed on the digest (shuffle is O(total
-    passages), rows are (digest, count) narrow), then a per-doc
-    hash-agg. No quadratic stage anywhere; the passage dictionary is
-    never collected."""
+    array), ONE shuffle on the passage digest where an unordered
+    window count attaches each passage's global frequency in place
+    (replacing the r3 checkpoint + groupBy + re-join: no materialized
+    intermediate — at 100 TB checkpointing the exploded projection is
+    exactly the kind of write a scan-shaped pipeline must not pay —
+    and one exchange instead of two), then a per-doc hash-agg. No
+    quadratic stage anywhere; the passage dictionary is never
+    collected. A corpus-dominating passage concentrates its copies on
+    one reducer; that bound is the corpus's own dup rate and the same
+    for the join form."""
     docs = load(spark, "documents", sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -771,12 +776,10 @@ def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice(words, i * PASSAGE_WORDS + 1, PASSAGE_WORDS))
         ),
     )
-    pos = docs.select(
-        "doc_id", F.explode(passages).alias("ph")
-    ).localCheckpoint(eager=True)
-    counts = pos.groupBy("ph").agg(F.count(F.lit(1)).alias("n_global"))
+    pos = docs.select("doc_id", F.explode(passages).alias("ph"))
+    w = Window.partitionBy("ph")
     return (
-        pos.join(counts, "ph")
+        pos.withColumn("n_global", F.count(F.lit(1)).over(w))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_passages"),

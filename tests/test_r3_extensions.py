@@ -371,3 +371,27 @@ def test_reconcile_checksum_order_invariant_and_sensitive(spark, sf_dir):
     for k in base:
         if k != flag:
             assert mutated[k] == base[k]
+
+
+def test_hll_partials_merge_identity_and_accuracy(spark, sf_dir):
+    """Sketch mergeability: the union of per-type HLL sketches must
+    give the IDENTICAL estimate to one direct whole-table sketch
+    (register-wise max commutes with partitioning), and estimates stay
+    within 5% of exact."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import analytics
+
+    rows = {
+        r.event_type: r
+        for r in analytics.approx_hll_partials(spark, sf_dir).collect()
+    }
+    ev = load(spark, "events", sf_dir)
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    ).collect()[0].e
+    exact_all = ev.select("user_id").distinct().count()
+    assert rows["(all)"].n_hll == direct  # merge identity, exact equality
+    assert abs(rows["(all)"].n_hll - exact_all) <= 0.05 * exact_all
+    for t, r in rows.items():
+        if t == "(all)":
+            continue
+        assert abs(r.n_hll - r.n_exact) <= 0.05 * max(r.n_exact, 1)
