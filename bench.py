@@ -98,6 +98,10 @@ HEADLINE = [
     "sample_importance_weighted",
     "text_boilerplate_strip",
     "reconcile_checksum",
+    # Composed ANN index (coarse cells + PQ codes + exact rerank) and
+    # the mergeable-sketch distinct rollup.
+    "sim_ivfpq_topk",
+    "approx_hll_partials",
 ]
 
 

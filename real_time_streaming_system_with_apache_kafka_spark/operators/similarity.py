@@ -792,6 +792,49 @@ def make_pq_encode_udf(codebook_raw: list[list[float]]):
     return encode
 
 
+def _pq_model(spark: SparkSession, emb: DataFrame):
+    """Bounded PQ model state: the raw codebook rows (K_CODES x dim)
+    and the broadcastable per-query LUT frame (N_QUERIES rows of
+    M_SUB*K_CODES exact integers). Shared by the flat-scan and the
+    IVF-composed variants."""
+    cb_rows = (
+        emb.filter(
+            (F.col("vec_id") >= PQ_CB_BASE)
+            & (F.col("vec_id") < PQ_CB_BASE + K_CODES)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cb_raw = [r.embedding for r in sorted(cb_rows, key=lambda r: r.vec_id)]
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    CB = _pq_quant_rows(cb_raw)
+    luts = []
+    for r in sorted(q_rows, key=lambda r: r.vec_id):
+        Qv = _pq_quant_rows([r.embedding])[0]
+        lut: list[int] = []
+        for m in range(M_SUB):
+            sub = Qv[m * D_SUB : (m + 1) * D_SUB]
+            cb = CB[:, m * D_SUB : (m + 1) * D_SUB]
+            d2 = ((sub[None, :] - cb) ** 2).sum(-1)
+            lut.extend(int(x) for x in d2)
+        luts.append((int(r.vec_id), lut))
+    q_lut = spark.createDataFrame(luts, "query_id long, lut array<long>")
+    return cb_raw, q_lut
+
+
+def _pq_adc_expr() -> str:
+    """Codegen'd M_SUB-term ADC lookup sum (JVM-side, no UDF)."""
+    terms = " + ".join(
+        f"element_at(lut, {m * K_CODES} + element_at(codes, {m + 1}) + 1)"
+        for m in range(M_SUB)
+    )
+    return f"cast({terms} as bigint)"
+
+
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC shortlist + exact rerank: corpus encoded once to
     M_SUB-code rows, each query scores every candidate by summing
@@ -809,48 +852,15 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     N_QUERIES x M_SUB x K_CODES integers). Recall-vs-bruteforce
     contract: tests/test_similarity.py."""
     emb = load(spark, "embeddings", sf_dir)
-    cb_rows = (
-        emb.filter(
-            (F.col("vec_id") >= PQ_CB_BASE)
-            & (F.col("vec_id") < PQ_CB_BASE + K_CODES)
-        )
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    cb_raw = [r.embedding for r in sorted(cb_rows, key=lambda r: r.vec_id)]
-    q_rows = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-
-    import numpy as np
-
-    CB = _pq_quant_rows(cb_raw)
-    luts = []
-    for r in sorted(q_rows, key=lambda r: r.vec_id):
-        Qv = _pq_quant_rows([r.embedding])[0]
-        lut: list[int] = []
-        for m in range(M_SUB):
-            sub = Qv[m * D_SUB : (m + 1) * D_SUB]
-            cb = CB[:, m * D_SUB : (m + 1) * D_SUB]
-            d2 = ((sub[None, :] - cb) ** 2).sum(-1)
-            lut.extend(int(x) for x in d2)
-        luts.append((int(r.vec_id), lut))
-    q_lut = spark.createDataFrame(luts, "query_id long, lut array<long>")
-
+    cb_raw, q_lut = _pq_model(spark, emb)
     encode = make_pq_encode_udf(cb_raw)
     coded = emb.select(
         F.col("vec_id").alias("neighbor_id"), encode("embedding").alias("codes")
     )
-    adc = " + ".join(
-        f"element_at(lut, {m * K_CODES} + element_at(codes, {m + 1}) + 1)"
-        for m in range(M_SUB)
-    )
     scored = (
         coded.join(F.broadcast(q_lut))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("adist", F.expr(f"cast({adc} as bigint)"))
+        .withColumn("adist", F.expr(_pq_adc_expr()))
     )
     sw = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id")
@@ -870,14 +880,71 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_topk(candidates)
 
 
-def _pq_oracle_sql() -> str:
-    """SQL twin: the same normalize-then-quantize op sequence
-    (decimal(9,7) quantize -> exact integer norm -> IEEE sqrt/divide ->
-    floor(abs(x/n)*1e7+0.5)*sign requantize), identical integer
-    subdistances, argmin code assignment with (dist, cid) tie-break,
-    LUT-sum ADC scores."""
-    return f"""
-        WITH idx AS (SELECT unnest(range({M_SUB})) AS m),
+PQ_IVF_SHORTLIST = 20  # smaller shortlist: cells already pre-filter
+
+
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed index (the FAISS IVFPQ architecture): the
+    coarse quantizer (decimal-exact label-cell centroids) picks NPROBE
+    cells per query, PQ/ADC scores only the vectors inside those
+    cells, and the exact kernel re-ranks a small shortlist.
+
+    This is the full 100 TB ANN stack in one plan: cell pruning cuts
+    the scan to corpus/cells x nprobe, the codes column cuts bytes
+    read 16x, and exact math touches only PQ_IVF_SHORTLIST rows per
+    query. All three stages are deterministic-exact, so the whole
+    composition carries a DuckDB twin."""
+    emb = load(spark, "embeddings", sf_dir)
+    cb_raw, q_lut = _pq_model(spark, emb)
+    encode = make_pq_encode_udf(cb_raw)
+    cents = cell_centroids(emb)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cent_cos").desc(), F.col("label")
+    )
+    probed = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cent_cos", cosine(F.col("qe"), F.col("centroid")))
+        .withColumn("cell_rank", F.row_number().over(probe_w))
+        .filter(F.col("cell_rank") <= NPROBE)
+        .select("query_id", "label")
+    )
+    coded = emb.select(
+        "label",
+        F.col("vec_id").alias("neighbor_id"),
+        encode("embedding").alias("codes"),
+    )
+    scored = (
+        F.broadcast(probed)
+        .join(coded, "label")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(q_lut), "query_id")
+        .withColumn("adist", F.expr(_pq_adc_expr()))
+    )
+    sw = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("srank", F.row_number().over(sw))
+        .filter(F.col("srank") <= PQ_IVF_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    candidates = shortlist.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")),
+        "neighbor_id",
+    ).join(F.broadcast(q), "query_id")
+    return _rank_topk(candidates)
+
+
+def _pq_codes_ctes() -> str:
+    """Shared CTE block: normalize-then-quantize vectors, subvector
+    slices, codebook, integer subdistances, argmin code assignment
+    (ties to lowest code id), and the per-query LUT. Used by both the
+    flat-scan PQ oracle and the IVF-composed one."""
+    return f"""idx AS (SELECT unnest(range({M_SUB})) AS m),
         q1t AS (
             SELECT vec_id,
                    list_transform(embedding,
@@ -926,14 +993,13 @@ def _pq_oracle_sql() -> str:
         lut AS (
             SELECT vec_id AS query_id, m, cid, dist
             FROM d2 WHERE vec_id < {N_QUERIES}
-        ),
-        scores AS (
-            SELECT l.query_id, c.vec_id AS neighbor_id,
-                   cast(sum(l.dist) AS bigint) AS adist
-            FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.cid
-            WHERE c.vec_id <> l.query_id
-            GROUP BY 1, 2
-        ),
+        )"""
+
+
+def _pq_rerank_tail(shortlist_n: int) -> str:
+    """Shared tail: ADC shortlist window, exact-cosine rerank, final
+    top-K with neighbor-id tie-break."""
+    return f""",
         shortlist AS (
             SELECT query_id, neighbor_id
             FROM (
@@ -943,7 +1009,7 @@ def _pq_oracle_sql() -> str:
                            AS srank
                 FROM scores
             )
-            WHERE srank <= {PQ_SHORTLIST}
+            WHERE srank <= {shortlist_n}
         ),
         exact AS (
             SELECT s.query_id, s.neighbor_id,
@@ -964,9 +1030,79 @@ def _pq_oracle_sql() -> str:
     """
 
 
+def _pq_oracle_sql() -> str:
+    """SQL twin of the flat-scan PQ: the same normalize-then-quantize
+    op sequence (decimal(9,7) quantize -> exact integer norm -> IEEE
+    sqrt/divide -> floor(abs(x/n)*1e7+0.5)*sign requantize), identical
+    integer subdistances, LUT-sum ADC scores, exact rerank."""
+    return f"""
+        WITH {_pq_codes_ctes()},
+        scores AS (
+            SELECT l.query_id, c.vec_id AS neighbor_id,
+                   cast(sum(l.dist) AS bigint) AS adist
+            FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.cid
+            WHERE c.vec_id <> l.query_id
+            GROUP BY 1, 2
+        ){_pq_rerank_tail(PQ_SHORTLIST)}"""
+
+
+def _ivfpq_oracle_sql() -> str:
+    """SQL twin of the IVF+PQ composition: the IVF oracle's
+    decimal-exact centroid probe restricts which (query, cell) pairs
+    are scored; the PQ CTEs supply codes and LUTs; scores exist only
+    inside probed cells; exact rerank on the (smaller) shortlist."""
+    return f"""
+        WITH {_pq_codes_ctes()},
+        exploded AS (
+            SELECT label,
+                   unnest(embedding) AS x,
+                   unnest(generate_series(1, len(embedding))) AS dim
+            FROM embeddings
+        ),
+        per_dim AS (
+            SELECT label, dim,
+                   cast(cast(sum(cast(cast(x AS double) AS decimal(30,15)))
+                             AS varchar) AS double) / count(*) AS mean_x
+            FROM exploded GROUP BY label, dim
+        ),
+        cents AS (
+            SELECT label, list(mean_x ORDER BY dim) AS centroid
+            FROM per_dim GROUP BY label
+        ),
+        qq AS (
+            SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ),
+        probed AS (
+            SELECT query_id, label
+            FROM (
+                SELECT qq.query_id, c.label,
+                       row_number() OVER (
+                           PARTITION BY qq.query_id
+                           ORDER BY {oracle_cosine('qq.qe', 'c.centroid')}
+                                    DESC, c.label
+                       ) AS cell_rank
+                FROM qq CROSS JOIN cents c
+            )
+            WHERE cell_rank <= {NPROBE}
+        ),
+        scores AS (
+            SELECT l.query_id, c.vec_id AS neighbor_id,
+                   cast(sum(l.dist) AS bigint) AS adist
+            FROM codes c
+            JOIN embeddings e ON e.vec_id = c.vec_id
+            JOIN probed p ON p.label = e.label
+            JOIN lut l ON l.m = c.m AND l.cid = c.cid
+                      AND l.query_id = p.query_id
+            WHERE c.vec_id <> l.query_id
+            GROUP BY 1, 2
+        ){_pq_rerank_tail(PQ_IVF_SHORTLIST)}"""
+
+
 QUERIES = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_pq_topk": sim_pq_topk,
+    "sim_ivfpq_topk": sim_ivfpq_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_kmeans_topk": sim_ivf_kmeans_topk,
     "sim_lsh_topk": sim_lsh_topk,
@@ -976,6 +1112,7 @@ QUERIES = {
 
 ORACLES = {
     "sim_pq_topk": _pq_oracle_sql(),
+    "sim_ivfpq_topk": _ivfpq_oracle_sql(),
     "sim_bruteforce_topk": f"""
         WITH scored AS (
             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,

@@ -201,3 +201,23 @@ def test_pq_codes_are_small_ints(spark, sf_dir):
     )
     assert stats.lo >= 0 and stats.hi < similarity.K_CODES
     assert stats.m_lo == stats.m_hi == similarity.M_SUB
+
+
+def test_ivfpq_recall_vs_ivf_and_exact_values(spark, sf_dir):
+    """The composed IVF+PQ index searches the same probed cells as
+    plain IVF; the PQ shortlist may lose a few of IVF's exact top-5
+    (recall >= 0.7 contract), and every hit must carry the identical
+    exact cosine from the shared rerank kernel."""
+    ivf = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in similarity.sim_ivf_topk(spark, sf_dir).collect()
+    }
+    ivfpq = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in similarity.sim_ivfpq_topk(spark, sf_dir).collect()
+    }
+    hits = set(ivf) & set(ivfpq)
+    recall = len(hits) / len(ivf)
+    assert recall >= 0.7, f"IVFPQ recall vs IVF below contract: {recall}"
+    for k in hits:
+        assert ivf[k] == ivfpq[k]
