@@ -480,3 +480,64 @@ def test_passage_dedup_no_cartesian_single_count_shuffle(spark, sf_dir):
     plan = _plan(dedup.dedup_passage(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_passage_dedup_single_exchange_no_join(spark, sf_dir):
+    """Since the window-count rewrite: ONE exchange on the passage
+    digest (shared by the window and reused downstream), no join, no
+    checkpointed intermediate."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import dedup
+
+    plan = _plan(dedup.dedup_passage(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_pq_topk_one_encode_pass_all_broadcast(spark, sf_dir):
+    """PQ flat scan: exactly one Arrow encode pass over the corpus;
+    query LUTs and query vectors broadcast (no shuffle join of the
+    corpus against queries); no cartesian between big sides."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import similarity
+
+    plan = _plan(similarity.sim_pq_topk(spark, sf_dir))
+    # Two Arrow nodes only (each appears twice in formatted output:
+    # tree + detail): the corpus encode pass and the shortlist-sized
+    # rerank cosine kernel. The ADC scoring itself is pure codegen.
+    assert plan.count("ArrowEvalPython") == 4
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_scores_only_probed_cells(spark, sf_dir):
+    """IVF+PQ: probed cells and LUTs broadcast into the coded-corpus
+    scan; the ADC stage joins on label (hash join against broadcast
+    probe rows), never a corpus-wide cartesian."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import similarity
+
+    plan = _plan(similarity.sim_ivfpq_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # label-keyed probe join
+
+
+def test_zorder_single_scan_broadcast_bounds(spark, sf_dir):
+    """Z-order stats: one events scan feeding the keyed agg, bounds as
+    a broadcast scalar row, no shuffle beyond the bucket agg."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import layout
+
+    plan = _plan(layout.layout_zorder_events(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan  # pure codegen interleave
+
+
+def test_reconcile_checksum_scan_only_single_agg(spark, sf_dir):
+    """The table fingerprint is a scan plus one tiny hash-agg: no
+    joins, no windows, no Python."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import extras
+
+    plan = _plan(extras.reconcile_checksum(spark, sf_dir))
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan
+    # Two exchanges only (each appears twice in formatted output):
+    # the agg shuffle and the final tiny range sort.
+    assert plan.count("Exchange") <= 4
