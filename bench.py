@@ -102,6 +102,7 @@ HEADLINE = [
     # the mergeable-sketch distinct rollup.
     "sim_ivfpq_topk",
     "approx_hll_partials",
+    "agg_bitmap_distinct",
 ]
 
 

@@ -240,9 +240,41 @@ def approx_hll_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typed.unionByName(merged).orderBy("event_type")
 
 
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct via bitmap rollup (Spark 3.5 bitmap
+    functions) — the precise counterpart of approx_hll_partials: ids
+    are bucketed into 32k-bit bitmaps (`bitmap_bucket_number` /
+    `bitmap_bit_position`), per-(segment, bucket) bitmaps OR together
+    losslessly, and popcounts sum to the exact distinct. Stored
+    per-segment bitmaps answer any segment-combination COUNT(DISTINCT)
+    by OR + popcount without rescanning the fact table — exact where
+    HLL is approximate, at bitmap (dense-id) storage cost.
+
+    Shuffle profile: one exchange on (event_type, bucket) with
+    map-side partial bitmap construction, then a tiny per-type merge.
+    The oracle is the plain COUNT(DISTINCT): the bitmap plumbing must
+    be invisible in the result."""
+    ev = load(spark, "events", sf_dir)
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "approx_hll_partials": approx_hll_partials,
+    "agg_bitmap_distinct": agg_bitmap_distinct,
     "pivot_status_by_day": pivot_status_by_day,
     "sessionize_events": sessionize_events,
     "q3_shipping_priority": q3_shipping_priority,
@@ -252,6 +284,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    # The bitmap rollup must be EXACTLY the plain distinct count.
+    "agg_bitmap_distinct": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                {oracle_dsum('l_quantity', 'sum_qty')},

@@ -395,3 +395,38 @@ def test_hll_partials_merge_identity_and_accuracy(spark, sf_dir):
         if t == "(all)":
             continue
         assert abs(r.n_hll - r.n_exact) <= 0.05 * max(r.n_exact, 1)
+
+
+def test_bitmap_distinct_or_merge_recombination(spark, sf_dir):
+    """The stored per-(type, bucket) bitmaps must recombine: OR-merging
+    across ALL types and popcounting gives exactly the global distinct
+    count — the re-groupable exact-distinct property that motivates the
+    bitmap rollup."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import analytics
+
+    ev = load(spark, "events", sf_dir)
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    merged = (
+        per_bucket.groupBy("bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n"))
+        .collect()[0]
+        .n
+    )
+    exact = ev.select("user_id").distinct().count()
+    assert merged == exact
+    # And the registry query's per-type counts are exact too.
+    rows = {r.event_type: r.n_users for r in analytics.agg_bitmap_distinct(spark, sf_dir).collect()}
+    truth = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    assert rows == truth
