@@ -573,11 +573,12 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-document duplication) by producing the repaired documents.
 
     Scale shape: one generator projection (posexplode of the window
-    array), one hash-agg keyed on the window digest for global counts
-    (map-side combine collapses each partition's repeats before the
-    shuffle), one narrow digest-keyed re-join, then a per-doc
-    rebuild agg — collect_list here is bounded by document length
-    (windows of ONE document), never corpus-wide. No quadratic
+    array), ONE shuffle on the window digest where an unordered window
+    count attaches each window's global frequency in place (the same
+    single-exchange shape as dedup_passage — the generator projection
+    is evaluated once, nothing is re-joined or checkpointed), then a
+    per-doc rebuild agg — collect_list there is bounded by document
+    length (windows of ONE document), never corpus-wide. No quadratic
     stage; the window dictionary is never collected."""
     docs = load(spark, "documents", sf_dir)
     words = F.split(F.col("text"), " ")
@@ -591,10 +592,11 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = docs.select(
         "doc_id", F.posexplode(windows).alias("widx", "wtext")
     ).withColumn("wh", F.md5("wtext"))
-    counts = win.groupBy("wh").agg(F.count(F.lit(1)).alias("n_global"))
     keep = F.col("n_global") < BP_THRESHOLD
     return (
-        win.join(counts, "wh")
+        win.withColumn(
+            "n_global", F.count(F.lit(1)).over(Window.partitionBy("wh"))
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),

@@ -357,19 +357,27 @@ def reconcile_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scan + one tiny hash-agg; this is how you check a 100 TB copy
     without sorting or shipping it."""
     li = load(spark, "lineitem", sf_dir)
+
+    def nn(c):
+        # concat_ws silently SKIPS nulls, which would render
+        # (x, NULL, y) and (x, y, NULL) identically; every field is
+        # therefore coalesced to an explicit sentinel so null position
+        # is part of the fingerprint.
+        return F.coalesce(c.cast("string"), F.lit("<N>"))
+
     canon = F.concat_ws(
         "|",
-        F.col("l_orderkey"),
-        F.col("l_partkey"),
-        F.col("l_suppkey"),
-        F.col("l_linenumber"),
-        (F.col("l_quantity").cast("decimal(12,4)") * 10000).cast("bigint"),
-        (F.col("l_extendedprice").cast("decimal(12,4)") * 10000).cast("bigint"),
-        (F.col("l_discount").cast("decimal(6,4)") * 10000).cast("bigint"),
-        (F.col("l_tax").cast("decimal(6,4)") * 10000).cast("bigint"),
-        F.col("l_returnflag"),
-        F.col("l_linestatus"),
-        F.expr("unix_micros(l_shipdate)"),
+        nn(F.col("l_orderkey")),
+        nn(F.col("l_partkey")),
+        nn(F.col("l_suppkey")),
+        nn(F.col("l_linenumber")),
+        nn((F.col("l_quantity").cast("decimal(12,4)") * 10000).cast("bigint")),
+        nn((F.col("l_extendedprice").cast("decimal(12,4)") * 10000).cast("bigint")),
+        nn((F.col("l_discount").cast("decimal(6,4)") * 10000).cast("bigint")),
+        nn((F.col("l_tax").cast("decimal(6,4)") * 10000).cast("bigint")),
+        nn(F.col("l_returnflag")),
+        nn(F.col("l_linestatus")),
+        nn(F.expr("unix_micros(l_shipdate)")),
     )
     rowhash = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast(
         "decimal(38,0)"
@@ -404,13 +412,17 @@ ORACLES = {
         WITH h AS (
             SELECT l_returnflag,
                    cast(concat('0x', substr(md5(concat_ws('|',
-                       l_orderkey, l_partkey, l_suppkey, l_linenumber,
-                       cast(cast(l_quantity AS decimal(12,4)) * 10000 AS bigint),
-                       cast(cast(l_extendedprice AS decimal(12,4)) * 10000 AS bigint),
-                       cast(cast(l_discount AS decimal(6,4)) * 10000 AS bigint),
-                       cast(cast(l_tax AS decimal(6,4)) * 10000 AS bigint),
-                       l_returnflag, l_linestatus,
-                       epoch_us(l_shipdate))), 1, 15)) AS bigint) AS rh
+                       coalesce(cast(l_orderkey AS varchar), '<N>'),
+                       coalesce(cast(l_partkey AS varchar), '<N>'),
+                       coalesce(cast(l_suppkey AS varchar), '<N>'),
+                       coalesce(cast(l_linenumber AS varchar), '<N>'),
+                       coalesce(cast(cast(cast(l_quantity AS decimal(12,4)) * 10000 AS bigint) AS varchar), '<N>'),
+                       coalesce(cast(cast(cast(l_extendedprice AS decimal(12,4)) * 10000 AS bigint) AS varchar), '<N>'),
+                       coalesce(cast(cast(cast(l_discount AS decimal(6,4)) * 10000 AS bigint) AS varchar), '<N>'),
+                       coalesce(cast(cast(cast(l_tax AS decimal(6,4)) * 10000 AS bigint) AS varchar), '<N>'),
+                       coalesce(l_returnflag, '<N>'),
+                       coalesce(l_linestatus, '<N>'),
+                       coalesce(cast(epoch_us(l_shipdate) AS varchar), '<N>'))), 1, 15)) AS bigint) AS rh
             FROM lineitem
         )
         SELECT l_returnflag,

@@ -157,10 +157,16 @@ _TABLE_VERSION = "v1"  # bump to invalidate previously-written buckets
 
 
 def bucket_db(spark: SparkSession, sf_dir: str) -> str:
-    """Session-scoped bucket warehouse keyed by sf_dir (so scale
-    factors never share tables). Works on the default in-memory
-    catalog — no Hive metastore needed."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    """Process-private bucket warehouse keyed by (pid, sf_dir): scale
+    factors never share tables, and concurrent Spark processes on the
+    same box can never clear or rewrite each other's directories (the
+    in-memory catalog forgets tables across processes anyway, so
+    cross-process reuse was never real — reuse is within-session:
+    write once, join many times in the session). Works on the default
+    in-memory catalog — no Hive metastore needed. On a cluster the
+    warehouse would be a durable catalog path and the tables truly
+    write-once."""
+    tag = hashlib.md5(f"{os.getpid()}|{sf_dir}".encode()).hexdigest()[:8]
     db = f"rtss_buckets_{_TABLE_VERSION}_{tag}"
     loc = os.path.join(tempfile.gettempdir(), db)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
@@ -175,10 +181,10 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     li_t, od_t = f"{db}.lineitem_b", f"{db}.orders_b"
 
     def _clear_stale(table: str) -> None:
-        # The in-memory catalog forgets tables across sessions while
-        # their directories persist; a location left by a previous
-        # process would fail the managed-table write. The inputs are
-        # deterministic, so dropping and rewriting is safe.
+        # The path is process-private (pid in the tag), so the only
+        # way the location exists without a catalog entry is a crashed
+        # earlier attempt in THIS pid (or pid reuse after reboot);
+        # clearing it is race-free and the rewrite is deterministic.
         import shutil
 
         loc = os.path.join(
@@ -220,7 +226,7 @@ def bucketed_join_frames(
 def j8_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue per order priority over the bucketed lineitem⋈orders.
 
-    Both sides are bucketed {N_BUCKETS} ways on the order key, so the
+    Both sides are bucketed N_BUCKETS (16) ways on the order key, so the
     merge join runs Exchange-free (both scans already report
     HashPartitioning on the key — the plan audit pins a join subtree
     with no Exchange). The ``merge`` hint keeps the demo honest: at

@@ -737,6 +737,10 @@ def _pq_quant_rows(rows):
     """Normalize-then-quantize: 7dp quantization, exact integer norm,
     one IEEE sqrt + divide, requantize to 1e7-scaled integers.
 
+    Byte-for-byte twin of ``norm_quant`` inside make_pq_encode_udf
+    (which cannot reference this module — see note there); keep the
+    two in lockstep.
+
     Normalizing first makes L2 ADC distance rank like cosine (PQ's
     standard cosine recipe). Reproducibility: every step is either
     exact integer math or a single correctly-rounded IEEE op on
@@ -769,6 +773,11 @@ def make_pq_encode_udf(codebook_raw: list[list[float]]):
 
         if len(col) == 0:
             return pd.Series([], dtype=object)
+        # NOTE: byte-for-byte twin of module-level _pq_quant_rows —
+        # duplicated because this closure must unpickle WITHOUT the
+        # package on worker PYTHONPATH (cloudpickle serializes captured
+        # module functions by reference). Drift between the two is
+        # pinned by tests/test_similarity.py::test_pq_quantizer_twins_agree.
         def norm_quant(rows):
             A = np.stack([np.asarray(v, dtype=np.float64) for v in rows])
             Q1 = np.floor(np.abs(A) * 1e7 + 0.5) * np.sign(A)
@@ -835,6 +844,28 @@ def _pq_adc_expr() -> str:
     return f"cast({terms} as bigint)"
 
 
+def _adc_shortlist_rerank(emb: DataFrame, scored: DataFrame, shortlist_n: int) -> DataFrame:
+    """Shared ADC tail (Python twin of the oracle's _pq_rerank_tail):
+    per-query shortlist window on (adist, neighbor_id), then exact
+    cosine rerank of shortlist rows only."""
+    sw = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("srank", F.row_number().over(sw))
+        .filter(F.col("srank") <= shortlist_n)
+        .select("query_id", "neighbor_id")
+    )
+    qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    candidates = shortlist.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")),
+        "neighbor_id",
+    ).join(F.broadcast(qe), "query_id")
+    return _rank_topk(candidates)
+
+
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC shortlist + exact rerank: corpus encoded once to
     M_SUB-code rows, each query scores every candidate by summing
@@ -862,22 +893,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("adist", F.expr(_pq_adc_expr()))
     )
-    sw = Window.partitionBy("query_id").orderBy(
-        F.col("adist").asc(), F.col("neighbor_id")
-    )
-    shortlist = (
-        scored.withColumn("srank", F.row_number().over(sw))
-        .filter(F.col("srank") <= PQ_SHORTLIST)
-        .select("query_id", "neighbor_id")
-    )
-    qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    candidates = shortlist.join(
-        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")),
-        "neighbor_id",
-    ).join(F.broadcast(qe), "query_id")
-    return _rank_topk(candidates)
+    return _adc_shortlist_rerank(emb, scored, PQ_SHORTLIST)
 
 
 PQ_IVF_SHORTLIST = 20  # smaller shortlist: cells already pre-filter
@@ -924,19 +940,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(q_lut), "query_id")
         .withColumn("adist", F.expr(_pq_adc_expr()))
     )
-    sw = Window.partitionBy("query_id").orderBy(
-        F.col("adist").asc(), F.col("neighbor_id")
-    )
-    shortlist = (
-        scored.withColumn("srank", F.row_number().over(sw))
-        .filter(F.col("srank") <= PQ_IVF_SHORTLIST)
-        .select("query_id", "neighbor_id")
-    )
-    candidates = shortlist.join(
-        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")),
-        "neighbor_id",
-    ).join(F.broadcast(q), "query_id")
-    return _rank_topk(candidates)
+    return _adc_shortlist_rerank(emb, scored, PQ_IVF_SHORTLIST)
 
 
 def _pq_codes_ctes() -> str:

@@ -221,3 +221,40 @@ def test_ivfpq_recall_vs_ivf_and_exact_values(spark, sf_dir):
     assert recall >= 0.7, f"IVFPQ recall vs IVF below contract: {recall}"
     for k in hits:
         assert ivf[k] == ivfpq[k]
+
+
+def test_pq_quantizer_twins_agree(spark, sf_dir):
+    """The worker-side quantizer duplicated inside make_pq_encode_udf
+    (self-contained closure) must stay byte-for-byte with the
+    module-level _pq_quant_rows used for LUT building: codes computed
+    through the UDF must equal codes recomputed driver-side from
+    _pq_quant_rows on the same vectors."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    emb = similarity.load(spark, "embeddings", sf_dir)
+    cb_rows = (
+        emb.filter(
+            (F.col("vec_id") >= similarity.PQ_CB_BASE)
+            & (F.col("vec_id") < similarity.PQ_CB_BASE + similarity.K_CODES)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cb_raw = [r.embedding for r in sorted(cb_rows, key=lambda r: r.vec_id)]
+    sample = emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+    encode = similarity.make_pq_encode_udf(cb_raw)
+    udf_codes = {
+        r.vec_id: list(r.codes)
+        for r in sample.select("vec_id", encode("embedding").alias("codes")).collect()
+    }
+    CB = similarity._pq_quant_rows(cb_raw)
+    for r in sample.collect():
+        Qv = similarity._pq_quant_rows([r.embedding])[0]
+        expect = []
+        for m in range(similarity.M_SUB):
+            sub = Qv[m * similarity.D_SUB : (m + 1) * similarity.D_SUB]
+            cb = CB[:, m * similarity.D_SUB : (m + 1) * similarity.D_SUB]
+            d2 = ((sub[None, :] - cb) ** 2).sum(-1)
+            expect.append(int(np.argmin(d2)))
+        assert udf_codes[r.vec_id] == expect, r.vec_id
