@@ -103,6 +103,7 @@ HEADLINE = [
     "sim_ivfpq_topk",
     "approx_hll_partials",
     "agg_bitmap_distinct",
+    "graph_triangle_count",
 ]
 
 

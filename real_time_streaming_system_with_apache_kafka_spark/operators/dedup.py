@@ -570,6 +570,94 @@ def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation in the near-dup candidate
+    graph — the cohesion signal that separates tight clone clusters
+    (every member pairwise-similar: many triangles) from chains of
+    borderline matches (few): a curation pipeline treats the former as
+    one document family and audits the latter.
+
+    Scale shape — the degree-ordered orientation (node-iterator++):
+    each undirected edge is oriented from the (degree, id)-smaller
+    endpoint, so every wedge is generated exactly once at its
+    lowest-rank apex and a hub of degree d contributes O(sum of its
+    OUT-degree^2) wedges, bounded by graph arboricity instead of d^2 —
+    the standard mitigation for power-law skew in distributed triangle
+    counting. The lexicographic (deg, id) comparison needs no global
+    rank materialization (no single-partition window). Three
+    hash-joins on node/edge keys; the quadratic wedge set never forms
+    for high-degree nodes in full.
+
+    Triangle identity (u,v,w) is counted once; per-doc counts then
+    credit all three corners via one explode. DuckDB twin recomputes
+    the identical orientation and joins."""
+    edges = _dup_edges(spark, sf_dir)  # symmetric (src, dst)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    canon = edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    with_deg = (
+        canon.join(deg.select(F.col("src").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("src").alias("b"), F.col("d").alias("db")), "b")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1 = oriented.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
+    o2 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
+    wedges = o1.join(o2, "u").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tris = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
+    members = tris.select(F.explode(F.array("u", "x", "y")).alias("doc_id"))
+    return (
+        members.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "doc_id")
+    )
+
+
+def _triangle_oracle() -> str:
+    return f"""
+        WITH {_ORACLE_LSH_EDGES},
+        deg AS (SELECT src AS v, count(*) AS d FROM edges GROUP BY src),
+        canon AS (SELECT src AS a, dst AS b FROM edges WHERE src < dst),
+        oriented AS (
+            SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                        THEN a ELSE b END AS u,
+                   CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                        THEN b ELSE a END AS v,
+                   CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                        THEN db.d ELSE da.d END AS dv
+            FROM canon
+            JOIN deg da ON da.v = a
+            JOIN deg db ON db.v = b
+        ),
+        tris AS (
+            SELECT o1.u, o1.v AS x, o2.v AS y
+            FROM oriented o1
+            JOIN oriented o2 ON o1.u = o2.u
+            JOIN oriented oc ON oc.u = o1.v AND oc.v = o2.v
+            WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)
+        ),
+        members AS (
+            SELECT u AS doc_id FROM tris
+            UNION ALL SELECT x FROM tris
+            UNION ALL SELECT y FROM tris
+        )
+        SELECT doc_id, count(*) AS n_triangles
+        FROM members GROUP BY doc_id
+        ORDER BY n_triangles DESC, doc_id
+    """
+
+
 def _pagerank_oracle() -> str:
     it = """
         c{k} AS (
@@ -800,6 +888,7 @@ QUERIES = {
     "dedup_prefix": dedup_prefix,
     "dedup_lsh_verified": dedup_lsh_verified,
     "graph_pagerank_dupgraph": graph_pagerank_dupgraph,
+    "graph_triangle_count": graph_triangle_count,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -899,6 +988,7 @@ ORACLES = {
               >= {JACCARD_THRESHOLD}
     """,
     "graph_pagerank_dupgraph": _pagerank_oracle(),
+    "graph_triangle_count": _triangle_oracle(),
     "dedup_containment": f"""
         WITH {_ORACLE_LSH_CAND},
         ss AS (

@@ -430,3 +430,30 @@ def test_bitmap_distinct_or_merge_recombination(spark, sf_dir):
         for r in ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
     }
     assert rows == truth
+
+
+def test_triangle_count_matches_naive_enumeration(spark, sf_dir):
+    """Degree-ordered orientation must count exactly the triangles the
+    naive id-ordered a<b<c enumeration finds (independent derivation),
+    with each corner credited once per triangle."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import dedup
+
+    edges = dedup._dup_edges(spark, sf_dir)
+    canon = edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    wedges = canon.join(
+        canon.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    )  # a<b<c paths
+    naive = wedges.join(
+        canon.select("a", F.col("b").alias("c")), ["a", "c"]
+    ).select("a", "b", "c").distinct()
+    naive_members = {}
+    for r in naive.collect():
+        for v in (r.a, r.b, r.c):
+            naive_members[v] = naive_members.get(v, 0) + 1
+    got = {
+        r.doc_id: r.n_triangles
+        for r in dedup.graph_triangle_count(spark, sf_dir).collect()
+    }
+    assert got == naive_members
