@@ -25,6 +25,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # driver-signed row. Entries NOT listed keep module order after the
 # priority block and stay covered by the local DuckDB parity suite
 # (tests/test_correctness.py) every round.
+#
+# Round-4 rotation candidates (oracled, never driver-signed): the
+# TPC-H batch q2-q22, the w9/wf/agg extras, skew + datamix suites, and
+# the round-3 continuation batch (sim_pq_topk, sim_ivfpq_topk,
+# graph_triangle_count, j8_bucketed_join, layout_zorder_events,
+# text_boilerplate_strip, reconcile_checksum, agg_bitmap_distinct,
+# sample_importance_weighted, dedup_* late additions). Keep the three
+# sentinels; audit any rotating entry for array/map outputs first (the
+# driver canonicalizer trap).
 _PRIORITY: list[str] = [
     # §2 sentinels — pinned every round.
     "w1_minute_activity",
