@@ -51,6 +51,10 @@ def main() -> None:
     }
     print(f"brute force: {len(bf)} result rows "
           f"({time.monotonic() - t0:.2f}s) — exact baseline")
+    if not bf:
+        print("no baseline results — does the embeddings table have "
+              "the vec_id < 5 query rows?")
+        return
 
     for name, fn in VARIANTS:
         t0 = time.monotonic()
@@ -59,7 +63,9 @@ def main() -> None:
         }
         dt = time.monotonic() - t0
         hits = set(bf) & set(got)
-        exact_vals = all(bf[k] == got[k] for k in hits)
+        exact_vals = (
+            "n/a" if not hits else all(bf[k] == got[k] for k in hits)
+        )
         print(
             f"{name:22s} recall@5={len(hits) / len(bf):.2f} "
             f"({dt:.2f}s, hit cosines exact: {exact_vals})"

@@ -603,11 +603,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # Consumed three times below (both wedge legs + the closing-edge
+    # probe); the DataFrame API does no common-subplan reuse, so
+    # materialize the orientation once instead of re-running the two
+    # degree joins per consumer (same pattern as _dup_edges).
     oriented = with_deg.select(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).localCheckpoint(eager=True)
     o1 = oriented.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
     o2 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
     wedges = o1.join(o2, "u").filter(

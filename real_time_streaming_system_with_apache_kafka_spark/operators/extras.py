@@ -365,20 +365,27 @@ def reconcile_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         # is part of the fingerprint.
         return F.coalesce(c.cast("string"), F.lit("<N>"))
 
-    canon = F.concat_ws(
-        "|",
-        nn(F.col("l_orderkey")),
-        nn(F.col("l_partkey")),
-        nn(F.col("l_suppkey")),
-        nn(F.col("l_linenumber")),
-        nn((F.col("l_quantity").cast("decimal(12,4)") * 10000).cast("bigint")),
-        nn((F.col("l_extendedprice").cast("decimal(12,4)") * 10000).cast("bigint")),
-        nn((F.col("l_discount").cast("decimal(6,4)") * 10000).cast("bigint")),
-        nn((F.col("l_tax").cast("decimal(6,4)") * 10000).cast("bigint")),
-        nn(F.col("l_returnflag")),
-        nn(F.col("l_linestatus")),
-        nn(F.expr("unix_micros(l_shipdate)")),
+    fields = [
+        F.col("l_orderkey"),
+        F.col("l_partkey"),
+        F.col("l_suppkey"),
+        F.col("l_linenumber"),
+        (F.col("l_quantity").cast("decimal(12,4)") * 10000).cast("bigint"),
+        (F.col("l_extendedprice").cast("decimal(12,4)") * 10000).cast("bigint"),
+        (F.col("l_discount").cast("decimal(6,4)") * 10000).cast("bigint"),
+        (F.col("l_tax").cast("decimal(6,4)") * 10000).cast("bigint"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.expr("unix_micros(l_shipdate)"),
+    ]
+    # Out-of-band null mask: a literal '<N>' string value and a true
+    # NULL differ in the mask bit, keeping the fingerprint injective
+    # (a production form would hash fields individually; the mask is
+    # the cheap columnar equivalent).
+    null_mask = F.concat(
+        *[F.when(f.isNull(), F.lit("1")).otherwise(F.lit("0")) for f in fields]
     )
+    canon = F.concat_ws("|", null_mask, *[nn(f) for f in fields])
     rowhash = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast(
         "decimal(38,0)"
     )
@@ -412,6 +419,18 @@ ORACLES = {
         WITH h AS (
             SELECT l_returnflag,
                    cast(concat('0x', substr(md5(concat_ws('|',
+                       concat(
+                           CASE WHEN l_orderkey IS NULL THEN '1' ELSE '0' END,
+                           CASE WHEN l_partkey IS NULL THEN '1' ELSE '0' END,
+                           CASE WHEN l_suppkey IS NULL THEN '1' ELSE '0' END,
+                           CASE WHEN l_linenumber IS NULL THEN '1' ELSE '0' END,
+                           CASE WHEN l_quantity IS NULL THEN '1' ELSE '0' END,
+                           CASE WHEN l_extendedprice IS NULL THEN '1' ELSE '0' END,
+                           CASE WHEN l_discount IS NULL THEN '1' ELSE '0' END,
+                           CASE WHEN l_tax IS NULL THEN '1' ELSE '0' END,
+                           CASE WHEN l_returnflag IS NULL THEN '1' ELSE '0' END,
+                           CASE WHEN l_linestatus IS NULL THEN '1' ELSE '0' END,
+                           CASE WHEN l_shipdate IS NULL THEN '1' ELSE '0' END),
                        coalesce(cast(l_orderkey AS varchar), '<N>'),
                        coalesce(cast(l_partkey AS varchar), '<N>'),
                        coalesce(cast(l_suppkey AS varchar), '<N>'),

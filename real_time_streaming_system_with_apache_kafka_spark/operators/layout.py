@@ -154,6 +154,7 @@ def _zorder_oracle_sql() -> str:
 
 N_BUCKETS = 16
 _TABLE_VERSION = "v1"  # bump to invalidate previously-written buckets
+_CLEANUP_REGISTERED: set[str] = set()
 
 
 def bucket_db(spark: SparkSession, sf_dir: str) -> str:
@@ -170,6 +171,14 @@ def bucket_db(spark: SparkSession, sf_dir: str) -> str:
     db = f"rtss_buckets_{_TABLE_VERSION}_{tag}"
     loc = os.path.join(tempfile.gettempdir(), db)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    if loc not in _CLEANUP_REGISTERED:
+        # Process-private dirs would otherwise accumulate in tmpdir
+        # across runs (multi-GB at soak scale); remove ours on exit.
+        import atexit
+        import shutil
+
+        _CLEANUP_REGISTERED.add(loc)
+        atexit.register(shutil.rmtree, loc, ignore_errors=True)
     return db
 
 
