@@ -65,6 +65,36 @@ def minute_partials_stream(
     )
 
 
+def minute_distinct_stream(
+    trades: DataFrame, watermark: str | None = "2 minutes"
+) -> DataFrame:
+    """Per-minute DISTINCT counterparty count — the streaming form of
+    COUNT(DISTINCT), which streaming aggregations do not support
+    directly. Two chained stateful operators (supported since Spark
+    3.4): stage 1 keeps one row per (minute, counterparty) via
+    ``dropDuplicates`` (state bounded by the watermark — the same
+    mechanism as exactly-once trade dedup), stage 2 is a plain
+    windowed count of the survivors. At scale the dedup state is the
+    per-window distinct-key set — exactly the memory any exact
+    distinct must pay; the HLL/bitmap rollups (operators/analytics.py)
+    are the batch answers when that state is too large.
+
+    Stream/batch equivalence pinned in tests/test_streaming.py against
+    the raw wire's distinct (minute, counterparty) pairs."""
+    if watermark is not None:
+        trades = trades.withWatermark("timestamp", watermark)
+    per = trades.select(
+        "timestamp",
+        F.date_trunc("minute", F.col("timestamp")).alias("minute_ts"),
+        "counterparty",
+    ).dropDuplicates(["minute_ts", "counterparty"])
+    return (
+        per.groupBy(F.window(F.col("timestamp"), "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_counterparties"))
+        .select(F.col("w.start").alias("window_start"), "n_counterparties")
+    )
+
+
 def break_alerts(trades: DataFrame) -> DataFrame:
     """W5: break detection (dashboard.py:117-122) as a standing filter
     query — stateless, so it works in append mode with no watermark."""

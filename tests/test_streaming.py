@@ -349,3 +349,36 @@ def test_checkpoint_recovery_resumes_dedup_state(spark, tmp_path):
     stored = spark.read.parquet(out)
     assert stored.count() == 100  # 50 + 50, redeliveries dropped
     assert stored.select("trade_id").distinct().count() == 100
+
+
+def test_minute_distinct_stream_matches_batch(spark, wire_dir):
+    """Streaming COUNT(DISTINCT) via chained dedup->agg must equal the
+    batch distinct (minute, counterparty) pairs of the raw wire —
+    whichever duplicate the stream keeps, the (minute, counterparty)
+    key set is identical, so the per-minute counts are exact."""
+    path, n_base, n_dup = wire_dir
+    stream = ingest.read_trade_stream_from_json_dir(spark, path)
+    got = sorted(
+        map(
+            tuple,
+            _drain(
+                windowed.minute_distinct_stream(stream), "mds", mode="complete"
+            ).collect(),
+        )
+    )
+    parsed = ingest.parse_wire(spark.read.text(path), value_col="value")
+    want = sorted(
+        map(
+            tuple,
+            parsed.select(
+                F.date_trunc("minute", "timestamp").alias("window_start"),
+                "counterparty",
+            )
+            .distinct()
+            .groupBy("window_start")
+            .agg(F.count(F.lit(1)).alias("n_counterparties"))
+            .collect(),
+        )
+    )
+    assert got == want
+    assert sum(r[1] for r in got) >= 1
