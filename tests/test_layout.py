@@ -117,3 +117,41 @@ def test_j8_bucketed_join_rowcount_matches_plain_join(spark, sf_dir):
         .count()
     )
     assert n_bucketed == n_plain
+
+
+def test_dynamic_partition_pruning_on_partitioned_table(spark, tmp_path):
+    """Dynamic partition pruning: joining a date-partitioned fact to a
+    filtered dim plants a dynamicpruning subquery in the fact scan's
+    PartitionFilters — at 100 TB the fact directories for excluded
+    days are never read, even though the pruning values are only known
+    at runtime."""
+    trades = generator.trades(spark, 5_000)
+    path = str(tmp_path / "trades_dpp")
+    layout.write_partitioned(trades, path, "trade_date")
+    fact = layout.read_partitioned(spark, path)
+
+    # DPP's benefit heuristic wants a SELECTIVE dim: a stored dim
+    # table with a pushed filter (the star-schema shape it exists for).
+    dim_path = str(tmp_path / "day_dim")
+    keep_days = [
+        r[0]
+        for r in trades.select("trade_date").distinct().orderBy("trade_date").limit(2).collect()
+    ]
+    (
+        trades.select("trade_date")
+        .distinct()
+        .withColumn(
+            "day_tag",
+            F.when(F.col("trade_date").isin(keep_days), "keep").otherwise("drop"),
+        )
+        .write.mode("overwrite")
+        .parquet(dim_path)
+    )
+    dim = spark.read.parquet(dim_path).filter(F.col("day_tag") == "keep")
+    joined = fact.join(F.broadcast(dim), "trade_date").select(
+        "trade_date", "notional_value", "day_tag"
+    )
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # And the pruning is real: only the dim's days survive.
+    assert joined.select("trade_date").distinct().count() == 2
