@@ -155,3 +155,48 @@ def test_dynamic_partition_pruning_on_partitioned_table(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     # And the pruning is real: only the dim's days survive.
     assert joined.select("trade_date").distinct().count() == 2
+
+
+def test_runtime_bloom_filter_join_injection(spark, sf_dir):
+    """Runtime Bloom-filter join (Catalyst InjectRuntimeFilter): with a
+    selective dim filter and a too-big-to-broadcast build side, the
+    fact scan gains a might_contain(bloom_filter_agg(...)) semi-filter
+    built from the dim at runtime — at 100 TB this discards most fact
+    rows before the shuffle. The thresholds are production-scale, so
+    the test lowers the application-side floor to let the tiny fixture
+    qualify; the rewrite itself is the stock optimizer rule."""
+    from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load(spark, "lineitem", sf_dir)
+        od = load(spark, "orders", sf_dir).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(od, F.col("l_orderkey") == F.col("o_orderkey")).select(
+            "l_orderkey", "l_extendedprice", "o_orderpriority"
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan.lower()
+        assert "bloom_filter_agg" in plan.lower()
+        n_bloom = j.count()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # The runtime filter must be semantics-preserving.
+    li = load(spark, "lineitem", sf_dir)
+    od = load(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    assert n_bloom == li.join(od, F.col("l_orderkey") == F.col("o_orderkey")).count()
