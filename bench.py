@@ -104,6 +104,7 @@ HEADLINE = [
     "approx_hll_partials",
     "agg_bitmap_distinct",
     "graph_triangle_count",
+    "sim_prefix_topk",
 ]
 
 

@@ -12,6 +12,7 @@ corpus navigates:
   IVF (learned)      spherical k-means quantizer, same probe
   LSH                6 sign-hash tables + Hamming-1 multi-probe
   PQ                 16-byte codes, integer ADC scan, exact rerank
+  prefix (MRL)       first-16-dim cosine shortlist, exact rerank
   IVF+PQ             cells prune the scan, codes prune the bytes
   range search       all neighbors above a cosine radius
   kNN self-join      every vector's nearest same-cell neighbor
@@ -36,6 +37,7 @@ VARIANTS = [
     ("sim_ivf_kmeans_topk", similarity.sim_ivf_kmeans_topk),
     ("sim_lsh_topk", similarity.sim_lsh_topk),
     ("sim_pq_topk", similarity.sim_pq_topk),
+    ("sim_prefix_topk", similarity.sim_prefix_topk),
     ("sim_ivfpq_topk", similarity.sim_ivfpq_topk),
 ]
 

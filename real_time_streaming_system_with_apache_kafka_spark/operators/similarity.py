@@ -709,6 +709,100 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Matryoshka prefix-dimension search -----------------------------
+# Modern embedding models (MRL training) order information by
+# dimension: a prefix of the vector is itself a usable lower-fidelity
+# embedding. Searching the first PREFIX_DIMS dims costs 1/4 of the
+# float math and bytes of the full vector; the exact full-dimension
+# kernel then reranks a small shortlist. Complements PQ (which
+# compresses by quantization) with compression by truncation — the
+# two compose in production (prefix scan -> PQ rerank -> exact).
+PREFIX_DIMS = 16
+PREFIX_SHORTLIST = 50
+
+
+def sim_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-dimension (Matryoshka) top-k: rank all candidates by the
+    cosine of the first PREFIX_DIMS dims (same quantized-integer
+    kernel, so the shortlist is engine-deterministic), keep
+    PREFIX_SHORTLIST per query, rerank those with the exact full-dim
+    cosine. Hits carry true cosines (value-identical to brute force).
+    Recall contract in tests/test_similarity.py."""
+    emb = load(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("ne"),
+            )
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    pre = pairs.withColumn(
+        "precos",
+        cosine(
+            F.slice(F.col("qe"), 1, PREFIX_DIMS),
+            F.slice(F.col("ne"), 1, PREFIX_DIMS),
+        ),
+    )
+    sw = Window.partitionBy("query_id").orderBy(
+        F.col("precos").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        pre.withColumn("srank", F.row_number().over(sw))
+        .filter(F.col("srank") <= PREFIX_SHORTLIST)
+        .select("query_id", "neighbor_id", "qe", "ne")
+    )
+    return _rank_topk(shortlist)
+
+
+def _prefix_oracle_sql() -> str:
+    pre = oracle_cosine(
+        f"list_slice(q.embedding, 1, {PREFIX_DIMS})",
+        f"list_slice(n.embedding, 1, {PREFIX_DIMS})",
+    )
+    return f"""
+        WITH pre AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   {pre} AS precos
+            FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+            CROSS JOIN embeddings n
+            WHERE q.vec_id <> n.vec_id
+        ),
+        shortlist AS (
+            SELECT query_id, neighbor_id
+            FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY precos DESC, neighbor_id)
+                           AS srank
+                FROM pre
+            )
+            WHERE srank <= {PREFIX_SHORTLIST}
+        ),
+        exact AS (
+            SELECT s.query_id, s.neighbor_id,
+                   {oracle_cosine('q.embedding', 'n.embedding')} AS cos
+            FROM shortlist s
+            JOIN embeddings q ON q.vec_id = s.query_id
+            JOIN embeddings n ON n.vec_id = s.neighbor_id
+        )
+        SELECT query_id, cast(rank AS int) AS rank, neighbor_id, cos
+        FROM (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id)
+                       AS rank
+            FROM exact
+        )
+        WHERE rank <= {TOP_K}
+    """
+
+
 # --- Product quantization (PQ) ANN --------------------------------
 # The compression-based scale path: each 64-float vector is encoded as
 # M_SUB small codes (256 bytes -> 16 bytes, 16x), queries score every
@@ -1106,6 +1200,7 @@ def _ivfpq_oracle_sql() -> str:
 QUERIES = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_pq_topk": sim_pq_topk,
+    "sim_prefix_topk": sim_prefix_topk,
     "sim_ivfpq_topk": sim_ivfpq_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_kmeans_topk": sim_ivf_kmeans_topk,
@@ -1116,6 +1211,7 @@ QUERIES = {
 
 ORACLES = {
     "sim_pq_topk": _pq_oracle_sql(),
+    "sim_prefix_topk": _prefix_oracle_sql(),
     "sim_ivfpq_topk": _ivfpq_oracle_sql(),
     "sim_bruteforce_topk": f"""
         WITH scored AS (

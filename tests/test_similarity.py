@@ -258,3 +258,22 @@ def test_pq_quantizer_twins_agree(spark, sf_dir):
             d2 = ((sub[None, :] - cb) ** 2).sum(-1)
             expect.append(int(np.argmin(d2)))
         assert udf_codes[r.vec_id] == expect, r.vec_id
+
+
+def test_prefix_topk_recall_and_exact_values(spark, sf_dir):
+    """Matryoshka prefix search: the 16-dim prefix pass plus exact
+    rerank recovers >= 0.5 of brute force's top-5 on the synthetic
+    (non-MRL) embeddings, and hits carry identical exact cosines."""
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in similarity.sim_bruteforce_topk(spark, sf_dir).collect()
+    }
+    px = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in similarity.sim_prefix_topk(spark, sf_dir).collect()
+    }
+    hits = set(bf) & set(px)
+    recall = len(hits) / len(bf)
+    assert recall >= 0.5, f"prefix recall below contract: {recall}"
+    for k in hits:
+        assert bf[k] == px[k]
