@@ -226,7 +226,60 @@ def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BUDGET_MULT = 2  # training budget = BUDGET_MULT x corpus tokens
+
+
+def mix_epoch_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch/repetition plan per source: given a total training-token
+    budget (BUDGET_MULT x the corpus) split uniformly across sources,
+    how many FULL passes each source contributes plus the exact
+    fractional-pass remainder — the "repeat high-value sources ~4
+    epochs, downsample bulk crawl to ~0.3" recipe of a pretraining
+    mixture, as data.
+
+    full_epochs = target div source_tokens and remainder_ppm =
+    (target mod source_tokens) * 1e6 div source_tokens are all exact
+    integer arithmetic (engine-identical); a sampler realizes the
+    fractional pass as an md5 slice of remainder_ppm. Tiny aggregate,
+    broadcast back against the corpus at use time."""
+    docs = load(spark, "documents", sf_dir)
+    n_tok = F.size(F.split("text", " "))
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok.cast("bigint")).alias("source_tokens"),
+    )
+    totals = per_source.agg(
+        F.sum("source_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "source_tokens",
+            F.expr(
+                f"(cast(total_tokens AS decimal(38,0)) * {BUDGET_MULT})"
+                " div n_sources"
+            ).cast("bigint").alias("target_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "source_tokens",
+            "target_tokens",
+            F.expr("target_tokens div source_tokens").alias("full_epochs"),
+            F.expr(
+                "(cast(target_tokens % source_tokens AS decimal(38,0))"
+                " * 1000000) div source_tokens"
+            ).cast("bigint").alias("remainder_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "mix_epoch_repeats": mix_epoch_repeats,
     "dedup_incremental_ingest": dedup_incremental_ingest,
     "mix_temperature_weights": mix_temperature_weights,
     "dedup_cross_source": dedup_cross_source,
@@ -235,6 +288,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mix_epoch_repeats": f"""
+        WITH per_source AS (
+            SELECT source,
+                   count(*) AS n_docs,
+                   sum(len(string_split(text, ' '))) AS source_tokens
+            FROM documents GROUP BY source
+        ),
+        totals AS (
+            SELECT sum(source_tokens) AS total_tokens,
+                   count(*) AS n_sources
+            FROM per_source
+        )
+        SELECT source, n_docs,
+               cast(source_tokens AS bigint) AS source_tokens,
+               cast(total_tokens * {BUDGET_MULT} // n_sources AS bigint)
+                   AS target_tokens,
+               cast((total_tokens * {BUDGET_MULT} // n_sources)
+                    // source_tokens AS bigint) AS full_epochs,
+               cast(((total_tokens * {BUDGET_MULT} // n_sources)
+                     % source_tokens) * 1000000 // source_tokens
+                    AS bigint) AS remainder_ppm
+        FROM per_source CROSS JOIN totals
+        ORDER BY source
+    """,
     "mix_temperature_weights": """
         WITH per AS (
             SELECT lang, count(*) AS n_docs,

@@ -457,3 +457,22 @@ def test_triangle_count_matches_naive_enumeration(spark, sf_dir):
         for r in dedup.graph_triangle_count(spark, sf_dir).collect()
     }
     assert got == naive_members
+
+
+def test_epoch_repeats_arithmetic_identity(spark, sf_dir):
+    """The plan must reconstruct: full_epochs = target div tokens,
+    and the fractional pass in ppm never reaches a full extra epoch;
+    realized tokens (full + fractional) land within one ppm-truncation
+    of the target."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import datamix
+
+    rows = datamix.mix_epoch_repeats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.full_epochs == r.target_tokens // r.source_tokens
+        assert 0 <= r.remainder_ppm < 1_000_000
+        realized = (
+            r.full_epochs * r.source_tokens
+            + r.remainder_ppm * r.source_tokens / 1_000_000
+        )
+        assert abs(realized - r.target_tokens) <= r.source_tokens / 1_000_000 + 1
