@@ -51,17 +51,30 @@ def _rank_topk(candidates: DataFrame) -> DataFrame:
     )
 
 
+def _all_pairs(emb: DataFrame) -> DataFrame:
+    """Query-set-vs-corpus pair scaffold shared by the exhaustive
+    variants: vec_id < N_QUERIES broadcast against every vector,
+    self-matches excluded."""
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return (
+        F.broadcast(q)
+        .crossJoin(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("ne"),
+            )
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+
+
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for each query vector (vec_id < N_QUERIES),
     self-matches excluded, ties broken by neighbor id."""
     emb = load(spark, "embeddings", sf_dir)
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    pairs = F.broadcast(q).crossJoin(
-        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
-    )
-    return _rank_topk(pairs.filter(F.col("query_id") != F.col("neighbor_id")))
+    return _rank_topk(_all_pairs(emb))
 
 
 def cell_centroids(emb: DataFrame) -> DataFrame:
@@ -729,20 +742,7 @@ def sim_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine. Hits carry true cosines (value-identical to brute force).
     Recall contract in tests/test_similarity.py."""
     emb = load(spark, "embeddings", sf_dir)
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    pairs = (
-        F.broadcast(q)
-        .crossJoin(
-            emb.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("embedding").alias("ne"),
-            )
-        )
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-    )
-    pre = pairs.withColumn(
+    pre = _all_pairs(emb).withColumn(
         "precos",
         cosine(
             F.slice(F.col("qe"), 1, PREFIX_DIMS),

@@ -71,11 +71,15 @@ def minute_distinct_stream(
     """Per-minute DISTINCT counterparty count — the streaming form of
     COUNT(DISTINCT), which streaming aggregations do not support
     directly. Two chained stateful operators (supported since Spark
-    3.4): stage 1 keeps one row per (minute, counterparty) via
-    ``dropDuplicates`` (state bounded by the watermark — the same
-    mechanism as exactly-once trade dedup), stage 2 is a plain
-    windowed count of the survivors. At scale the dedup state is the
-    per-window distinct-key set — exactly the memory any exact
+    3.4): stage 1 keeps one row per (window, counterparty) via
+    ``dropDuplicates``, stage 2 is a plain count per window of the
+    survivors. The dedup key uses the ``window()`` column — NOT a
+    date_trunc-derived minute — because only the window struct carries
+    the event-time watermark metadata that lets the state store EVICT
+    closed windows (a truncated-timestamp key column loses the
+    metadata and the dedup state would grow forever; docdedup.py
+    documents the same pitfall). At scale the bounded state is the
+    open windows' distinct-key sets — exactly the memory any exact
     distinct must pay; the HLL/bitmap rollups (operators/analytics.py)
     are the batch answers when that state is too large.
 
@@ -84,12 +88,11 @@ def minute_distinct_stream(
     if watermark is not None:
         trades = trades.withWatermark("timestamp", watermark)
     per = trades.select(
-        "timestamp",
-        F.date_trunc("minute", F.col("timestamp")).alias("minute_ts"),
+        F.window(F.col("timestamp"), "1 minute").alias("w"),
         "counterparty",
-    ).dropDuplicates(["minute_ts", "counterparty"])
+    ).dropDuplicates(["w", "counterparty"])
     return (
-        per.groupBy(F.window(F.col("timestamp"), "1 minute").alias("w"))
+        per.groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_counterparties"))
         .select(F.col("w.start").alias("window_start"), "n_counterparties")
     )
