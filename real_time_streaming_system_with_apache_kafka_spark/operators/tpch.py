@@ -35,7 +35,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from real_time_streaming_system_with_apache_kafka_spark.functions.exact import (
-    ORACLE_REVENUE_SUM,
     davg,
     dec4,
     dsum,
