@@ -512,6 +512,41 @@ def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 PR_ITERS = 4  # fixed-round PageRank (unrolled in the oracle)
 
 
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: instead of dropping duplicates, every document gets
+    sampling weight 1/n_copies of its duplicate group (ppm, integral
+    arithmetic) — the corpus-frequency downweighting used when hard
+    removal is too blunt (repetition studies show a few epochs of
+    high-quality dups help; dropping forfeits that). Composes with
+    the mixing layer: a sampler multiplies these ppm weights with the
+    per-source mix weights. Groups key on the word-order-insensitive
+    fingerprint (sorted distinct words — where the fixture's dup
+    groups actually live, same key as the datamix layer).
+
+    One hash-agg on the fingerprint digest + one narrow re-join keyed
+    on the digest — the same two-exchange shape as dedup_exact plus
+    the weight projection."""
+    docs = load(spark, "documents", sf_dir)
+    hashed = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+        ).alias("content_hash"),
+    )
+    groups = hashed.groupBy("content_hash").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    return (
+        hashed.join(groups, "content_hash")
+        .select(
+            "doc_id",
+            "n_copies",
+            F.expr("1000000 div n_copies").alias("weight_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the duplicate-candidate graph (the
     undirected LSH pair set CC clusters): which documents sit at the
@@ -889,6 +924,7 @@ def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_soft_weights": dedup_soft_weights,
     "dedup_prefix": dedup_prefix,
     "dedup_lsh_verified": dedup_lsh_verified,
     "graph_pagerank_dupgraph": graph_pagerank_dupgraph,
@@ -1042,6 +1078,19 @@ ORACLES = {
         FROM documents
         GROUP BY 1
         HAVING count(*) > 1
+    """,
+    "dedup_soft_weights": """
+        WITH h AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       string_split(text, ' '))), ' ')) AS fp
+            FROM documents
+        ),
+        g AS (SELECT fp, count(*) AS n_copies FROM h GROUP BY fp)
+        SELECT doc_id, n_copies,
+               cast(1000000 // n_copies AS bigint) AS weight_ppm
+        FROM h JOIN g USING (fp)
+        ORDER BY doc_id
     """,
     "dedup_exact": """
         SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies,

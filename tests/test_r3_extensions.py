@@ -476,3 +476,28 @@ def test_epoch_repeats_arithmetic_identity(spark, sf_dir):
             + r.remainder_ppm * r.source_tokens / 1_000_000
         )
         assert abs(realized - r.target_tokens) <= r.source_tokens / 1_000_000 + 1
+
+
+def test_soft_weights_conserve_group_mass(spark, sf_dir):
+    """Soft-dedup weights: every doc appears once, and each duplicate
+    group's total weight is one document's worth (1e6 ppm) up to
+    integer truncation — the property that makes downweighting
+    equivalent in expectation to keeping one copy."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import dedup
+
+    rows = dedup.dedup_soft_weights(spark, sf_dir).collect()
+    n_docs = load(spark, "documents", sf_dir).count()
+    assert len(rows) == n_docs
+    by_group = {}
+    for r in rows:
+        assert r.weight_ppm == 1_000_000 // r.n_copies
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.n_copies, 0)
+        groups[r.n_copies] += 1
+    # group-size accounting: members with n_copies=k come in groups of
+    # k, so the count of such rows is divisible by k.
+    for k, n in groups.items():
+        assert n % k == 0, (k, n)
+        total_ppm = k * (1_000_000 // k)
+        assert 1_000_000 - k < total_ppm <= 1_000_000
