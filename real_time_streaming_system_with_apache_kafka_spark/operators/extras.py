@@ -158,6 +158,45 @@ def agg_quartiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def feature_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML feature prep: assign every lineitem its corpus-quartile
+    bucket of ``l_quantity`` — compute the three exact dyadic quartile
+    bounds once (integer-valued column, interpolation bit-identical
+    across engines — same exactness argument as agg_quartiles_exact),
+    broadcast the one-row bounds, and bucketize scan-side with three
+    comparisons. The output is the per-bucket verification profile
+    (counts and value envelopes; each bucket ≈ a quarter of rows).
+
+    Scale shape: one pass for bounds (the exact form; at 100 TB swap
+    approx_percentile into the same broadcast slot), then a pure
+    scan-side projection + small agg — the quantile table never
+    round-trips through the driver."""
+    li = load(spark, "lineitem", sf_dir)
+    bounds = li.agg(
+        F.percentile(F.col("l_quantity"), F.lit(0.25)).alias("q25"),
+        F.percentile(F.col("l_quantity"), F.lit(0.5)).alias("q50"),
+        F.percentile(F.col("l_quantity"), F.lit(0.75)).alias("q75"),
+    )
+    bucket = (
+        F.lit(1)
+        + (F.col("l_quantity") > F.col("q25")).cast("int")
+        + (F.col("l_quantity") > F.col("q50")).cast("int")
+        + (F.col("l_quantity") > F.col("q75")).cast("int")
+    )
+    return (
+        li.select("l_quantity")
+        .crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "l_quantity")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_quantity").alias("v_min"),
+            F.max("l_quantity").alias("v_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def wf_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-of-total per group (the ratio_to_report window pattern).
 
@@ -401,6 +440,7 @@ def reconcile_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "reconcile_checksum": reconcile_checksum,
+    "feature_quantile_bucketize": feature_quantile_bucketize,
     "agg_grouping_sets": agg_grouping_sets,
     "agg_stats_moments": agg_stats_moments,
     "agg_quartiles_exact": agg_quartiles_exact,
@@ -415,6 +455,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "feature_quantile_bucketize": """
+        WITH b AS (
+            SELECT quantile_cont(l_quantity, 0.25) AS q25,
+                   quantile_cont(l_quantity, 0.5) AS q50,
+                   quantile_cont(l_quantity, 0.75) AS q75
+            FROM lineitem
+        )
+        SELECT 1 + cast(l_quantity > q25 AS int)
+                 + cast(l_quantity > q50 AS int)
+                 + cast(l_quantity > q75 AS int) AS bucket,
+               count(*) AS n,
+               min(l_quantity) AS v_min,
+               max(l_quantity) AS v_max
+        FROM lineitem CROSS JOIN b
+        GROUP BY 1 ORDER BY 1
+    """,
     "reconcile_checksum": """
         WITH h AS (
             SELECT l_returnflag,
