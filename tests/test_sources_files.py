@@ -68,3 +68,51 @@ def test_orc_roundtrip_preserves_rows(spark, sf_dir, tmp_path):
     back = spark.read.format("orc").load(out)
     assert back.schema == src.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A 100 TB dataset accretes columns over time; mergeSchema reads
+    old and new files as one table — old files surface the new column
+    as NULL, values and counts intact."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "evolving")
+    spark.range(3).select(
+        F.col("id").alias("a"), F.lit("v1").alias("b")
+    ).write.parquet(base + "/batch=1")
+    spark.range(3, 5).select(
+        F.col("id").alias("a"),
+        F.lit("v2").alias("b"),
+        F.lit(9.5).alias("c_new"),
+    ).write.parquet(base + "/batch=2")
+
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(df.columns) == {"a", "b", "c_new", "batch"}
+    assert df.count() == 5
+    assert df.filter(F.col("c_new").isNull()).count() == 3  # old files
+    assert df.filter(F.col("c_new") == 9.5).count() == 2
+
+
+def test_ignore_corrupt_files_skips_garbage(spark, tmp_path):
+    """Operational tolerance: a torn/garbage file inside a 100 TB
+    directory must not fail the scan when ignoreCorruptFiles is on —
+    the valid files' rows all survive."""
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    spark.range(4).select(F.col("id").alias("a")).write.parquet(
+        str(d / "good")
+    )
+    (d / "good" / "garbage.parquet").write_bytes(b"this is not parquet at all")
+
+    old = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        # Explicit schema: inference itself footer-reads every file and
+        # can trip on the garbage one before the conf applies — at
+        # scale production readers declare the schema anyway.
+        got = spark.read.schema("a bigint").parquet(str(d / "good")).count()
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", old)
+    assert got == 4
