@@ -387,18 +387,12 @@ GOPHER_MAX_WORDS = 100_000
 GOPHER_MIN_STOPWORDS = 1
 
 
-def quality_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document Gopher-rule quality gates: word-count bounds, mean
-    word length 3..10, >=80% alphabetic words, <=10% symbol-bearing
-    words, >=1 distinct stopwords, unique-word ratio >=0.2 (the
-    repetition gate) — each rule its own boolean column plus the
-    conjunctive ``keep``, so downstream mixes can re-weight individual
-    rules without rescanning.
-
-    Scale shape: pure per-row column expressions inside whole-stage
-    codegen — one corpus scan, zero shuffle, embarrassingly parallel at
-    any executor count."""
-    docs = load(spark, "documents", sf_dir)
+def gopher_rule_columns() -> dict:
+    """The six Gopher-rule boolean columns (plus n_words and the
+    conjunctive keep) over a ``text`` column — pure per-row
+    expressions, shared verbatim by the batch gate below and the
+    streaming ingest gate (streaming/docdedup.py::gate_quality), so
+    stream and batch agree by construction."""
     words = F.split(F.col("text"), " ")
     n_words = F.size(words)
     # Total in-word chars: text length minus the single-space separators.
@@ -415,19 +409,42 @@ def quality_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_symbol = 10 * n_sym <= n_words
     r_stop = n_stop >= GOPHER_MIN_STOPWORDS
     r_unique = 5 * n_unique >= n_words
+    return {
+        "n_words": n_words,
+        "rule_word_count": r_words,
+        "rule_mean_word_len": r_word_len,
+        "rule_alpha_words": r_alpha,
+        "rule_symbol_ratio": r_symbol,
+        "rule_stopwords": r_stop,
+        "rule_unique_ratio": r_unique,
+        "keep": r_words & r_word_len & r_alpha & r_symbol & r_stop & r_unique,
+    }
+
+
+def quality_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher-rule quality gates: word-count bounds, mean
+    word length 3..10, >=80% alphabetic words, <=10% symbol-bearing
+    words, >=1 distinct stopwords, unique-word ratio >=0.2 (the
+    repetition gate) — each rule its own boolean column plus the
+    conjunctive ``keep``, so downstream mixes can re-weight individual
+    rules without rescanning.
+
+    Scale shape: pure per-row column expressions inside whole-stage
+    codegen — one corpus scan, zero shuffle, embarrassingly parallel at
+    any executor count."""
+    docs = load(spark, "documents", sf_dir)
+    rules = gopher_rule_columns()
     return docs.select(
         "doc_id",
         "lang",
-        n_words.alias("n_words"),
-        r_words.alias("rule_word_count"),
-        r_word_len.alias("rule_mean_word_len"),
-        r_alpha.alias("rule_alpha_words"),
-        r_symbol.alias("rule_symbol_ratio"),
-        r_stop.alias("rule_stopwords"),
-        r_unique.alias("rule_unique_ratio"),
-        (r_words & r_word_len & r_alpha & r_symbol & r_stop & r_unique).alias(
-            "keep"
-        ),
+        rules["n_words"].alias("n_words"),
+        rules["rule_word_count"].alias("rule_word_count"),
+        rules["rule_mean_word_len"].alias("rule_mean_word_len"),
+        rules["rule_alpha_words"].alias("rule_alpha_words"),
+        rules["rule_symbol_ratio"].alias("rule_symbol_ratio"),
+        rules["rule_stopwords"].alias("rule_stopwords"),
+        rules["rule_unique_ratio"].alias("rule_unique_ratio"),
+        rules["keep"].alias("keep"),
     )
 
 

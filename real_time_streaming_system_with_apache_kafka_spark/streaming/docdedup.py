@@ -64,3 +64,17 @@ def filter_near_duplicates(docs: DataFrame, watermark: str = "10 minutes") -> Da
         .withWatermark("ingest_ts", watermark)
         .dropDuplicatesWithinWatermark(["simhash"])
     )
+
+
+def gate_quality(docs: DataFrame) -> DataFrame:
+    """Online quality gate: the SAME six Gopher-rule expressions as the
+    batch ``quality_gopher_gates`` (shared via
+    ``curation.gopher_rule_columns`` — stream and batch agree by
+    construction), applied as a stateless filter on the document
+    stream. Chain BEFORE the dedup filters: rejecting junk first keeps
+    it out of the dedup state store entirely."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators.curation import (
+        gopher_rule_columns,
+    )
+
+    return docs.filter(gopher_rule_columns()["keep"])

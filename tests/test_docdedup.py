@@ -107,3 +107,41 @@ def test_pagerank_dupgraph_invariants(spark, sf_dir):
     # Determinism: bit-identical on a second evaluation.
     again = dedup.graph_pagerank_dupgraph(spark, sf_dir).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_streaming_quality_gate_matches_batch(spark, sf_smoke, tmp_path):
+    """gate_quality on a document stream keeps EXACTLY the docs the
+    batch Gopher gate keeps (shared rule expressions — equivalence by
+    construction, verified end-to-end through a real file stream)."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators.curation import (
+        quality_gopher_gates,
+    )
+    from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
+
+    docs = load(spark, "documents", sf_smoke).select("doc_id", "text").collect()
+    path = tmp_path / "qdocs"
+    path.mkdir()
+    rows = [
+        json.dumps(
+            {
+                "doc_id": r.doc_id,
+                "text": r.text,
+                "ingest_ts": f"2026-01-05T10:{r.doc_id % 60:02d}:00",
+            }
+        )
+        for r in docs
+    ]
+    for chunk in range(2):
+        (path / f"part-{chunk}.json").write_text("\n".join(rows[chunk::2]) + "\n")
+
+    stream = docdedup.read_document_stream_from_json_dir(spark, str(path))
+    out = _drain(docdedup.gate_quality(stream), "doc_gate")
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    want = {
+        r.doc_id
+        for r in quality_gopher_gates(spark, sf_smoke)
+        .filter(F.col("keep"))
+        .collect()
+    }
+    assert got == want
+    assert 0 < len(want) < len(docs)  # the gate discriminates
