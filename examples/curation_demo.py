@@ -28,6 +28,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from real_time_streaming_system_with_apache_kafka_spark.operators import (  # noqa: E402
     curation,
+    dedup,
     datamix,
     sampling,
     text,
@@ -51,6 +52,16 @@ def main() -> None:
     contaminated = curation.decontaminate_holdout(spark, sf_dir)
     print(f"[3] decontamination: {contaminated.count()} docs overlap the benchmark")
 
+    stripped = curation.text_boilerplate_strip(spark, sf_dir)
+    n_strip = stripped.filter(F.col("n_dropped") > 0).count()
+    print(f"[3b] boilerplate strip: {n_strip} docs had corpus-frequent "
+          "windows removed (text rebuilt)")
+
+    soft = dedup.dedup_soft_weights(spark, sf_dir)
+    n_down = soft.filter(F.col("n_copies") > 1).count()
+    print(f"[3c] soft dedup: {n_down} docs downweighted to 1/n_copies "
+          "instead of dropped")
+
     budgeted = datamix.sample_token_budget(spark, sf_dir)
     print("[4] token budget per language:")
     budgeted.groupBy("lang").agg(
@@ -69,6 +80,11 @@ def main() -> None:
     split = sampling.split_train_holdout(spark, sf_dir)
     split.groupBy("split").count().orderBy("split").show()
     print("[7] split done — same assignment on every engine/run.")
+
+    print("[8] epoch/repetition plan per source (2x-corpus budget):")
+    datamix.mix_epoch_repeats(spark, sf_dir).select(
+        "source", "full_epochs", "remainder_ppm"
+    ).orderBy("source").show(5)
 
 
 if __name__ == "__main__":
