@@ -21,6 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from real_time_streaming_system_with_apache_kafka_spark.operators.curation import (
+    gopher_rule_columns,
+)
 from real_time_streaming_system_with_apache_kafka_spark.operators.dedup import simhash16
 
 DOC_WIRE_SCHEMA = "doc_id long, text string, ingest_ts timestamp"
@@ -73,8 +76,4 @@ def gate_quality(docs: DataFrame) -> DataFrame:
     construction), applied as a stateless filter on the document
     stream. Chain BEFORE the dedup filters: rejecting junk first keeps
     it out of the dedup state store entirely."""
-    from real_time_streaming_system_with_apache_kafka_spark.operators.curation import (
-        gopher_rule_columns,
-    )
-
     return docs.filter(gopher_rule_columns()["keep"])
