@@ -105,6 +105,7 @@ HEADLINE = [
     "agg_bitmap_distinct",
     "graph_triangle_count",
     "sim_prefix_topk",
+    "sim_filtered_topk",
 ]
 
 

@@ -40,6 +40,8 @@ VARIANTS = [
     ("sim_prefix_topk", similarity.sim_prefix_topk),
     ("sim_ivfpq_topk", similarity.sim_ivfpq_topk),
 ]
+# sim_filtered_topk is exact over a METADATA-filtered subset (not
+# comparable to the unfiltered baseline) — reported separately below.
 
 
 def main() -> None:
@@ -73,6 +75,10 @@ def main() -> None:
             f"({dt:.2f}s, hit cosines exact: {exact_vals})"
         )
 
+    filt = similarity.sim_filtered_topk(spark, sf_dir)
+    print(f"filtered search: top-5 over label >= "
+          f"{similarity.FILTER_MIN_LABEL} only — {filt.count()} rows, "
+          "exact over the eligible set (pre-filter pushdown)")
     rng = similarity.sim_range_search(spark, sf_dir)
     print(f"range search: {rng.count()} neighbors above "
           f"cos >= {similarity.RANGE_THRESHOLD}")

@@ -722,6 +722,43 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FILTER_MIN_LABEL = 5  # metadata predicate for the filtered search
+
+
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-filtered vector search: top-k among ONLY the vectors
+    satisfying a metadata predicate (label >= FILTER_MIN_LABEL) — the
+    filtered-search problem every production vector store faces.
+
+    This is the PRE-filter architecture: the predicate applies to the
+    corpus scan BEFORE any vector math (and, being a plain column
+    predicate, pushes down into the parquet scan — row groups of
+    ineligible vectors are never read, pinned in tests/test_plans.py),
+    so results are EXACT over the eligible set with no recall loss.
+    The alternative — post-filtering an ANN shortlist — loses recall
+    whenever the filter is selective (eligible neighbors fall off the
+    unfiltered shortlist) and needs oversampling heuristics; with a
+    columnar scan + pushdown, pre-filtering is both exact and cheaper.
+    At extreme selectivity the IVF/PQ variants compose the same way:
+    filter first, then index the eligible subset."""
+    emb = load(spark, "embeddings", sf_dir)
+    eligible = emb.filter(F.col("label") >= FILTER_MIN_LABEL)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(
+            eligible.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("ne"),
+            )
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    return _rank_topk(pairs)
+
+
 # --- Matryoshka prefix-dimension search -----------------------------
 # Modern embedding models (MRL training) order information by
 # dimension: a prefix of the vector is itself a usable lower-fidelity
@@ -1201,6 +1238,7 @@ QUERIES = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_pq_topk": sim_pq_topk,
     "sim_prefix_topk": sim_prefix_topk,
+    "sim_filtered_topk": sim_filtered_topk,
     "sim_ivfpq_topk": sim_ivfpq_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_kmeans_topk": sim_ivf_kmeans_topk,
@@ -1212,6 +1250,24 @@ QUERIES = {
 ORACLES = {
     "sim_pq_topk": _pq_oracle_sql(),
     "sim_prefix_topk": _prefix_oracle_sql(),
+    "sim_filtered_topk": f"""
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   {oracle_cosine('q.embedding', 'n.embedding')} AS cos
+            FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+            CROSS JOIN (SELECT * FROM embeddings
+                        WHERE label >= {FILTER_MIN_LABEL}) n
+            WHERE q.vec_id <> n.vec_id
+        )
+        SELECT query_id, cast(rank AS int) AS rank, neighbor_id, cos
+        FROM (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        WHERE rank <= {TOP_K}
+    """,
     "sim_ivfpq_topk": _ivfpq_oracle_sql(),
     "sim_bruteforce_topk": f"""
         WITH scored AS (

@@ -541,3 +541,15 @@ def test_reconcile_checksum_scan_only_single_agg(spark, sf_dir):
     # Two exchanges only (each appears twice in formatted output):
     # the agg shuffle and the final tiny range sort.
     assert plan.count("Exchange") <= 4
+
+
+def test_filtered_ann_predicate_reaches_scan(spark, sf_dir):
+    """Pre-filtered vector search: the metadata predicate must push
+    into the parquet scan (row groups of ineligible vectors never
+    read) — the property that makes pre-filtering cheaper than
+    post-filter oversampling."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import similarity
+
+    plan = _plan(similarity.sim_filtered_topk(spark, sf_dir))
+    assert "GreaterThanOrEqual(label," in plan  # PushedFilters entry
+    assert "CartesianProduct" not in plan

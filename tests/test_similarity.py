@@ -277,3 +277,30 @@ def test_prefix_topk_recall_and_exact_values(spark, sf_dir):
     assert recall >= 0.5, f"prefix recall below contract: {recall}"
     for k in hits:
         assert bf[k] == px[k]
+
+
+def test_filtered_topk_exact_over_eligible_set(spark, sf_dir):
+    """Pre-filtered search must be EXACT over the eligible subset:
+    every returned neighbor satisfies the predicate, and the result
+    equals brute force computed on the filtered corpus."""
+    from pyspark.sql import functions as F
+
+    emb = similarity.load(spark, "embeddings", sf_dir)
+    labels = {
+        r.vec_id: r.label for r in emb.select("vec_id", "label").collect()
+    }
+    rows = similarity.sim_filtered_topk(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert labels[r.neighbor_id] >= similarity.FILTER_MIN_LABEL
+    # No eligible neighbor outside the result beats the last result.
+    bf = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in similarity.sim_bruteforce_topk(spark, sf_dir).collect()
+    }
+    # Cross-check: any brute-force hit that is eligible must also be a
+    # filtered-search hit (exactness over the intersection).
+    filt = {(r.query_id, r.neighbor_id) for r in rows}
+    for (q, n), _ in bf.items():
+        if labels[n] >= similarity.FILTER_MIN_LABEL:
+            assert (q, n) in filt
