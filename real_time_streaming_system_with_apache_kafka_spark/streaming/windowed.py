@@ -203,3 +203,31 @@ def venue_distribution_stream(
     if watermark is not None:
         trades = trades.withWatermark("timestamp", watermark)
     return trades.groupBy("settlement_venue").agg(F.count(F.lit(1)).alias("n"))
+
+
+def minute_checksum_stream(
+    trades: DataFrame, watermark: str | None = "2 minutes"
+) -> DataFrame:
+    """Per-minute order-insensitive stream fingerprint — the streaming
+    twin of ``operators/extras.py::reconcile_checksum``: each row
+    hashes to a 60-bit integer (md5 over trade_id, engine-portable)
+    and the per-window SUM of row hashes plus the count is the
+    window's signature. Sums commute, so the signature is independent
+    of arrival order, micro-batch boundaries, and partitioning — the
+    cheap continuous check that a stream landed completely in a sink
+    (compare window signatures computed downstream; any lost or
+    duplicated row flips the sum). Pure windowed aggregation: one
+    stateful operator, watermark-bounded state."""
+    if watermark is not None:
+        trades = trades.withWatermark("timestamp", watermark)
+    rowhash = F.conv(F.substring(F.md5(F.col("trade_id")), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return (
+        trades.groupBy(F.window(F.col("timestamp"), "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(rowhash).cast("string").alias("hash_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_rows", "hash_sum")
+    )

@@ -382,3 +382,37 @@ def test_minute_distinct_stream_matches_batch(spark, wire_dir):
     )
     assert got == want
     assert sum(r[1] for r in got) >= 1
+
+
+def test_minute_checksum_stream_matches_batch(spark, wire_dir):
+    """The per-window stream fingerprint must equal the batch
+    signature of the same wire — micro-batch boundaries and arrival
+    order cannot move a commutative hash sum."""
+    path, n_base, n_dup = wire_dir
+    stream = ingest.read_trade_stream_from_json_dir(spark, path)
+    got = sorted(
+        map(
+            tuple,
+            _drain(
+                windowed.minute_checksum_stream(stream), "mcs", mode="complete"
+            ).collect(),
+        )
+    )
+    parsed = ingest.parse_wire(spark.read.text(path), value_col="value")
+    rowhash = F.conv(
+        F.substring(F.md5(F.col("trade_id")), 1, 15), 16, 10
+    ).cast("decimal(38,0)")
+    want = sorted(
+        map(
+            tuple,
+            parsed.groupBy(F.window("timestamp", "1 minute").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(rowhash).cast("string").alias("hash_sum"),
+            )
+            .select(F.col("w.start").alias("window_start"), "n_rows", "hash_sum")
+            .collect(),
+        )
+    )
+    assert got == want
+    assert len(got) > 1
