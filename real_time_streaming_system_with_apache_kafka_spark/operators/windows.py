@@ -118,14 +118,37 @@ def cascaded_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day_ts")
 
 
+def minute_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-minute DISTINCT active users — the batch twin of
+    ``streaming/windowed.py::minute_distinct_stream`` (which realizes
+    the same semantics online via chained dedup -> count, since
+    streaming aggs cannot COUNT(DISTINCT) directly). Catalyst expands
+    this to the same two-phase plan: dedup on (minute, user) with
+    map-side combine, then count per minute."""
+    ev = load(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("minute", F.col("ts")).alias("minute_ts"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("minute_ts")
+    )
+
+
 QUERIES = {
     "w1_minute_activity": minute_activity,
+    "w11_minute_distinct_users": minute_distinct_users,
     "w9_cascaded_rollup": cascaded_rollup_day,
     "w1_tumbling_window": tumbling_window_activity,
     "w6_sliding_window": sliding_window_activity,
 }
 
 ORACLES = {
+    "w11_minute_distinct_users": """
+        SELECT date_trunc('minute', ts) AS minute_ts,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """,
     # One-pass aggregation of the raw table: the cascaded
     # minute→hour→day plan must be indistinguishable from it.
     "w9_cascaded_rollup": """
