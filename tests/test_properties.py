@@ -124,3 +124,44 @@ def test_regex_ngrams_equal_lambda_spec_on_arbitrary_words(spark, words, n):
         regex_word_ngrams(F.col("text"), n).alias("fast"),
     ).collect()[0]
     assert row["spec"] == row["fast"]
+
+
+def _py_morton(u: int, t: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((u >> i) & 1) << (2 * i)
+        z |= ((t >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    u=st.integers(min_value=0, max_value=65535),
+    t=st.integers(min_value=0, max_value=65535),
+)
+def test_zorder_codegen_matches_python_reference(spark, u, t):
+    """The codegen'd 32-term interleave (layout.py) must equal a
+    bit-twiddling Python reference for arbitrary 16-bit inputs, in
+    BOTH dialects (Spark via F.expr, DuckDB via the oracle string) —
+    the formula generator cannot drift from the Morton spec."""
+    import duckdb
+
+    from real_time_streaming_system_with_apache_kafka_spark.operators.layout import (
+        _z_interleave,
+    )
+
+    expect = _py_morton(u, t)
+    got_spark = (
+        spark.createDataFrame([(u, t)], "ux long, tx long")
+        .selectExpr(f"({_z_interleave('ux', 'tx', spark_sql=True)}) AS z")
+        .collect()[0]
+        .z
+    )
+    # Cast the literals to BIGINT: a bare int literal is INT32 in
+    # DuckDB and << overflows at bit 31; the real oracle's operands
+    # are BIGINT columns, so this matches its typing.
+    got_duck = duckdb.sql(
+        f"SELECT ({_z_interleave(f'cast({u} AS bigint)', f'cast({t} AS bigint)', spark_sql=False)}) AS z"
+    ).fetchall()[0][0]
+    assert got_spark == expect
+    assert got_duck == expect
