@@ -182,21 +182,38 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embed_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label, per-dimension centroid accumulators over the embedding
-    column: exact decimal sum and sum-of-squares of the 7-dp quantized
-    components (the quantization contract shared with the cosine dedup
-    kernel, dedup.py) plus the member count. mean = sum_q/n and
-    var = sumsq_q/n - mean^2 derive on the caller's side; the engine
-    emits the exact sufficient statistics so no cross-engine division
-    rounding is involved.
+    column: exact integer-unit sum and sum-of-squares of the 7-dp
+    quantized components (the quantization contract shared with the
+    cosine dedup kernel, dedup.py) plus the member count.
+    mean = sum_q_e7/(n*1e7) and var derives from sumsq_q_e14/(n*1e14)
+    on the caller's side; the engine emits exact sufficient statistics
+    so no cross-engine division rounding is involved.
+
+    Canonicalizer contract: the accumulators are exact integers in
+    fixed units (sum_q_e7 in 1e-7 units, sumsq_q_e14 in 1e-14 units),
+    summed in decimal(38,0) and emitted as strings — decimal output
+    columns round-trip differently through pandas on Spark (Decimal
+    object) vs DuckDB (float64) and hash-mismatch even when numerically
+    identical (r2 f_map_funcs, r3 this query); a decimal-summed,
+    string-emitted integer is the driver-proven shape
+    (reconcile_checksum, extras.py:429). decimal(38,0) holds sumsq past
+    10^38 / 10^14 = 10^24-row groups — comfortably beyond 100 TB.
     """
     emb = load(spark, "embeddings", sf_dir)
     e = emb.select(
         "label", F.posexplode("embedding").alias("pos", "val")
-    ).withColumn("q", F.col("val").cast("double").cast("decimal(18,7)"))
+    ).withColumn(
+        "xq",
+        (F.col("val").cast("double").cast("decimal(18,7)") * 10_000_000)
+        .cast("decimal(19,0)"),
+    )
     return e.groupBy("label", "pos").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("q").cast("decimal(38,7)").alias("sum_q"),
-        F.sum(F.col("q") * F.col("q")).cast("decimal(38,14)").alias("sumsq_q"),
+        F.sum("xq").cast("decimal(38,0)").cast("string").alias("sum_q_e7"),
+        F.sum(F.col("xq") * F.col("xq"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("sumsq_q_e14"),
     )
 
 
@@ -883,16 +900,18 @@ ORACLES = {
     """,
     "embed_centroid_stats": """
         SELECT label, pos, count(*) AS n,
-               cast(sum(q) AS decimal(38,7)) AS sum_q,
-               cast(sum(q * q) AS decimal(38,14)) AS sumsq_q
+               cast(cast(sum(xq) AS decimal(38,0)) AS varchar) AS sum_q_e7,
+               cast(cast(sum(xq * xq) AS decimal(38,0)) AS varchar)
+                   AS sumsq_q_e14
         FROM (
             -- parallel unnests zip in DuckDB: position and value stay
             -- aligned, matching Spark's posexplode
             SELECT label,
                    cast(unnest(generate_series(1, len(embedding))) - 1
                         AS integer) AS pos,
-                   cast(cast(unnest(embedding) AS double) AS decimal(18,7))
-                       AS q
+                   cast(cast(cast(unnest(embedding) AS double)
+                             AS decimal(18,7)) * 10000000 AS hugeint)
+                       AS xq
             FROM embeddings
         )
         GROUP BY label, pos

@@ -268,10 +268,17 @@ def mix_epoch_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "source_tokens",
             "target_tokens",
-            F.expr("target_tokens div source_tokens").alias("full_epochs"),
+            # greatest(1, ...) guards a source whose documents are all
+            # empty (source_tokens = 0): Spark's div would yield NULL
+            # while DuckDB's // raises — the guard keeps both engines on
+            # the same exact-integer path (0 epochs, 0 remainder).
             F.expr(
-                "(cast(target_tokens % source_tokens AS decimal(38,0))"
-                " * 1000000) div source_tokens"
+                "target_tokens div greatest(source_tokens, 1L)"
+            ).alias("full_epochs"),
+            F.expr(
+                "(cast(target_tokens % greatest(source_tokens, 1L)"
+                " AS decimal(38,0))"
+                " * 1000000) div greatest(source_tokens, 1L)"
             ).cast("bigint").alias("remainder_ppm"),
         )
         .orderBy("source")
@@ -305,9 +312,11 @@ ORACLES = {
                cast(total_tokens * {BUDGET_MULT} // n_sources AS bigint)
                    AS target_tokens,
                cast((total_tokens * {BUDGET_MULT} // n_sources)
-                    // source_tokens AS bigint) AS full_epochs,
+                    // greatest(source_tokens, 1) AS bigint)
+                   AS full_epochs,
                cast(((total_tokens * {BUDGET_MULT} // n_sources)
-                     % source_tokens) * 1000000 // source_tokens
+                     % greatest(source_tokens, 1)) * 1000000
+                    // greatest(source_tokens, 1)
                     AS bigint) AS remainder_ppm
         FROM per_source CROSS JOIN totals
         ORDER BY source

@@ -154,32 +154,41 @@ def _zorder_oracle_sql() -> str:
 
 N_BUCKETS = 16
 _TABLE_VERSION = "v1"  # bump to invalidate previously-written buckets
-_CLEANUP_REGISTERED: set[str] = set()
+_WAREHOUSES: dict[str, tuple[str, str]] = {}  # sf_dir -> (db, location)
 
 
 def bucket_db(spark: SparkSession, sf_dir: str) -> str:
-    """Process-private bucket warehouse keyed by (pid, sf_dir): scale
-    factors never share tables, and concurrent Spark processes on the
-    same box can never clear or rewrite each other's directories (the
-    in-memory catalog forgets tables across processes anyway, so
-    cross-process reuse was never real — reuse is within-session:
-    write once, join many times in the session). Works on the default
-    in-memory catalog — no Hive metastore needed. On a cluster the
-    warehouse would be a durable catalog path and the tables truly
-    write-once."""
-    tag = hashlib.md5(f"{os.getpid()}|{sf_dir}".encode()).hexdigest()[:8]
-    db = f"rtss_buckets_{_TABLE_VERSION}_{tag}"
-    loc = os.path.join(tempfile.gettempdir(), db)
+    """Process-private bucket warehouse, one per sf_dir (scale factors
+    never share tables). The directory comes from ``tempfile.mkdtemp``
+    — unpredictable name, 0700 perms — so on a multi-user host nobody
+    can pre-create (squat) the path, and the atexit cleanup can only
+    ever remove a directory THIS process created; the path lives in
+    module state, never re-derived (a pid-derived path was squattable
+    and pid reuse could aim the cleanup at someone else's directory).
+    Cross-process reuse was never real anyway — the in-memory catalog
+    forgets tables across processes; reuse is within-session: write
+    once, join many times. Works on the default in-memory catalog —
+    no Hive metastore needed. On a cluster the warehouse would be a
+    durable catalog path and the tables truly write-once."""
+    if sf_dir in _WAREHOUSES:
+        return _WAREHOUSES[sf_dir][0]
+    loc = tempfile.mkdtemp(prefix=f"rtss_buckets_{_TABLE_VERSION}_")
+    # Catalog name needs no unpredictability (catalog is in-memory and
+    # process-private); only the filesystem path does.
+    db = f"rtss_buckets_{_TABLE_VERSION}_{os.getpid()}_{len(_WAREHOUSES)}"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
-    if loc not in _CLEANUP_REGISTERED:
-        # Process-private dirs would otherwise accumulate in tmpdir
-        # across runs (multi-GB at soak scale); remove ours on exit.
-        import atexit
-        import shutil
+    _WAREHOUSES[sf_dir] = (db, loc)
+    # Process-private dirs would otherwise accumulate in tmpdir
+    # across runs (multi-GB at soak scale); remove ours on exit.
+    import atexit
+    import shutil
 
-        _CLEANUP_REGISTERED.add(loc)
-        atexit.register(shutil.rmtree, loc, ignore_errors=True)
+    atexit.register(shutil.rmtree, loc, ignore_errors=True)
     return db
+
+
+def _bucket_loc(sf_dir: str) -> str:
+    return _WAREHOUSES[sf_dir][1]
 
 
 def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -190,15 +199,13 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     li_t, od_t = f"{db}.lineitem_b", f"{db}.orders_b"
 
     def _clear_stale(table: str) -> None:
-        # The path is process-private (pid in the tag), so the only
-        # way the location exists without a catalog entry is a crashed
-        # earlier attempt in THIS pid (or pid reuse after reboot);
-        # clearing it is race-free and the rewrite is deterministic.
+        # The warehouse dir is mkdtemp-private to this process, so the
+        # only way the location exists without a catalog entry is a
+        # crashed earlier write attempt in THIS session; clearing it is
+        # race-free and the rewrite is deterministic.
         import shutil
 
-        loc = os.path.join(
-            tempfile.gettempdir(), db, table.split(".")[-1]
-        )
+        loc = os.path.join(_bucket_loc(sf_dir), table.split(".")[-1])
         shutil.rmtree(loc, ignore_errors=True)
 
     if not spark.catalog.tableExists(li_t):

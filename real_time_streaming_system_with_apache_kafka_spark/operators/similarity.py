@@ -883,7 +883,11 @@ def _pq_quant_rows(rows):
     A = np.stack([np.asarray(v, dtype=np.float64) for v in rows])
     Q1 = np.floor(np.abs(A) * 1e7 + 0.5) * np.sign(A)
     n = np.sqrt(np.einsum("ij,ij->i", Q1, Q1))  # exact int sum, IEEE sqrt
-    Xn = Q1 / n[:, None]
+    # max(n, 1): n is integer-valued post-quantization (smallest
+    # nonzero norm is 1), so the guard only rewrites the all-zero
+    # embedding — 0/0 NaN codes would diverge between engines; with the
+    # guard both deterministically emit the zero vector.
+    Xn = Q1 / np.maximum(n, 1.0)[:, None]
     return np.floor(np.abs(Xn) * 1e7 + 0.5) * np.sign(Xn)
 
 
@@ -913,7 +917,7 @@ def make_pq_encode_udf(codebook_raw: list[list[float]]):
             A = np.stack([np.asarray(v, dtype=np.float64) for v in rows])
             Q1 = np.floor(np.abs(A) * 1e7 + 0.5) * np.sign(A)
             n = np.sqrt(np.einsum("ij,ij->i", Q1, Q1))
-            Xn = Q1 / n[:, None]
+            Xn = Q1 / np.maximum(n, 1.0)[:, None]  # zero-vector guard
             return np.floor(np.abs(Xn) * 1e7 + 0.5) * np.sign(Xn)
 
         CB = norm_quant(cb_raw)
@@ -1094,9 +1098,13 @@ def _pq_codes_ctes() -> str:
                                        * 10000000 + 0.5) AS bigint)
                             * (CASE WHEN x < 0 THEN -1 ELSE 1 END)) AS q2
             FROM (
+                -- greatest(.., 1): zero-vector guard, twin of the
+                -- np.maximum(n, 1.0) in _pq_quant_rows
                 SELECT vec_id, q1,
-                       sqrt(cast(list_sum(list_transform(q1, x -> x * x))
-                                 AS double)) AS n
+                       greatest(
+                           sqrt(cast(list_sum(list_transform(q1,
+                                                             x -> x * x))
+                                     AS double)), 1) AS n
                 FROM q1t
             )
         ),

@@ -500,10 +500,15 @@ def test_pq_topk_one_encode_pass_all_broadcast(spark, sf_dir):
     from real_time_streaming_system_with_apache_kafka_spark.operators import similarity
 
     plan = _plan(similarity.sim_pq_topk(spark, sf_dir))
-    # Two Arrow nodes only (each appears twice in formatted output:
-    # tree + detail): the corpus encode pass and the shortlist-sized
-    # rerank cosine kernel. The ADC scoring itself is pure codegen.
-    assert plan.count("ArrowEvalPython") == 4
+    # Two distinct Arrow operator ids only: the corpus encode pass and
+    # the shortlist-sized rerank cosine kernel. The ADC scoring itself
+    # is pure codegen. Counting "(id) ArrowEvalPython" node headers in
+    # the formatted tree (not raw substring occurrences) stays stable
+    # if Spark changes how often the detail section repeats a node.
+    import re
+
+    arrow_ids = set(re.findall(r"\((\d+)\)\s+ArrowEvalPython", plan))
+    assert len(arrow_ids) == 2, arrow_ids
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
 
