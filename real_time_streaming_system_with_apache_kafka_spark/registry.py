@@ -16,92 +16,89 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The external correctness harness certifies the FIRST 50 ``queries()``
-# entries per round (dict insertion order). Rounds 1-2 spent both
-# windows on the SURVEY §2 relational core (now twice driver-green);
-# round 3 rotates the LLM-data-pipeline suite (dedup / similarity /
-# text / curation / sampling / pipeline analytics / time-series) into
-# the window, keeping three §2 sentinels (flagship window agg, Q0
-# snapshot, star join) pinned so the core never goes a round without a
-# driver-signed row. Entries NOT listed keep module order after the
-# priority block and stay covered by the local DuckDB parity suite
-# (tests/test_correctness.py) every round.
+# entries per round (dict insertion order). Rounds 1-2 signed the
+# SURVEY §2 relational core; round 3 signed the LLM-data-pipeline
+# suite (dedup / similarity / text / curation / sampling / pipeline
+# analytics / time-series). Round 4 rotates in the suites that have
+# NEVER had a driver-signed row — the full TPC-H batch (q2-q22), the
+# datamix / skew / layout suites, the extras remainder — plus the
+# repaired ``embed_centroid_stats`` (r3's one red row, now integer-unit
+# string accumulators) and ``sim_ivf_kmeans_topk`` (promised rotation
+# after its unrolled-Lloyd oracle landed in r3). The three §2
+# sentinels stay pinned so the core never goes a round unsigned.
+# Entries NOT listed keep module order after the priority block and
+# stay covered every round by the local parity suite
+# (tests/test_oracle_parity.py) and the representation audit
+# (tools/canon_check.py — run it before rotating anything in).
 #
-# Round-4 rotation candidates (oracled, never driver-signed): the
-# TPC-H batch q2-q22, the w9/wf/agg extras, skew + datamix suites, and
-# the round-3 continuation batch (sim_pq_topk, sim_ivfpq_topk,
-# graph_triangle_count, j8_bucketed_join, layout_zorder_events,
-# text_boilerplate_strip, reconcile_checksum, agg_bitmap_distinct,
-# sample_importance_weighted, dedup_* late additions). Keep the three
-# sentinels; audit any rotating entry for array/map outputs first (the
-# driver canonicalizer trap).
+# Round-5 rotation candidates (oracled, never driver-signed): the
+# dedup extension batch (soft_weights, prefix, lsh_verified, pagerank,
+# triangles, containment, passage, semdedup), the similarity remainder
+# (pq, prefix, filtered, ivfpq, knn_join), the curation remainder
+# (boilerplate, schema_stats, gopher_gates, inverted_index, rarity,
+# dup_rate, chunking, weighted_terms), sampling (importance, domain
+# cap, global order), analytics (bitmap_distinct, pivot_status_by_day),
+# and text_ngram_diversity — ~27 entries, fits one window.
 _PRIORITY: list[str] = [
     # §2 sentinels — pinned every round.
     "w1_minute_activity",
     "q0_snapshot_topk",
     "j1_star_join_revenue",
-    # Deduplication suite.
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_cc_survivors",
-    # Similarity / ANN suite. (sim_ivf_kmeans_topk sits just outside
-    # the 50-slot window; it gained a full unrolled-Lloyd oracle in r3
-    # and rotates in next round.)
-    "sim_bruteforce_topk",
-    "sim_ivf_topk",
-    "sim_lsh_topk",
-    "sim_range_search",
-    # Text analysis suite.
-    "corpus_curation_pipeline",
-    "text_stats_quality",
-    "text_langid",
-    "text_langid_confusion",
-    "text_fingerprint",
-    "text_token_stats_by_lang",
-    # Curation suite.
-    "decontaminate_holdout",
-    "pack_sequences",
-    "text_tfidf_terms",
-    "text_pii_redact",
+    # r3's red row, repaired this round — must re-certify.
     "embed_centroid_stats",
-    "profile_length_histogram",
-    # Deterministic sampling / splits.
-    "split_train_holdout",
-    "sample_events_deterministic",
-    "agg_distinct_twophase",
-    "sample_stratified_balanced",
-    # Pipeline analytics.
-    "funnel_conversion",
-    "cohort_retention",
-    "tokens_top_terms",
-    "text_repetition_signals",
-    # Time-series suite.
-    "ts_resample_locf",
-    "wf_range_frame",
-    "ts_ohlc_bars",
-    "ts_gap_stats",
-    "anomaly_zscore",
-    "ts_ewma_exact",
-    "scd2_user_state",
-    # Multimodal plumbing (oracled entries only; the rows-only
-    # mm_feature_extract emits an array column and stays outside the
-    # window — array outputs break the harness's pandas canonicalizer).
-    "mm_decode_metadata",
-    "mm_frame_sample",
-    # Array-surface queries whose outputs were flattened this round —
-    # in-window to prove the driver canonicalizer now accepts them.
-    "f_map_funcs",
-    "f_array_funcs",
-    "agg_collections",
-    # Oracled queries that have never had a driver-signed row.
-    "sessionize_events",
-    "wf_rank_family",
-    "q1_pricing_summary",
-    # Flagship windows trio (rest of it).
-    "w1_tumbling_window",
-    "w6_sliding_window",
+    # TPC-H batch (analytics + tpch + tpch_full modules).
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q20_excess_suppliers",
+    "q21_sole_returning_supplier",
+    "q22_global_sales_opportunity",
+    # Dataset-mix / incremental-dedup suite.
+    "mix_epoch_repeats",
+    "mix_temperature_weights",
+    "mix_domain_weights",
+    "dedup_incremental_ingest",
+    "dedup_cross_source",
+    "sample_token_budget",
+    # Skew tools.
+    "agg_salted_skew",
+    "join_salted_skew",
+    # Physical layout.
+    "j8_bucketed_join",
+    "layout_zorder_events",
+    # Extras remainder.
+    "reconcile_checksum",
+    "feature_quantile_bucketize",
+    "agg_grouping_sets",
+    "agg_stats_moments",
+    "agg_quartiles_exact",
+    "wf_share_of_total",
+    "wf_first_last_nth",
+    "agg_mode_exact",
+    "f_regexp_funcs",
+    "sql_api_snapshot",
+    # Streaming-twin batch windows not yet signed.
+    "w9_cascaded_rollup",
+    "w11_minute_distinct_users",
+    # Singles.
+    "j7_full_outer_reconcile",
+    "f_variant_funcs",
+    "sim_ivf_kmeans_topk",
 ]
 
 _MODULES: list[str] = [

@@ -17,58 +17,38 @@ WINDOW = 50
 # The three §2 sentinels stay driver-signed every round (VERDICT r2 #3).
 SENTINELS = ["w1_minute_activity", "q0_snapshot_topk", "j1_star_join_revenue"]
 
-# Round-3 rotation: the LLM-data-pipeline suites must be in-window.
+# Round-4 rotation: the never-driver-signed suites must be in-window
+# (TPC-H, datamix, skew, layout, extras) plus the repaired r3 red row.
 ROTATED_SUITES = {
-    "dedup": [
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "dedup_embedding_cosine",
-        "dedup_cc_survivors",
+    "repaired": ["embed_centroid_stats"],
+    "tpch": [f"q{i}_" for i in range(2, 23)],  # prefix-matched below
+    "datamix": [
+        "mix_epoch_repeats",
+        "mix_temperature_weights",
+        "mix_domain_weights",
+        "dedup_incremental_ingest",
+        "dedup_cross_source",
+        "sample_token_budget",
     ],
-    "similarity": [
-        "sim_bruteforce_topk",
-        "sim_ivf_topk",
-        "sim_lsh_topk",
-        "sim_range_search",
+    "skew": ["agg_salted_skew", "join_salted_skew"],
+    "layout": ["j8_bucketed_join", "layout_zorder_events"],
+    "extras": [
+        "reconcile_checksum",
+        "feature_quantile_bucketize",
+        "agg_grouping_sets",
+        "agg_stats_moments",
+        "agg_quartiles_exact",
+        "wf_share_of_total",
+        "wf_first_last_nth",
+        "agg_mode_exact",
+        "f_regexp_funcs",
+        "sql_api_snapshot",
     ],
-    "text": [
-        "corpus_curation_pipeline",
-        "text_stats_quality",
-        "text_langid",
-        "text_langid_confusion",
-        "text_fingerprint",
-        "text_token_stats_by_lang",
-    ],
-    "curation": [
-        "decontaminate_holdout",
-        "pack_sequences",
-        "text_tfidf_terms",
-        "text_pii_redact",
-        "embed_centroid_stats",
-        "profile_length_histogram",
-    ],
-    "sampling": [
-        "split_train_holdout",
-        "sample_events_deterministic",
-        "agg_distinct_twophase",
-        "sample_stratified_balanced",
-    ],
-    "pipeline_analytics": [
-        "funnel_conversion",
-        "cohort_retention",
-        "tokens_top_terms",
-        "text_repetition_signals",
-    ],
-    "timeseries": [
-        "ts_resample_locf",
-        "wf_range_frame",
-        "ts_ohlc_bars",
-        "ts_gap_stats",
-        "anomaly_zscore",
-        "ts_ewma_exact",
-        "scd2_user_state",
+    "windows": ["w9_cascaded_rollup", "w11_minute_distinct_users"],
+    "singles": [
+        "j7_full_outer_reconcile",
+        "f_variant_funcs",
+        "sim_ivf_kmeans_topk",
     ],
 }
 
@@ -90,7 +70,12 @@ def test_sentinels_in_window(window):
 
 def test_rotated_suites_fully_in_window(window):
     for suite, keys in ROTATED_SUITES.items():
-        missing = [k for k in keys if k not in window]
+        if suite == "tpch":  # prefix entries: q2_..q22_
+            missing = [
+                p for p in keys if not any(w.startswith(p) for w in window)
+            ]
+        else:
+            missing = [k for k in keys if k not in window]
         assert not missing, f"{suite} keys outside the window: {missing}"
 
 
@@ -118,3 +103,31 @@ def test_no_complex_typed_outputs_in_window(spark, window):
         if complex_cols:
             offenders[name] = complex_cols
     assert not offenders, f"complex-typed outputs in window: {offenders}"
+
+
+def test_no_decimal_outputs_in_window(spark, window):
+    """A decimal output column collects as a Python Decimal on the
+    Spark side while DuckDB's pandas conversion yields float64 —
+    numerically equal, representationally hash-different
+    (CORRECTNESS_r02 f_map_funcs, r03 embed_centroid_stats; scale-0
+    is no safer: Decimal('123') vs 123.0). Window queries must emit
+    fractional values as double, as integer-unit bigint, or as
+    decimal(38,0)-cast-to-string (reconcile_checksum's shape) — never
+    as a decimal column. Decimal is the right type INSIDE a plan
+    (exact sums); it just can't be an output column of a certified
+    query."""
+    from pyspark.sql.types import DecimalType
+
+    queries = registry.all_queries()
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name in window:
+        schema = queries[name](spark, sf).schema
+        frac = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in schema.fields
+            if isinstance(f.dataType, DecimalType)
+        ]
+        if frac:
+            offenders[name] = frac
+    assert not offenders, f"decimal outputs in window: {offenders}"
