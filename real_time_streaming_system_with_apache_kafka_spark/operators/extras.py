@@ -13,7 +13,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_streaming_system_with_apache_kafka_spark.functions.exact import dsum, oracle_dsum
-from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
+from real_time_streaming_system_with_apache_kafka_spark.sources.tables import (
+    load,
+    load_rebalanced,
+)
 
 
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -394,8 +397,10 @@ def reconcile_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster size — two tables match iff (modulo astronomically
     unlikely md5 collisions) they hold identical multisets of rows.
     Scan + one tiny hash-agg; this is how you check a 100 TB copy
-    without sorting or shipping it."""
-    li = load(spark, "lineitem", sf_dir)
+    without sorting or shipping it. The rebalanced load fans the
+    per-row hash kernel out past a degenerate single-rowgroup input
+    file (no-op on properly laid-out data)."""
+    li = load_rebalanced(spark, "lineitem", sf_dir)
 
     def nn(c):
         # concat_ws silently SKIPS nulls, which would render

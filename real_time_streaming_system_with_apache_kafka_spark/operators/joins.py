@@ -26,7 +26,10 @@ from real_time_streaming_system_with_apache_kafka_spark.functions.exact import (
     dsum,
     revenue_dec,
 )
-from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
+from real_time_streaming_system_with_apache_kafka_spark.sources.tables import (
+    load,
+    load_rebalanced,
+)
 
 
 def j1_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,8 +99,10 @@ def j4_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j5_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 (window gap-fill, SURVEY.md §2.5): top-3 line items per
     return flag by price — rank window with deterministic tie-breaks,
-    one exchange on the group key, no global sort."""
-    li = load(spark, "lineitem", sf_dir)
+    one exchange on the group key, no global sort. Rebalanced load so
+    the map-side WindowGroupLimit prune runs at machine width even on
+    a degenerate single-rowgroup input (no-op on well-laid-out data)."""
+    li = load_rebalanced(spark, "lineitem", sf_dir)
     w = Window.partitionBy("l_returnflag").orderBy(
         F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
     )

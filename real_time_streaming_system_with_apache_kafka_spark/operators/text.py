@@ -14,7 +14,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
+from real_time_streaming_system_with_apache_kafka_spark.sources.tables import (
+    load,
+    load_rebalanced,
+)
 
 # Small per-language stopword lists for the n-gram/stopword-overlap
 # language heuristic (public common-word lists, truncated).
@@ -73,8 +76,10 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-overlap language heuristic: score = distinct stopword
     hits per language, argmax with a fixed tie order. (On this
     synthetic corpus scores are mostly 0 — ``is_reliable`` carries
-    that signal; the mechanism is the real one.)"""
-    docs = load(spark, "documents", sf_dir)
+    that signal; the mechanism is the real one.) Rebalanced load: the
+    per-language array-intersect scoring is per-row CPU that must not
+    serialize onto a single-rowgroup file's one scan task."""
+    docs = load_rebalanced(spark, "documents", sf_dir)
     words = F.array_distinct(_words())
     scores = {
         lang: F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in sw])))
