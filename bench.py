@@ -106,6 +106,9 @@ HEADLINE = [
     "graph_triangle_count",
     "sim_prefix_topk",
     "sim_filtered_topk",
+    "dedup_lines_c4",
+    "quality_lm_surprise",
+    "embed_pca_power",
 ]
 
 

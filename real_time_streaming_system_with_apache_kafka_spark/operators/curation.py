@@ -41,7 +41,10 @@ from real_time_streaming_system_with_apache_kafka_spark.operators.text import (
 from real_time_streaming_system_with_apache_kafka_spark.functions.ngrams import (
     regex_word_ngrams,
 )
-from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
+from real_time_streaming_system_with_apache_kafka_spark.sources.tables import (
+    load,
+    load_rebalanced,
+)
 
 # Every doc_id = 0 (mod BENCH_MOD) plays the role of a held-out
 # benchmark/eval document; the rest are the training corpus.
@@ -687,6 +690,62 @@ _BOILERPLATE_SQL = f"""
 """
 
 
+def quality_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality signal, self-trained on the
+    corpus: score every document by how SURPRISING its word-to-word
+    transitions are under a corpus-wide bigram model (CCNet buckets
+    documents by KenLM perplexity; the corpus-trained bigram model is
+    the in-warehouse equivalent, and the scoring join is the same
+    shape a pre-trained model table would use).
+
+    Cross-engine exactness without logarithms (log is not required to
+    be correctly rounded, so engines may drift an ulp): the surprise
+    of a bigram is its exact inverse conditional probability
+    n(w1)/n(w1,w2) in integer ppm — n(w1)*1e6 div n(w1,w2), a ratio of
+    exact counts under truncating integer division (bigint holds it to
+    ~9e12 predecessor occurrences; past that, lift to decimal(38,0)).
+    The per-doc mean is then one IEEE division of two exact integers —
+    bit-identical everywhere. Rank-equivalent to mean log-perplexity
+    for flagging the repetitive/templated tail.
+
+    Scale shape: ONE shuffle of the bigram stream builds the bigram
+    counts; the predecessor counts derive from them by a second,
+    vocabulary-sized aggregation (n1 = sum over w2 of n12 — no second
+    pass over the corpus), and the model (bigram -> surprise) joins
+    back to the stream in a single hash join — at production scale the
+    model side is the small side (a trained model table) and
+    broadcasts. No driver-side model state. The rebalanced load fans
+    the bigram explode past a degenerate single-rowgroup input."""
+    docs = load_rebalanced(spark, "documents", sf_dir)
+    words = F.split("text", " ")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.struct(
+                F.element_at(words, i).alias("w1"),
+                F.element_at(words, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    pairs = docs.select(
+        "doc_id", F.explode(bigrams).alias("b")
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    n12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    n1 = n12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    model = n12.join(n1, ["w1"]).withColumn(
+        "surprise_ppm", F.expr("n1 * 1000000 div n12")
+    )
+    scored = pairs.join(model, ["w1", "w2"])
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("surprise_ppm").alias("surprise_sum_ppm"),
+        (F.sum("surprise_ppm") / F.count(F.lit(1))).alias(
+            "mean_surprise_ppm"
+        ),
+    )
+
+
 QUERIES = {
     "decontaminate_holdout": decontaminate_holdout,
     "text_boilerplate_strip": text_boilerplate_strip,
@@ -702,6 +761,7 @@ QUERIES = {
     "profile_dup_rate_by_source": profile_dup_rate_by_source,
     "chunk_documents": chunk_documents,
     "quality_weighted_terms": quality_weighted_terms,
+    "quality_lm_surprise": quality_lm_surprise,
 }
 
 _GOPHER_SQL = f"""
@@ -958,5 +1018,24 @@ ORACLES = {
                coalesce(term_score, 0) + {QUALITY_BIAS} >= {QUALITY_KEEP}
                    AS keep
         FROM documents d LEFT JOIN term_scores t ON d.doc_id = t.doc_id
+    """,
+    "quality_lm_surprise": """
+        WITH pairs AS (
+            SELECT doc_id,
+                   unnest(words[1:len(words)-1]) AS w1,
+                   unnest(words[2:len(words)]) AS w2
+            FROM (SELECT doc_id, string_split(text, ' ') AS words
+                  FROM documents)
+            WHERE len(words) >= 2
+        ),
+        b AS (SELECT w1, w2, count(*) AS n12 FROM pairs GROUP BY w1, w2),
+        u AS (SELECT w1, count(*) AS n1 FROM pairs GROUP BY w1)
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               cast(sum(n1 * 1000000 // n12) AS bigint) AS surprise_sum_ppm,
+               cast(sum(n1 * 1000000 // n12) AS double) / count(*)
+                   AS mean_surprise_ppm
+        FROM pairs JOIN b USING (w1, w2) JOIN u USING (w1)
+        GROUP BY doc_id
     """,
 }

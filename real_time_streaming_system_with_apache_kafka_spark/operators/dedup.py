@@ -928,6 +928,104 @@ def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_lines_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level dedup WITH document reconstruction: split
+    every document into non-overlapping ``PASSAGE_WORDS``-word lines
+    and keep exactly the FIRST global occurrence of every line ("we
+    discarded all but one of any occurring span", C4/Raffel et al.),
+    first = lowest (doc_id, position) — then re-assemble each
+    document's surviving lines in their ORIGINAL order. Distinct from
+    both ``dedup_passage`` (a dup-rate profile, no removal) and
+    ``text_boilerplate_strip`` (drops ALL copies of frequent windows,
+    including the first): this is the dedup that preserves one
+    canonical copy of shared content.
+
+    Scale shape: one generator projection (posexplode of the line
+    array), ONE shuffle where an unordered window min-of-struct marks
+    each line's first occurrence in place (no per-line sort — min is
+    a commutative aggregate, unlike the row_number formulation), then
+    a per-doc hash-agg whose reconstruction is pure array math:
+    collect the kept (pos, line) structs, array_sort restores
+    document order (position is the struct's leading field),
+    array_join re-materializes the text. No sort exchange, no join
+    back to the corpus, and the line dictionary is never collected."""
+    docs = load(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    words = _words()
+    n_lines = F.ceil(F.size(words) / PASSAGE_WORDS).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * PASSAGE_WORDS + 1, PASSAGE_WORDS), " "
+        ),
+    )
+    pos = docs.select("doc_id", F.posexplode(lines).alias("pos", "line"))
+    occ = F.struct(F.col("doc_id"), F.col("pos"))
+    counted = pos.withColumn(
+        "first_occ", F.min(occ).over(Window.partitionBy("line"))
+    )
+    kept = occ == F.col("first_occ")
+    return counted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count_if(~kept).alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(kept, F.struct(F.col("pos"), F.col("line")))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first dedup pass of any web
+    corpus: normalize each page's URL (lowercase, strip fragment,
+    strip tracking parameters, drop the ``www.`` host prefix, trim
+    dangling separators) and keep one document per canonical URL.
+    The synthetic corpus carries no URL column, so each doc is first
+    augmented with a deterministic doc_id/source-derived messy URL
+    (same convention as text_pii_redact's injected contacts) — case
+    noise, utm_*/ref tracking params, and a fragment — giving the
+    canonicalizer real work and real collisions at every scale.
+
+    Scale shape: per-row regex chain (codegen'd, no UDF) then ONE
+    shuffle on the canonical key; survivor choice is min(doc_id) —
+    the same exact-dedup agg shape as dedup_exact."""
+    docs = load(spark, "documents", sf_dir)
+    raw = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM/docs/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("/?utm_source=feed&ref=r"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&id="),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("#sec"),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    canon = F.lower(raw)
+    canon = F.regexp_replace(canon, "#.*$", "")  # fragment
+    canon = F.regexp_replace(canon, "(utm_[a-z]+|ref)=[^&#]*&?", "")
+    canon = F.regexp_replace(canon, "://www\\.", "://")
+    canon = F.regexp_replace(canon, "[?&]+$", "")
+    canon = F.regexp_replace(canon, "/+\\?", "?")
+    return (
+        docs.select(F.col("doc_id"), canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_soft_weights": dedup_soft_weights,
@@ -942,6 +1040,8 @@ QUERIES = {
     "dedup_cc_survivors": dedup_cc_survivors,
     "dedup_containment": dedup_containment,
     "dedup_passage": dedup_passage,
+    "dedup_lines_c4": dedup_lines_c4,
+    "url_canonical_dedup": url_canonical_dedup,
     "dedup_semdedup": dedup_semdedup,
 }
 
@@ -1075,6 +1175,63 @@ ORACLES = {
         FROM pos JOIN counts USING (ph)
         GROUP BY doc_id
         HAVING sum(CASE WHEN n_global > 1 THEN 1 ELSE 0 END) > 0
+    """,
+    "dedup_lines_c4": f"""
+        WITH pos AS (
+            SELECT doc_id,
+                   -- parallel unnests zip in DuckDB: position and
+                   -- line stay aligned, matching Spark's posexplode
+                   cast(unnest(range(cast(ceil(len(words) / {PASSAGE_WORDS}.0)
+                                          AS bigint))) AS integer) AS pos,
+                   unnest([array_to_string(
+                               words[i*{PASSAGE_WORDS}+1 : i*{PASSAGE_WORDS}+{PASSAGE_WORDS}],
+                               ' ')
+                           for i in range(cast(ceil(len(words) / {PASSAGE_WORDS}.0)
+                                               AS bigint))]) AS line
+            FROM (SELECT doc_id, string_split(text, ' ') AS words
+                  FROM documents)
+        ),
+        marked AS (
+            -- first global occurrence = lowest (doc_id, pos); the
+            -- row_number formulation is the Spark side's min-of-struct
+            SELECT doc_id, pos, line,
+                   row_number() OVER (PARTITION BY line
+                                      ORDER BY doc_id, pos) = 1 AS kept
+            FROM pos
+        )
+        SELECT doc_id,
+               count(*) AS n_lines,
+               cast(count(*) FILTER (WHERE NOT kept) AS bigint)
+                   AS n_dropped,
+               coalesce(string_agg(line, ' ' ORDER BY pos)
+                            FILTER (WHERE kept),
+                        '') AS cleaned_text
+        FROM marked
+        GROUP BY doc_id
+    """,
+    "url_canonical_dedup": """
+        WITH raw AS (
+            SELECT doc_id,
+                   'HTTPS://WWW.' || source || '.Example.COM/docs/'
+                   || cast(doc_id % 40 AS varchar)
+                   || '/?utm_source=feed&ref=r' || cast(doc_id % 7 AS varchar)
+                   || '&id=' || cast(doc_id % 40 AS varchar)
+                   || '#sec' || cast(doc_id % 3 AS varchar) AS url
+            FROM documents
+        )
+        SELECT regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(lower(url), '#.*$', ''),
+                               '(utm_[a-z]+|ref)=[^&#]*&?', '', 'g'),
+                           '://www\\.', '://'),
+                       '[?&]+$', ''),
+                   '/+\\?', '?') AS canonical_url,
+               min(doc_id) AS keep_doc_id,
+               count(*) AS n_docs
+        FROM raw
+        GROUP BY 1
     """,
     "dedup_prefix": f"""
         SELECT md5(array_to_string(string_split(text, ' ')[1:{PREFIX_WORDS}],

@@ -152,11 +152,48 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (previous event_type -> event_type) pair, the
+    transition count and its share of all transitions — the behavioral
+    fingerprint used for bot detection and session modeling.
+
+    Scale shape: one lag window per user (one exchange on user_id,
+    within-partition sort), one hash-agg over the 5x5 pair space, and
+    a broadcast of the single-row grand total for the share — the
+    share is one IEEE division of two exact counts, engine-identical."""
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            "event_type",
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    total = pairs.agg(F.sum("n_transitions").alias("total"))
+    return (
+        pairs.crossJoin(F.broadcast(total))
+        .select(
+            "prev_type",
+            "event_type",
+            "n_transitions",
+            (F.col("n_transitions").cast("double") / F.col("total")).alias(
+                "share"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
     "tokens_top_terms": tokens_top_terms,
     "text_repetition_signals": text_repetition_signals,
+    "event_transition_matrix": event_transition_matrix,
 }
 
 ORACLES = {
@@ -216,6 +253,24 @@ ORACLES = {
         GROUP BY term
         ORDER BY n DESC, term
         LIMIT 25
+    """,
+    "event_transition_matrix": """
+        WITH pairs AS (
+            SELECT lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                       AS prev_type,
+                   event_type
+            FROM events
+        ),
+        t AS (
+            SELECT prev_type, event_type, count(*) AS n_transitions
+            FROM pairs WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        )
+        SELECT prev_type, event_type, n_transitions,
+               cast(n_transitions AS double)
+                   / (SELECT sum(n_transitions) FROM t) AS share
+        FROM t
     """,
     "text_repetition_signals": f"""
         WITH sig AS (

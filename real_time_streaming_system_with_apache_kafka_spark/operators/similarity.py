@@ -30,7 +30,10 @@ from real_time_streaming_system_with_apache_kafka_spark.functions.arrays import 
 from real_time_streaming_system_with_apache_kafka_spark.functions.blocks import (
     salted_block_union,
 )
-from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
+from real_time_streaming_system_with_apache_kafka_spark.sources.tables import (
+    load,
+    load_rebalanced,
+)
 
 N_QUERIES = 5  # vec_id < 5 are the demo query vectors
 TOP_K = 5
@@ -257,6 +260,165 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     return _rank_topk(candidates)
+
+
+PCA_ITERS = 3  # fixed-round power iteration (unrolled in the oracle)
+PCA_VSCALE = 1_000_000  # direction vector in 1e-6 integer units
+
+
+def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the (mean-centered) embedding matrix
+    via fixed-round power iteration, and every vector's projection onto
+    it — the whitening/diversity axis an embedding pipeline computes
+    before spectral filtering or stratified-by-component sampling.
+
+    Exactness: embeddings quantize to 1e-7 integer units (the corpus
+    cosine convention); centering is kept integral by working with
+    y_i = N*x_i - S (N = corpus size, S = per-dim sum) instead of the
+    rational mean, and the direction vector is renormalized each round
+    to 1e-6 integer units by max-|component| (power iteration admits
+    any normalization) using non-negative floor division — every
+    quantity is an exact integer in decimal(38,0)/hugeint, so the
+    DuckDB oracle unrolls the {PCA_ITERS} rounds as chained CTEs and
+    matches bit-for-bit, projection included.
+
+    Scale shape per round: one zero-shuffle scan computes every
+    vector's scalar c_i = y_i . v (codegen'd array aggregate over a
+    literal v), one posexplode + groupBy(dim) shuffle computes
+    u = sum c_i * y_i, and only u — O(dim) model state, the same
+    driver traffic contract as learn_centroids — returns to the
+    driver to renormalize. The centered matrix is localCheckpointed
+    once (rebalanced load first: a degenerate single-rowgroup input
+    would otherwise pin all {PCA_ITERS} rounds to one task's
+    partitions) so the rounds scan it, not the lineage above it.
+    Output is corpus-sized: (vec_id, label, proj_units) with the
+    exact integer projection emitted as a string (decimal output
+    columns are canonicalizer-unsafe; see registry window lint)."""
+    emb = load_rebalanced(spark, "embeddings", sf_dir).filter(
+        F.size("embedding") == EMBEDDING_DIM
+    )
+    xq_el = lambda x: (  # noqa: E731 — shared quantization convention
+        F.floor(F.abs(x.cast("double") * 1e7) + F.lit(0.5))
+        * F.signum(x.cast("double"))
+    ).cast("long")
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", xq_el).alias("xq"),
+    )
+    stats = base.select(
+        F.posexplode("xq").alias("dim", "x")
+    ).groupBy("dim").agg(F.sum("x").alias("s"))
+    n_rows = base.count()
+    s_vec = [0] * EMBEDDING_DIM
+    for r in stats.collect():
+        s_vec[r["dim"]] = int(r["s"])
+    s_lit = F.array(*[F.lit(int(v)).cast("long") for v in s_vec])
+    centered = base.select(
+        "vec_id",
+        "label",
+        F.zip_with(
+            "xq", s_lit, lambda x, s: x * F.lit(int(n_rows)) - s
+        ).alias("y"),
+    ).localCheckpoint(eager=True)
+
+    v = [PCA_VSCALE] * EMBEDDING_DIM  # v0 = all-ones direction
+    dec0 = F.lit(0).cast("decimal(38,0)")
+    for _ in range(PCA_ITERS):
+        v_lit = F.array(*[F.lit(int(c)).cast("long") for c in v])
+        c_col = F.aggregate(
+            F.zip_with("y", v_lit, lambda y, vv: y.cast("decimal(38,0)") * vv),
+            dec0,
+            lambda acc, t: acc + t,
+        )
+        u_rows = (
+            centered.select(c_col.alias("c"), F.posexplode("y").alias("dim", "y"))
+            .groupBy("dim")
+            .agg(F.sum(F.col("c") * F.col("y")).alias("u"))
+            .collect()
+        )
+        u = [0] * EMBEDDING_DIM
+        for r in u_rows:
+            u[r["dim"]] = int(r["u"])
+        m = max(abs(c) for c in u)
+        if m == 0:  # degenerate corpus: keep the previous direction
+            break
+        # sign * nonneg floor-div: floor == truncate for nonneg
+        # operands, so Python, Spark `div`, and DuckDB `//` agree.
+        v = [
+            (1 if c >= 0 else -1) * ((abs(c) * PCA_VSCALE) // m) for c in u
+        ]
+
+    v_lit = F.array(*[F.lit(int(c)).cast("long") for c in v])
+    proj = F.aggregate(
+        F.zip_with("y", v_lit, lambda y, vv: y.cast("decimal(38,0)") * vv),
+        dec0,
+        lambda acc, t: acc + t,
+    )
+    return centered.select(
+        "vec_id", "label", proj.cast("string").alias("proj_units")
+    )
+
+
+def _pca_oracle_sql() -> str:
+    """DuckDB twin of embed_pca_power: the power iteration unrolled as
+    {PCA_ITERS} chained CTE rounds over the same integral centered
+    matrix (hugeint throughout; `//` on non-negative operands matches
+    the driver-side Python floor division)."""
+    rounds = []
+    prev = "v0"
+    for k in range(1, PCA_ITERS + 1):
+        rounds.append(
+            f"""
+        c{k} AS (
+            SELECT vec_id, sum(y * v) AS c
+            FROM y JOIN {prev} USING (dim) GROUP BY vec_id
+        ),
+        u{k} AS (
+            SELECT dim, sum(c * y) AS u
+            FROM c{k} JOIN y USING (vec_id) GROUP BY dim
+        ),
+        m{k} AS (SELECT max(abs(u)) AS m FROM u{k}),
+        v{k} AS (
+            SELECT dim,
+                   (CASE WHEN u < 0 THEN -1 ELSE 1 END)
+                   * ((abs(u) * {PCA_VSCALE}) // m) AS v
+            FROM u{k} CROSS JOIN m{k}
+        )"""
+        )
+        prev = f"v{k}"
+    chain = ",".join(rounds)
+    return f"""
+        WITH e AS (
+            SELECT vec_id, label, embedding FROM embeddings
+            WHERE len(embedding) = {EMBEDDING_DIM}
+        ),
+        xq AS (
+            SELECT vec_id, label,
+                   cast(unnest(range({EMBEDDING_DIM})) AS int) AS dim,
+                   cast(floor(abs(cast(unnest(embedding) AS double)
+                                  * 10000000) + 0.5) AS hugeint)
+                   * (CASE WHEN unnest(embedding) < 0 THEN -1 ELSE 1 END)
+                       AS x
+            FROM e
+        ),
+        s AS (SELECT dim, sum(x) AS s FROM xq GROUP BY dim),
+        n AS (SELECT count(*) AS n FROM e),
+        y AS (
+            SELECT vec_id, label, dim, n * x - s AS y
+            FROM xq JOIN s USING (dim) CROSS JOIN n
+        ),
+        v0 AS (
+            SELECT cast(unnest(range({EMBEDDING_DIM})) AS int) AS dim,
+                   cast({PCA_VSCALE} AS hugeint) AS v
+        ),{chain},
+        fproj AS (
+            SELECT vec_id, sum(y * v) AS c
+            FROM y JOIN {prev} USING (dim) GROUP BY vec_id
+        )
+        SELECT e.vec_id, e.label, cast(c AS varchar) AS proj_units
+        FROM e JOIN fproj ON e.vec_id = fproj.vec_id
+    """
 
 
 # OR-construction: N_TABLES independent N_PLANES-plane tables, each
@@ -1253,9 +1415,11 @@ QUERIES = {
     "sim_lsh_topk": sim_lsh_topk,
     "sim_range_search": sim_range_search,
     "sim_knn_join": sim_knn_join,
+    "embed_pca_power": embed_pca_power,
 }
 
 ORACLES = {
+    "embed_pca_power": _pca_oracle_sql(),
     "sim_pq_topk": _pq_oracle_sql(),
     "sim_prefix_topk": _prefix_oracle_sql(),
     "sim_filtered_topk": f"""

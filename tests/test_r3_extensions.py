@@ -321,14 +321,16 @@ def test_reconcile_checksum_order_invariant_and_sensitive(spark, sf_dir):
 
     # Invariance: recompute over an adversarially repartitioned and
     # re-sorted copy (different partitioning AND row order).
-    orig_load = extras.load
+    # reconcile_checksum reads through load_rebalanced (the gated
+    # compute-rebalance); patch that symbol to inject the shuffled copy.
+    orig_load = extras.load_rebalanced
     shuffled = (
         orig_load(spark, "lineitem", sf_dir)
         .repartition(7, "l_partkey")
         .sortWithinPartitions(F.col("l_extendedprice").desc())
     )
     try:
-        extras.load = (
+        extras.load_rebalanced = (
             lambda s, name, sf: shuffled
             if name == "lineitem"
             else orig_load(s, name, sf)
@@ -338,7 +340,7 @@ def test_reconcile_checksum_order_invariant_and_sensitive(spark, sf_dir):
             for r in extras.reconcile_checksum(spark, sf_dir).collect()
         }
     finally:
-        extras.load = orig_load
+        extras.load_rebalanced = orig_load
     assert base == again
 
     # Sensitivity: perturb one row's quantity -> that flag's signature
@@ -360,7 +362,7 @@ def test_reconcile_checksum_order_invariant_and_sensitive(spark, sf_dir):
         ).otherwise(F.col("l_quantity")),
     )
     try:
-        extras.load = lambda s, name, sf: mut if name == "lineitem" else orig_load(s, name, sf)
+        extras.load_rebalanced = lambda s, name, sf: mut if name == "lineitem" else orig_load(s, name, sf)
         mutated = {
             r.l_returnflag: (r.n_rows, r.hash_sum)
             for r in extras.reconcile_checksum(spark, sf_dir).collect()

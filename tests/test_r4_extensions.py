@@ -1,0 +1,113 @@
+"""Invariant tests for the round-4 operator additions (beyond the
+oracle parity every entry already gets in test_oracle_parity.py):
+C4 line dedup's conservation/reconstruction laws, the PCA projection's
+centering identity, URL canonicalization idempotence, and the Markov
+matrix's stochastic-closure property.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_streaming_system_with_apache_kafka_spark.operators import (
+    dedup,
+    pipeline_analytics,
+    similarity,
+)
+from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
+
+
+def test_lines_c4_conserves_and_reconstructs(spark, sf_dir):
+    """Every doc appears exactly once; kept+dropped lines equal the
+    split count; a doc with zero drops reconstructs its text verbatim
+    (proves the order-preserving rebuild end to end); corpus-wide,
+    each distinct line loses all but one occurrence."""
+    out = dedup.dedup_lines_c4(spark, sf_dir)
+    docs = load(spark, "documents", sf_dir)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == docs.count()
+
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    n_intact = 0
+    for doc_id, r in rows.items():
+        assert 0 <= r["n_dropped"] <= r["n_lines"]
+        if r["n_dropped"] == 0:
+            assert r["cleaned_text"] == texts[doc_id], doc_id
+            n_intact += 1
+    assert n_intact > 0  # fixture has unique docs too
+
+    # Conservation: total kept lines == number of DISTINCT lines
+    # (keep-first semantics retains exactly one copy of each).
+    words = F.split("text", " ")
+    n_lines = F.ceil(F.size(words) / dedup.PASSAGE_WORDS).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * dedup.PASSAGE_WORDS + 1, dedup.PASSAGE_WORDS),
+            " ",
+        ),
+    )
+    exploded = docs.select(F.explode(lines).alias("line"))
+    n_distinct = exploded.distinct().count()
+    kept_total = out.agg(
+        F.sum(F.col("n_lines") - F.col("n_dropped"))
+    ).collect()[0][0]
+    assert kept_total == n_distinct
+
+
+def test_pca_projections_sum_to_zero(spark, sf_dir):
+    """The projection is onto a direction of the CENTERED matrix:
+    sum_i proj_i = v . sum_i y_i = v . 0 = 0 exactly — an integer
+    identity, so the string-encoded units must sum to exactly zero."""
+    out = similarity.embed_pca_power(spark, sf_dir).collect()
+    assert len(out) > 0
+    total = sum(int(r["proj_units"]) for r in out)
+    assert total == 0
+    # Degenerate-corpus guard aside, the direction must carry signal:
+    # at least one nonzero projection.
+    assert any(int(r["proj_units"]) != 0 for r in out)
+
+
+def test_pca_direction_is_stable_under_partitioning(spark, sf_dir):
+    """Same projections whatever the parallelism — the decimal-exact
+    accumulators make the power iteration partitioning-independent."""
+    a = {
+        r["vec_id"]: r["proj_units"]
+        for r in similarity.embed_pca_power(spark, sf_dir).collect()
+    }
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = {
+            r["vec_id"]: r["proj_units"]
+            for r in similarity.embed_pca_power(spark, sf_dir).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
+
+
+def test_url_canonicalization_idempotent_and_tracking_free(spark, sf_dir):
+    out = dedup.url_canonical_dedup(spark, sf_dir)
+    rows = out.collect()
+    docs_total = load(spark, "documents", sf_dir).count()
+    assert sum(r["n_docs"] for r in rows) == docs_total
+    assert any(r["n_docs"] > 1 for r in rows)  # canonicalization merges
+    for r in rows:
+        url = r["canonical_url"]
+        assert url == url.lower()
+        assert "#" not in url and "utm_" not in url and "ref=" not in url
+        assert "://www." not in url
+        assert not url.endswith(("?", "&"))
+
+
+def test_transition_matrix_is_stochastic_closure(spark, sf_dir):
+    """Shares sum to 1 over the whole matrix; counts equal
+    (total events - distinct users), the lag-pair identity."""
+    out = pipeline_analytics.event_transition_matrix(spark, sf_dir)
+    rows = out.collect()
+    ev = load(spark, "events", sf_dir)
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_transitions"] for r in rows) == n_events - n_users
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
