@@ -563,6 +563,96 @@ def quality_weighted_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CALIB_TOP_FRAC = 0.5  # keep the top half of each source's quality range
+
+
+def quality_domain_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style per-domain quality calibration: rank every
+    document's linear-model quality score WITHIN its source and keep
+    the top ``CALIB_TOP_FRAC`` of each source — a global threshold
+    would empty low-scoring domains entirely and let high-scoring
+    domains dominate the mix; per-domain percent-rank keeps every
+    domain represented at its own quality bar.
+
+    Exactness: the score is the exact integer bag-of-words dot product
+    (quality_weighted_terms' model); percent_rank runs over the unique
+    (score desc, doc_id) ordering, so it is (rank-1)/(n-1), a ratio of
+    exact integers both engines compute identically.
+
+    Scale shape: the scoring pass is explode + broadcast-model join +
+    per-doc sum (one O(docs) shuffle); the calibration is ONE window
+    exchange on source. No global sort — ranks are per-domain."""
+    scored = quality_weighted_terms(spark, sf_dir)
+    docs = load(spark, "documents", sf_dir).select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.join(docs, "doc_id")
+        .withColumn("pct_rank", F.percent_rank().over(w))
+        .withColumn("keep", F.col("pct_rank") < CALIB_TOP_FRAC)
+        .select("doc_id", "source", "score", "pct_rank", "keep")
+    )
+
+
+MASK_HEX_MAX = "0c"  # md5-prefix <= this starts a span: 13/256 ~ 5.1%
+MASK_SPAN = 3  # words per masked span (T5 mean noise span length)
+
+
+def mask_span_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption plan: for every document, the
+    deterministic list of word spans to mask (~5% of positions start a
+    {MASK_SPAN}-word span => ~15% noise density), each with its
+    sentinel index and the masked text — the preprocessing table a
+    denoising-objective trainer joins against the corpus at
+    batch-assembly time.
+
+    Span starts are a seeded hash of (doc_id, position): position i
+    starts a span iff the first two hex chars of md5(doc_id|i) fall at
+    or below ``MASK_HEX_MAX`` — a LEXICOGRAPHIC threshold, so no
+    hex-to-integer conversion has to agree across engines; md5 and
+    string comparison do. The plan is a pure function of the corpus —
+    reproducible on any engine and cluster. Spans clamp at the
+    document end; starts inside a previous span are allowed (T5's
+    noise mask is i.i.d. too), and sentinel ids are dense per doc in
+    position order (the posexplode index over the filtered starts).
+
+    Scale shape: generate-only — one projection computes the filtered
+    start array per row and posexplode streams the spans out; zero
+    shuffle, zero joins (the same shape as chunk_documents)."""
+    docs = load(spark, "documents", sf_dir)
+    words = F.split("text", " ")
+
+    def is_start(i):
+        return (
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("doc_id"), i.cast("string"))),
+                1,
+                2,
+            )
+            <= MASK_HEX_MAX
+        )
+
+    starts = F.filter(
+        F.sequence(F.lit(0), F.size(words) - 1), lambda i: is_start(i)
+    )
+    return docs.select(
+        "doc_id",
+        words.alias("words"),
+        F.size(words).alias("n_words"),
+        F.posexplode(starts).alias("sentinel_id", "span_start"),
+    ).select(
+        "doc_id",
+        "sentinel_id",
+        "span_start",
+        F.least(
+            F.lit(MASK_SPAN), F.col("n_words") - F.col("span_start")
+        ).alias("span_len"),
+        F.array_join(
+            F.slice(F.col("words"), F.col("span_start") + 1, F.lit(MASK_SPAN)),
+            " ",
+        ).alias("masked_text"),
+    )
+
+
 _PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 
@@ -762,6 +852,8 @@ QUERIES = {
     "chunk_documents": chunk_documents,
     "quality_weighted_terms": quality_weighted_terms,
     "quality_lm_surprise": quality_lm_surprise,
+    "quality_domain_calibrated": quality_domain_calibrated,
+    "mask_span_plan": mask_span_plan,
 }
 
 _GOPHER_SQL = f"""
@@ -1018,6 +1110,54 @@ ORACLES = {
                coalesce(term_score, 0) + {QUALITY_BIAS} >= {QUALITY_KEEP}
                    AS keep
         FROM documents d LEFT JOIN term_scores t ON d.doc_id = t.doc_id
+    """,
+    "quality_domain_calibrated": f"""
+        WITH weights(term, weight) AS (VALUES {", ".join(
+            f"('{t}', {w})" for t, w in sorted(QUALITY_WEIGHTS.items())
+        )}),
+        term_scores AS (
+            SELECT doc_id, cast(sum(weight) AS bigint) AS term_score
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            JOIN weights USING (term)
+            GROUP BY doc_id
+        ),
+        scored AS (
+            SELECT d.doc_id, d.source,
+                   coalesce(term_score, 0) + {QUALITY_BIAS} AS score
+            FROM documents d LEFT JOIN term_scores t ON d.doc_id = t.doc_id
+        )
+        SELECT doc_id, source, score,
+               percent_rank() OVER (PARTITION BY source
+                                    ORDER BY score DESC, doc_id)
+                   AS pct_rank,
+               percent_rank() OVER (PARTITION BY source
+                                    ORDER BY score DESC, doc_id)
+                   < {CALIB_TOP_FRAC} AS keep
+        FROM scored
+    """,
+    "mask_span_plan": f"""
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        ),
+        st AS (
+            SELECT doc_id, words, cast(len(words) AS int) AS n_words,
+                   [i for i in range(len(words))
+                    if substr(md5(cast(doc_id AS varchar) || '|'
+                                  || cast(i AS varchar)), 1, 2)
+                       <= '{MASK_HEX_MAX}'] AS ss
+            FROM base
+        )
+        SELECT doc_id,
+               cast(unnest(range(len(ss))) AS int) AS sentinel_id,
+               cast(unnest(ss) AS int) AS span_start,
+               least({MASK_SPAN},
+                     n_words - cast(unnest(ss) AS int)) AS span_len,
+               array_to_string(
+                   words[cast(unnest(ss) AS int) + 1
+                         : cast(unnest(ss) AS int) + {MASK_SPAN}],
+                   ' ') AS masked_text
+        FROM st
     """,
     "quality_lm_surprise": """
         WITH pairs AS (

@@ -559,6 +559,71 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_topk(candidates)
 
 
+HARD_NEG_K = 3  # hard negatives mined per anchor
+
+
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard-negative mining: for every query
+    anchor, the top-{HARD_NEG_K} highest-cosine vectors with a
+    DIFFERENT label — the near-miss impostors that make an embedding
+    model's loss informative (random negatives are trivially far).
+
+    The candidate generator is the SAME multi-probe hyperplane LSH as
+    sim_lsh_topk (an anchor's hard negatives are by definition in its
+    collision buckets); the label inequality filters candidates
+    BEFORE the exact kernel, so the extra cost over plain ANN is one
+    integer comparison per candidate. One equality join on the bucket
+    key — no corpus-wide pair set."""
+    emb = load(spark, "embeddings", sf_dir).filter(
+        F.size("embedding") == EMBEDDING_DIM
+    )
+    sig = emb.withColumn("sigs", make_signature_udf()(F.col("embedding")))
+    corpus = sig.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("ne"),
+        F.explode(
+            F.transform(
+                "sigs", lambda s, i: F.concat(i.cast("string"), F.lit(":"), s)
+            )
+        ).alias("bucket"),
+    )
+    q = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+        F.explode(
+            F.array(
+                *[
+                    p
+                    for t in range(N_TABLES)
+                    for p in _hamming1_probes(F.element_at("sigs", t + 1), t)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    candidates = (
+        F.broadcast(q)
+        .join(corpus, "bucket")
+        .filter(F.col("q_label") != F.col("n_label"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.first("qe").alias("qe"),
+            F.first("ne").alias("ne"),
+            F.first("n_label").alias("neg_label"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        candidates.withColumn("cos", cosine(F.col("qe"), F.col("ne")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARD_NEG_K)
+        .select("query_id", "rank", "neighbor_id", "neg_label", "cos")
+    )
+
+
 def _unrounded_cos(a: str, b: str) -> str:
     """The assignment kernel's cosine WITHOUT the final 9dp round —
     bit-identical to make_assign_udf's quantized doubles, so argmax
@@ -668,7 +733,7 @@ def _kmeans_oracle_sql() -> str:
     return "WITH " + ",".join(stages) + "," + tail
 
 
-def _lsh_oracle_sql() -> str:
+def _lsh_oracle_sql(label_negatives: bool = False) -> str:
     """DuckDB twin of sim_lsh_topk, possible because the signature
     kernel is quantized-integer: the seeded hyperplanes are
     regenerated here (same PCG64 streams), quantized at 6dp to exact
@@ -743,21 +808,23 @@ def _lsh_oracle_sql() -> str:
             WHERE p.query_id <> c.neighbor_id
         ),
         scored AS (
-            SELECT pr.query_id, pr.neighbor_id,
+            SELECT pr.query_id, pr.neighbor_id, n.label AS neg_label,
                    {oracle_cosine('q.embedding', 'n.embedding')} AS cos
             FROM pairs pr
             JOIN embeddings q ON q.vec_id = pr.query_id
             JOIN embeddings n ON n.vec_id = pr.neighbor_id
+            {"WHERE q.label <> n.label" if label_negatives else ""}
         )
-        SELECT query_id, cast(rank AS int) AS rank, neighbor_id, cos
+        SELECT query_id, cast(rank AS int) AS rank, neighbor_id,
+               {"neg_label, " if label_negatives else ""}cos
         FROM (
-            SELECT query_id, neighbor_id, cos,
+            SELECT query_id, neighbor_id, neg_label, cos,
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY cos DESC, neighbor_id)
                        AS rank
             FROM scored
         )
-        WHERE rank <= {TOP_K}
+        WHERE rank <= {HARD_NEG_K if label_negatives else TOP_K}
     """
 
 
@@ -1415,6 +1482,7 @@ QUERIES = {
     "sim_lsh_topk": sim_lsh_topk,
     "sim_range_search": sim_range_search,
     "sim_knn_join": sim_knn_join,
+    "sim_hard_negatives": sim_hard_negatives,
     "embed_pca_power": embed_pca_power,
 }
 
@@ -1462,6 +1530,7 @@ ORACLES = {
     # sign bits make the bucket assignment SQL-expressible; the seeded
     # hyperplanes are regenerated and inlined as literals.
     "sim_lsh_topk": _lsh_oracle_sql(),
+    "sim_hard_negatives": _lsh_oracle_sql(label_negatives=True),
     # Full learned-k-means twin (upgraded from rows-only in r3):
     # Lloyd's loop unrolled as chained CTE stages — see
     # _kmeans_oracle_sql.

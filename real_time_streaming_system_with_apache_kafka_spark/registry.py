@@ -38,7 +38,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (boilerplate, schema_stats, gopher_gates, inverted_index, rarity,
 # dup_rate, chunking, weighted_terms), sampling (importance, domain
 # cap, global order), analytics (bitmap_distinct, pivot_status_by_day),
-# and text_ngram_diversity — ~27 entries, fits one window.
+# text_ngram_diversity, and the round-4 additions (dedup_lines_c4,
+# url_canonical_dedup, quality_lm_surprise, quality_domain_calibrated,
+# mask_span_plan, embed_pca_power, sim_hard_negatives,
+# event_transition_matrix) — ~35 entries; prioritize the never-signed
+# suites, spill the remainder to r6.
 _PRIORITY: list[str] = [
     # §2 sentinels — pinned every round.
     "w1_minute_activity",

@@ -560,3 +560,52 @@ def test_filtered_ann_predicate_reaches_scan(spark, sf_dir):
     plan = _plan(similarity.sim_filtered_topk(spark, sf_dir))
     assert "GreaterThanOrEqual(label," in plan  # PushedFilters entry
     assert "CartesianProduct" not in plan
+
+
+def test_mask_span_plan_zero_shuffle(spark, sf_dir):
+    """Span planning is generate-only: one projection + posexplode,
+    no Exchange, no Join — the chunk_documents shape."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import curation
+
+    plan = _plan(curation.mask_span_plan(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_domain_calibration_no_global_sort(spark, sf_dir):
+    """Calibration ranks WITHIN source: the window exchange is hash
+    partitioning on source, never a rangepartitioning global sort."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import curation
+
+    plan = _plan(curation.quality_domain_calibrated(spark, sf_dir))
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_lines_c4_single_line_exchange_no_join(spark, sf_dir):
+    """Line dedup attaches first-occurrence in place via an unordered
+    window — no join back to the corpus; exchanges are the compute
+    rebalance, the line window, and the per-doc agg."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import dedup
+
+    plan = _plan(dedup.dedup_lines_c4(spark, sf_dir))
+    assert "Join" not in plan
+    # formatted output repeats each node in tree + detail sections
+    assert plan.count("Exchange") <= 6
+
+
+def test_lm_surprise_hash_joins_only(spark, sf_dir):
+    from real_time_streaming_system_with_apache_kafka_spark.operators import curation
+
+    plan = _plan(curation.quality_lm_surprise(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hard_negatives_bucket_join_no_cartesian(spark, sf_dir):
+    """The candidate generator is the bucket equality join (broadcast
+    probe side), never a corpus-wide cartesian."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import similarity
+
+    plan = _plan(similarity.sim_hard_negatives(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

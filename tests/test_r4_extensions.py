@@ -101,6 +101,120 @@ def test_url_canonicalization_idempotent_and_tracking_free(spark, sf_dir):
         assert not url.endswith(("?", "&"))
 
 
+def test_domain_calibration_keeps_top_fraction_everywhere(spark, sf_dir):
+    """Every source is represented; kept fraction per source is the
+    configured top fraction within quantization (ranks are unique, so
+    keep-count = ceil-ish of frac * n); pct_rank bounded in [0, 1]."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators.curation import (
+        CALIB_TOP_FRAC,
+        quality_domain_calibrated,
+    )
+
+    out = quality_domain_calibrated(spark, sf_dir)
+    per_src = (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if("keep").alias("n_keep"),
+            F.min("pct_rank").alias("lo"),
+            F.max("pct_rank").alias("hi"),
+        )
+        .collect()
+    )
+    n_sources = (
+        load(spark, "documents", sf_dir).select("source").distinct().count()
+    )
+    assert len(per_src) == n_sources
+    for r in per_src:
+        assert 0.0 <= r["lo"] and r["hi"] <= 1.0
+        # unique ordering => kept = #{ranks with (rank-1)/(n-1) < frac }
+        expected = sum(
+            1 for k in range(r["n"]) if k / max(r["n"] - 1, 1) < CALIB_TOP_FRAC
+        )
+        assert r["n_keep"] == expected, r
+
+
+def test_mask_span_plan_spans_are_valid_slices(spark, sf_dir):
+    from real_time_streaming_system_with_apache_kafka_spark.operators.curation import (
+        MASK_SPAN,
+        mask_span_plan,
+    )
+
+    plan = mask_span_plan(spark, sf_dir)
+    texts = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load(spark, "documents", sf_dir).collect()
+    }
+    rows = plan.collect()
+    assert rows, "threshold should select some spans"
+    per_doc: dict[int, list[int]] = {}
+    for r in rows:
+        words = texts[r["doc_id"]]
+        assert 0 <= r["span_start"] < len(words)
+        assert 1 <= r["span_len"] <= MASK_SPAN
+        assert r["span_len"] == min(MASK_SPAN, len(words) - r["span_start"])
+        assert r["masked_text"] == " ".join(
+            words[r["span_start"] : r["span_start"] + MASK_SPAN]
+        )
+        per_doc.setdefault(r["doc_id"], []).append(r["sentinel_id"])
+    for doc_id, sentinels in per_doc.items():
+        assert sorted(sentinels) == list(range(len(sentinels))), doc_id
+    # ~5% of positions start a span (13/256); allow generous slack.
+    n_positions = sum(len(w) for w in texts.values())
+    frac = len(rows) / n_positions
+    assert 0.02 < frac < 0.10, frac
+
+
+def test_hard_negatives_are_cross_label_and_bounded(spark, sf_dir):
+    """Structure: rank dense per anchor, negatives from a different
+    label than the anchor, and no mined negative can beat the
+    exhaustive best cross-label cosine (LSH candidates are a subset
+    of all cross-label pairs)."""
+    from real_time_streaming_system_with_apache_kafka_spark.functions.arrays import (
+        cosine,
+    )
+    from real_time_streaming_system_with_apache_kafka_spark.operators.similarity import (
+        EMBEDDING_DIM,
+        HARD_NEG_K,
+        N_QUERIES,
+        sim_hard_negatives,
+    )
+
+    out = sim_hard_negatives(spark, sf_dir).collect()
+    assert out
+    emb = load(spark, "embeddings", sf_dir).filter(
+        F.size("embedding") == EMBEDDING_DIM
+    )
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    per_q: dict[int, list[int]] = {}
+    for r in out:
+        assert r["neg_label"] == labels[r["neighbor_id"]]
+        assert r["neg_label"] != labels[r["query_id"]]
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= HARD_NEG_K
+    # Exhaustive cross-label ceiling per anchor.
+    a = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("ql"),
+        F.col("embedding").alias("qe"),
+    )
+    b = emb.select(
+        F.col("label").alias("nl"), F.col("embedding").alias("ne")
+    )
+    best = (
+        a.crossJoin(b)
+        .filter(F.col("ql") != F.col("nl"))
+        .withColumn("cos", cosine(F.col("qe"), F.col("ne")))
+        .groupBy("query_id")
+        .agg(F.max("cos").alias("best"))
+    )
+    ceiling = {r["query_id"]: r["best"] for r in best.collect()}
+    for r in out:
+        assert r["cos"] <= ceiling[r["query_id"]] + 1e-12
+
+
 def test_transition_matrix_is_stochastic_closure(spark, sf_dir):
     """Shares sum to 1 over the whole matrix; counts equal
     (total events - distinct users), the lag-pair identity."""
