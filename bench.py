@@ -141,17 +141,58 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    delta = _prev_round_delta(times, sf)
+    if delta is not None:
+        out["prev_round_delta"] = delta
+    print(json.dumps(out))
+
+
+def _prev_round_delta(times: dict[str, float], sf: float | None) -> dict | None:
+    """Per-query delta vs the latest driver-recorded BENCH_r*.json.
+
+    The headline set widens every round, so the raw total is not
+    comparable round-over-round (r2 28.1 s / 29 queries vs r3 47.0 s /
+    58 reads as a regression until decomposed).  This emits the honest
+    decomposition inside the bench artifact itself: totals restricted
+    to the common query set, per-query second deltas, and the cost of
+    newly added queries listed separately.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = sorted(
+        f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)
     )
+    if not rounds:
+        return None
+    try:
+        with open(os.path.join(here, rounds[-1])) as fh:
+            raw = json.load(fh)
+        prev = raw.get("parsed") or raw  # driver wraps the JSON line
+        if prev.get("sf") != sf:  # cross-scale deltas would mislead
+            return None
+        prev_q = {k: float(v) for k, v in prev["queries"].items()}
+    except Exception:
+        return None
+    common = sorted(set(times) & set(prev_q))
+    if not common:
+        return None
+    return {
+        "vs": rounds[-1],
+        "common_total_sec": round(sum(times[q] for q in common), 3),
+        "prev_common_total_sec": round(sum(prev_q[q] for q in common), 3),
+        "added_queries_sec": round(
+            sum(v for q, v in times.items() if q not in prev_q), 3
+        ),
+        "per_query_delta_sec": {
+            q: round(times[q] - prev_q[q], 3) for q in common
+        },
+    }
 
 
 if __name__ == "__main__":

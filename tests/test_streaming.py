@@ -6,6 +6,7 @@ equivalence is Structured Streaming's core invariant)."""
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -416,3 +417,59 @@ def test_minute_checksum_stream_matches_batch(spark, wire_dir):
     )
     assert got == want
     assert len(got) > 1
+
+
+# ---------------------------------------------------------------------------
+# Wire-format contract (golden fixture)
+# ---------------------------------------------------------------------------
+
+GOLDEN_WIRE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "wire_golden_seed42_n8.jsonl"
+)
+
+
+def test_wire_format_golden_bytes(spark):
+    """SRC2/SRC5 byte-level contract: ``to_wire_json`` output for the
+    seeded generator must match the committed golden fixture EXACTLY.
+
+    The Kafka e2e is environment-gated (no broker in the sandbox), so
+    this pins the producer payload shape the reference emits
+    (producer.py:136 ``json.dumps`` of the trade dict) at the byte
+    level: field order, ISO-8601 microsecond timestamps, decimal
+    scales, boolean casing. Any drift in the wire format — a Spark
+    to_json default change, a schema reorder, a timestamp-format
+    regression — fails this test even without a broker.
+    """
+    t = generator.trades(spark, 8, seed=42, num_partitions=3)
+    got = sorted(r["value"] for r in ingest.to_wire_json(t).collect())
+    with open(GOLDEN_WIRE) as fh:
+        want = fh.read().splitlines()
+    assert got == want
+
+    # Partition layout must not leak into the wire bytes (the 100 TB
+    # property: payloads are row-deterministic, not task-deterministic).
+    repart = sorted(
+        r["value"]
+        for r in ingest.to_wire_json(
+            generator.trades(spark, 8, seed=42, num_partitions=7)
+        ).collect()
+    )
+    assert repart == want
+
+
+def test_wire_golden_decodes_to_typed_rows(spark):
+    """The golden bytes round-trip through the consumer-side decoder:
+    parse_wire over the fixture yields 8 typed rows under TRADE_SCHEMA
+    with no nulls in the key/event-time columns (SNK3 drops none here)."""
+    raw = spark.createDataFrame(
+        [(line,) for line in open(GOLDEN_WIRE).read().splitlines()], ["value"]
+    )
+    typed = ingest.parse_wire(raw)
+    # try_cast coercion makes every field nullable; the contract is
+    # names + types in order, not nullability flags.
+    assert [(f.name, f.dataType) for f in typed.schema.fields] == [
+        (f.name, f.dataType) for f in TRADE_SCHEMA.fields
+    ]
+    rows = typed.collect()
+    assert len(rows) == 8
+    assert all(r["trade_id"] is not None and r["timestamp"] is not None for r in rows)
