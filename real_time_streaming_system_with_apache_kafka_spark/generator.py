@@ -131,6 +131,20 @@ def trades(
     ``base_date + i * interval + jitter``.
     """
     df = spark.range(0, n_rows, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    return decorate_ids(df, seed=seed, base_date=base_date, mean_interval_ms=mean_interval_ms)
+
+
+def decorate_ids(
+    df: DataFrame,
+    seed: int = 42,
+    base_date: dt.date = dt.date(2026, 1, 5),
+    mean_interval_ms: int = 900,
+) -> DataFrame:
+    """Decorate any DataFrame bearing an ``id`` column (batch ``range``
+    or a streaming ``rate`` source) into full trade rows.  Every value
+    derives from (id, seed) alone, so the SAME id produces the SAME
+    trade in batch and streaming — the property the stream/batch
+    equivalence tests and the soak's redelivery injection rely on."""
     df = df.withColumn("asset_class", _choice(ASSET_CLASSES, seed, "class"))
 
     # Per-class instrument pick (producer.py:55).
@@ -211,6 +225,44 @@ def trades(
     return df.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in TRADE_SCHEMA.fields]
     )
+
+
+def trades_rate_stream(
+    spark: SparkSession,
+    rows_per_second: int = 10_000,
+    seed: int = 42,
+    dup_every_n: int = 20,
+    num_partitions: int | None = None,
+    mean_interval_ms: int = 900,
+) -> DataFrame:
+    """Unbounded trade stream from the built-in ``rate`` source — the
+    soak-scale twin of the reference's one-trade-per-loop producer
+    (producer.py:160-172), generating JVM-side at arbitrary rate.
+
+    Every ``dup_every_n``-th tick re-emits the PREVIOUS tick's id, so
+    ~1/n of rows are exact at-least-once redeliveries (same trade_id,
+    same payload — the Kafka redelivery shape W4's dedup must absorb).
+    Event time advances ``mean_interval_ms`` per id regardless of wall
+    rate, so the watermark sweeps forward and state eviction is
+    exercised continuously at any throughput.
+    """
+    reader = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .option(
+            "numPartitions",
+            num_partitions or spark.sparkContext.defaultParallelism,
+        )
+    )
+    ticks = reader.load().select(
+        F.when(
+            (F.pmod(F.col("value"), F.lit(dup_every_n)) == 0) & (F.col("value") > 0),
+            F.col("value") - 1,
+        )
+        .otherwise(F.col("value"))
+        .alias("id")
+    )
+    return decorate_ids(ticks, seed=seed, mean_interval_ms=mean_interval_ms)
 
 
 def with_duplicates(df: DataFrame, every_n: int = 50) -> DataFrame:

@@ -473,3 +473,34 @@ def test_wire_golden_decodes_to_typed_rows(spark):
     rows = typed.collect()
     assert len(rows) == 8
     assert all(r["trade_id"] is not None and r["timestamp"] is not None for r in rows)
+
+
+def test_trades_rate_stream_plan_and_determinism(spark):
+    """The rate-source trade stream is unbounded, carries the trade
+    schema (names+types), and its decoration is id-deterministic: the
+    injected every-Nth redelivery re-emits the PREVIOUS id, which by
+    ``decorate_ids`` determinism is an exact payload duplicate."""
+    stream = generator.trades_rate_stream(spark, rows_per_second=100)
+    assert stream.isStreaming
+    assert [(f.name, f.dataType) for f in stream.schema.fields] == [
+        (f.name, f.dataType) for f in ingest.parse_wire(
+            spark.createDataFrame([("{}",)], ["value"])
+        ).schema.fields
+    ]
+
+    # Batch twin of the stream's id mapping: every 20th tick -> id-1.
+    ticks = spark.range(0, 200).select(
+        F.when(
+            (F.pmod(F.col("id"), F.lit(20)) == 0) & (F.col("id") > 0),
+            F.col("id") - 1,
+        ).otherwise(F.col("id")).alias("id")
+    )
+    rows = generator.decorate_ids(ticks).collect()
+    by_key: dict[str, list] = {}
+    for r in rows:
+        by_key.setdefault(r["trade_id"], []).append(tuple(r))
+    dups = {k: v for k, v in by_key.items() if len(v) > 1}
+    assert len(dups) == 9  # ids 19,39,...,179 re-emitted
+    # Redelivered payloads are byte-identical — the at-least-once shape
+    # dropDuplicatesWithinWatermark absorbs without a tiebreaker.
+    assert all(len(set(v)) == 1 for v in dups.values())

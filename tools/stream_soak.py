@@ -1,0 +1,194 @@
+"""Streaming soak: bounded-state evidence for the W3/W4 scale claim.
+
+The short pytest runs prove watermark semantics; this tool proves the
+*operational* claim — that under sustained high-rate ingest with
+at-least-once redelivery, the keyed dedup + windowed-agg state stores
+PLATEAU instead of growing with rows processed.  That plateau is what
+makes the design viable at 100 TB/day: state is O(keys-in-watermark),
+not O(stream history).
+
+Pipeline under soak (the full ingest path, reference consumer.py:12-119
+semantics):
+
+    rate source -> seeded trade decoration (JVM codegen, no Python)
+      -> ~5% exact redeliveries injected (same trade_id+payload)
+      -> dropDuplicatesWithinWatermark on trade_id      [state 1]
+      -> per-minute count/notional aggregation          [state 2]
+      -> noop sink (update mode, checkpointed)
+
+State store: RocksDB (``ingest.enable_rocksdb_state``) — the
+disk-backed provider a real deployment would run; the soak also
+verifies the provider actually loads and commits under Spark 4.
+
+Event time advances ``MEAN_INTERVAL_MS`` per id independent of wall
+rate, so the watermark sweeps continuously and eviction is exercised
+throughout, not just at the end.
+
+Usage:
+    python tools/stream_soak.py [--seconds 300] [--rate 20000] \
+        [--out STREAM_SOAK.json]
+
+Output: one JSON document with the per-sample state-row series and a
+summary (max/final state rows per operator, rows processed, bounded
+verdict: final-third max state <= 1.2x overall max while input grows).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from real_time_streaming_system_with_apache_kafka_spark import generator
+from real_time_streaming_system_with_apache_kafka_spark.session import get_session
+from real_time_streaming_system_with_apache_kafka_spark.streaming import (
+    ingest,
+    windowed,
+)
+
+# 10 ms of event time per id: a 2-minute watermark holds ~12k dedup
+# keys and ~3 open minute-windows in state at ANY wall-clock rate —
+# large enough to measure, small enough to show the plateau quickly.
+MEAN_INTERVAL_MS = 10
+WATERMARK = "2 minutes"
+DUP_EVERY_N = 20
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=int, default=300)
+    ap.add_argument("--rate", type=int, default=20_000)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    spark = get_session("rtss_stream_soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    ingest.enable_rocksdb_state(spark)
+
+    stream = generator.trades_rate_stream(
+        spark,
+        rows_per_second=args.rate,
+        dup_every_n=DUP_EVERY_N,
+        mean_interval_ms=MEAN_INTERVAL_MS,
+    )
+    deduped = ingest.dedup_trades(stream, watermark=WATERMARK)
+    per_minute = windowed.minute_activity_stream(deduped, watermark=None)
+
+    ckpt = tempfile.mkdtemp(prefix="rtss_soak_ckpt_")
+    query = (
+        per_minute.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="5 seconds")
+        .start()
+    )
+
+    samples: list[dict] = []
+    t0 = time.monotonic()
+    rows_in = 0.0
+    try:
+        while time.monotonic() - t0 < args.seconds:
+            time.sleep(5)
+            p = query.lastProgress
+            if not p:
+                continue
+            rows_in += p.get("numInputRows") or 0
+            samples.append(
+                {
+                    "wall_s": round(time.monotonic() - t0, 1),
+                    "batch_id": p.get("batchId"),
+                    "input_rows": p.get("numInputRows"),
+                    "batch_duration_ms": (p.get("durationMs") or {}).get(
+                        "triggerExecution"
+                    ),
+                    "state_rows": [
+                        {
+                            "operator": op.get("operatorName"),
+                            "total": op.get("numRowsTotal"),
+                            "removed": op.get("numRowsRemoved"),
+                        }
+                        for op in p.get("stateOperators") or []
+                    ],
+                    "watermark": (p.get("eventTime") or {}).get("watermark"),
+                }
+            )
+        if query.exception():
+            raise RuntimeError(str(query.exception()))
+    finally:
+        query.stop()
+        spark.stop()
+
+    # Bounded verdict: state must PLATEAU — the final-third max may
+    # exceed the middle-third max only by jitter (20%).  A still-
+    # ramping series fails, which is correct: it means the run was too
+    # short to demonstrate steady state, not that steady state exists.
+    # (Comparing tail vs the overall max would be vacuously true.)
+    def series(op_idx: int) -> list[int]:
+        return [
+            s["state_rows"][op_idx]["total"]
+            for s in samples
+            if len(s["state_rows"]) > op_idx
+            and s["state_rows"][op_idx]["total"] is not None
+        ]
+
+    ops = max((len(s["state_rows"]) for s in samples), default=0)
+    per_op = []
+    bounded = True
+    for i in range(ops):
+        vals = series(i)
+        if not vals:
+            continue
+        third = max(1, len(vals) // 3)
+        middle, tail = vals[third : 2 * third] or vals[:third], vals[-third:]
+        name = next(
+            (
+                s["state_rows"][i]["operator"]
+                for s in samples
+                if len(s["state_rows"]) > i
+            ),
+            f"op{i}",
+        )
+        op_bounded = max(tail) <= 1.2 * max(middle)
+        bounded = bounded and op_bounded
+        per_op.append(
+            {
+                "operator": name,
+                "max_state_rows": max(vals),
+                "final_state_rows": vals[-1],
+                "middle_third_max_state_rows": max(middle),
+                "tail_max_state_rows": max(tail),
+                "bounded": op_bounded,
+            }
+        )
+
+    out = {
+        "metric": "stream_soak_bounded_state",
+        "duration_s": round(time.monotonic() - t0, 1),
+        "target_rate_rows_per_s": args.rate,
+        "rows_processed": int(rows_in),
+        "achieved_rate_rows_per_s": round(rows_in / max(1e-9, time.monotonic() - t0)),
+        "state_store": "rocksdb",
+        "watermark": WATERMARK,
+        "dup_every_n": DUP_EVERY_N,
+        "bounded": bounded,
+        "state_operators": per_op,
+        "samples": samples,
+    }
+    text = json.dumps(out, indent=1)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(text + "\n")
+    print(
+        json.dumps(
+            {k: v for k, v in out.items() if k != "samples"}
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
