@@ -109,6 +109,11 @@ HEADLINE = [
     "dedup_lines_c4",
     "quality_lm_surprise",
     "embed_pca_power",
+    # Late round-4: the per-source curation yield audit (single-scan
+    # window plan) and the BPE merge-candidate ranking (vocabulary-
+    # bounded after one corpus explode).
+    "curation_funnel",
+    "vocab_bpe_pair_stats",
 ]
 
 

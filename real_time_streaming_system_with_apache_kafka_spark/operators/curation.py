@@ -468,6 +468,76 @@ def quality_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RULE_NAMES = [
+    "rule_word_count",
+    "rule_mean_word_len",
+    "rule_alpha_words",
+    "rule_symbol_ratio",
+    "rule_stopwords",
+    "rule_unique_ratio",
+]
+
+
+def gopher_score_column() -> Column:
+    """Integer 0-6 rule-pass count — the exact (libm-free) quality
+    score shared by the funnel and dedup's quality-aware survivor;
+    mirrors ``GOPHER_SCORE_SQL`` on the oracle side."""
+    rules = gopher_rule_columns()
+    score = F.lit(0)
+    for name in RULE_NAMES:
+        score = score + rules[name].cast("int")
+    return score
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source pipeline funnel: raw docs -> Gopher quality gate ->
+    exact dedup among the quality survivors — the audit table every
+    production curation run publishes so yield loss is attributable
+    per stage and per source (the first artifact anyone asks for when
+    a source's contribution collapses).
+
+    Stage semantics are sequential: dedup keys only quality-passing
+    docs (first doc_id per text digest wins), so ``n_unique`` counts
+    docs that survive BOTH gates, and a doc whose only duplicate was
+    quality-rejected still counts as unique.
+
+    Scale shape: ONE corpus scan computes gate flags + digest inside
+    codegen; the survivor election is a single window exchange keyed
+    on digest over narrow (digest, doc_id, source, q) rows — never
+    text — using null-skipping min(when(q, doc_id)) so no second scan
+    or self-join re-derives the flags; the final rollup is a tiny
+    per-source hash-agg. No collect, nothing corpus-sized broadcast."""
+    docs = load(spark, "documents", sf_dir)
+    rules = gopher_rule_columns()
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        rules["keep"].alias("q"),
+        F.md5("text").alias("digest"),
+    )
+    flagged = hashed.withColumn(
+        "keep_id",
+        F.min(F.when(F.col("q"), F.col("doc_id"))).over(
+            Window.partitionBy("digest")
+        ),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.count_if(F.col("q")).alias("n_quality"),
+            F.count_if(F.col("q") & (F.col("doc_id") == F.col("keep_id"))).alias(
+                "n_unique"
+            ),
+        )
+        .withColumn(
+            "survival_rate",
+            F.col("n_unique").cast("double") / F.col("n_raw"),
+        )
+        .orderBy("source")
+    )
+
+
 CHUNK_TOKENS = 40  # retrieval chunk size (tokens)
 CHUNK_STRIDE = 30  # 10-token overlap between consecutive chunks
 
@@ -854,17 +924,22 @@ QUERIES = {
     "quality_lm_surprise": quality_lm_surprise,
     "quality_domain_calibrated": quality_domain_calibrated,
     "mask_span_plan": mask_span_plan,
+    "curation_funnel": curation_funnel,
 }
 
-_GOPHER_SQL = f"""
-    WITH base AS (
-        SELECT doc_id, lang,
+# Shared Gopher-rule SQL fragments — the ONE oracle-side definition of
+# the measurement CTEs and rule predicates, consumed by the gates
+# query, the curation funnel, and dedup's quality-aware survivor so
+# the three can never disagree on what "quality" means.  ``gm`` also
+# carries source and the exact-dup digest for the downstream oracles.
+GOPHER_M_CTES = f"""gbase AS (
+        SELECT doc_id, lang, source, md5(text) AS digest,
                string_split(text, ' ') AS words,
                cast(length(text) AS int) AS nc
         FROM documents
     ),
-    m AS (
-        SELECT doc_id, lang,
+    gm AS (
+        SELECT doc_id, lang, source, digest, nc,
                cast(len(words) AS int) AS n_words,
                nc - (cast(len(words) AS int) - 1) AS word_chars,
                cast(len(list_filter(words,
@@ -872,25 +947,34 @@ _GOPHER_SQL = f"""
                cast(len(list_filter(words,
                         w -> regexp_matches(w, '[^a-z0-9]'))) AS int) AS n_sym,
                cast(len(list_distinct(words)) AS int) AS n_unique,
-               cast(len(list_intersect(words, {{sw}})) AS int) AS n_stop
-        FROM base
-    )
+               cast(len(list_intersect(words, {ALL_SW_SQL})) AS int) AS n_stop
+        FROM gbase
+    )"""
+
+_GOPHER_RULES_SQL = {
+    "rule_word_count": f"(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})",
+    "rule_mean_word_len": "(3 * n_words <= word_chars AND word_chars <= 10 * n_words)",
+    "rule_alpha_words": "(5 * n_alpha >= 4 * n_words)",
+    "rule_symbol_ratio": "(10 * n_sym <= n_words)",
+    "rule_stopwords": f"(n_stop >= {GOPHER_MIN_STOPWORDS})",
+    "rule_unique_ratio": "(5 * n_unique >= n_words)",
+}
+GOPHER_KEEP_SQL = " AND ".join(_GOPHER_RULES_SQL.values())
+GOPHER_SCORE_SQL = " + ".join(
+    f"cast({r} AS int)" for r in _GOPHER_RULES_SQL.values()
+)
+
+_GOPHER_SQL = f"""
+    WITH {GOPHER_M_CTES}
     SELECT doc_id, lang, n_words,
-           n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
-               AS rule_word_count,
-           3 * n_words <= word_chars AND word_chars <= 10 * n_words
-               AS rule_mean_word_len,
-           5 * n_alpha >= 4 * n_words AS rule_alpha_words,
-           10 * n_sym <= n_words AS rule_symbol_ratio,
-           n_stop >= {GOPHER_MIN_STOPWORDS} AS rule_stopwords,
-           5 * n_unique >= n_words AS rule_unique_ratio,
-           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
-               AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
-               AND (5 * n_alpha >= 4 * n_words)
-               AND (10 * n_sym <= n_words)
-               AND (n_stop >= {GOPHER_MIN_STOPWORDS})
-               AND (5 * n_unique >= n_words) AS keep
-    FROM m
+           {_GOPHER_RULES_SQL["rule_word_count"]} AS rule_word_count,
+           {_GOPHER_RULES_SQL["rule_mean_word_len"]} AS rule_mean_word_len,
+           {_GOPHER_RULES_SQL["rule_alpha_words"]} AS rule_alpha_words,
+           {_GOPHER_RULES_SQL["rule_symbol_ratio"]} AS rule_symbol_ratio,
+           {_GOPHER_RULES_SQL["rule_stopwords"]} AS rule_stopwords,
+           {_GOPHER_RULES_SQL["rule_unique_ratio"]} AS rule_unique_ratio,
+           {GOPHER_KEEP_SQL} AS keep
+    FROM gm
 """
 
 _ORACLE_NGRAMS = f"""
@@ -920,7 +1004,23 @@ def _profile_oracle() -> str:
 ORACLES = {
     "text_boilerplate_strip": _BOILERPLATE_SQL,
     "profile_schema_stats": _profile_oracle(),
-    "quality_gopher_gates": _GOPHER_SQL.replace("{sw}", ALL_SW_SQL),
+    "quality_gopher_gates": _GOPHER_SQL,
+    "curation_funnel": f"""
+        WITH {GOPHER_M_CTES},
+        k AS (SELECT doc_id, source, digest, {GOPHER_KEEP_SQL} AS q FROM gm),
+        keepers AS (
+            SELECT digest, min(doc_id) AS keep_id FROM k WHERE q GROUP BY digest
+        )
+        SELECT source,
+               count(*) AS n_raw,
+               count(*) FILTER (WHERE q) AS n_quality,
+               count(*) FILTER (WHERE q AND doc_id = keep_id) AS n_unique,
+               cast(count(*) FILTER (WHERE q AND doc_id = keep_id) AS double)
+                   / count(*) AS survival_rate
+        FROM k LEFT JOIN keepers USING (digest)
+        GROUP BY source
+        ORDER BY source
+    """,
     "text_rarity_score": """
         WITH terms AS (
             SELECT doc_id,
@@ -1151,8 +1251,8 @@ ORACLES = {
         SELECT doc_id,
                cast(unnest(range(len(ss))) AS int) AS sentinel_id,
                cast(unnest(ss) AS int) AS span_start,
-               least({MASK_SPAN},
-                     n_words - cast(unnest(ss) AS int)) AS span_len,
+               cast(least({MASK_SPAN},
+                     n_words - cast(unnest(ss) AS int)) AS int) AS span_len,
                array_to_string(
                    words[cast(unnest(ss) AS int) + 1
                          : cast(unnest(ss) AS int) + {MASK_SPAN}],

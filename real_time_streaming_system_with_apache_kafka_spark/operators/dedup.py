@@ -509,6 +509,42 @@ def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: within each near-dup cluster
+    (the same connected components as ``dedup_cc_survivors``), keep the
+    HIGHEST-QUALITY copy instead of the lowest doc_id — the survivor
+    policy production dedup actually wants (the canonical page, not
+    whichever mirror crawled first). Quality is the integer Gopher
+    rule-pass count (0-6, shared with the curation gates so the two
+    layers agree by construction), tie-broken by n_chars descending
+    (prefer the fullest copy) then doc_id ascending (determinism).
+
+    Scale shape: the component labels come from the pointer-jumping CC
+    (log-round iterative); the quality score is a per-row codegen
+    expression on the corpus scan; survivor election is ONE window
+    shuffle keyed on component over narrow (component, score, n_chars,
+    doc_id) rows. Nothing corpus-sized reaches the driver.
+    """
+    from real_time_streaming_system_with_apache_kafka_spark.operators.curation import (
+        gopher_score_column,
+    )
+
+    comp = dedup_cc_survivors(spark, sf_dir).select("doc_id", "component")
+    docs = load(spark, "documents", sf_dir).select(
+        "doc_id", "n_chars", gopher_score_column().alias("quality_score")
+    )
+    joined = comp.join(docs, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality_score"), F.desc("n_chars"), F.asc("doc_id")
+    )
+    return joined.select(
+        "doc_id",
+        "component",
+        "quality_score",
+        (F.row_number().over(w) == 1).alias("is_survivor"),
+    )
+
+
 PR_ITERS = 4  # fixed-round PageRank (unrolled in the oracle)
 
 
@@ -1038,6 +1074,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_cc_survivors": dedup_cc_survivors,
+    "dedup_quality_survivor": dedup_quality_survivor,
     "dedup_containment": dedup_containment,
     "dedup_passage": dedup_passage,
     "dedup_lines_c4": dedup_lines_c4,
@@ -1108,6 +1145,15 @@ _ORACLE_JACCARD_CTES = f"""
             WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
         )
 """
+
+# Oracle-side Gopher fragments (shared with curation so the quality
+# score in the survivor election is definitionally the gates' score).
+# Imported here, next to their one use, rather than at module top:
+# dedup is otherwise curation-independent.
+from real_time_streaming_system_with_apache_kafka_spark.operators.curation import (  # noqa: E402
+    GOPHER_M_CTES as _GOPHER_M_CTES,
+    GOPHER_SCORE_SQL as _GOPHER_SCORE_SQL,
+)
 
 ORACLES = {
     "dedup_lsh_verified": f"""
@@ -1280,6 +1326,35 @@ ORACLES = {
                coalesce(c.component, d.doc_id) AS component,
                coalesce(c.component, d.doc_id) = d.doc_id AS is_survivor
         FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+    "dedup_quality_survivor": f"""
+        WITH RECURSIVE {_ORACLE_LSH_EDGES},
+        reach(n, m) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src
+            WHERE e.dst <> r.n
+        ),
+        comp AS (
+            SELECT n AS doc_id, least(n, min(m)) AS component
+            FROM reach GROUP BY n
+        ),
+        {_GOPHER_M_CTES},
+        lab AS (
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS component,
+                   {_GOPHER_SCORE_SQL} AS quality_score,
+                   d.n_chars
+            FROM documents d
+            LEFT JOIN comp c USING (doc_id)
+            JOIN gm USING (doc_id)
+        )
+        SELECT doc_id, component, quality_score,
+               row_number() OVER (
+                   PARTITION BY component
+                   ORDER BY quality_score DESC, n_chars DESC, doc_id
+               ) = 1 AS is_survivor
+        FROM lab
     """,
     "dedup_minhash_lsh": f"""
         WITH {_ORACLE_LSH_CAND}

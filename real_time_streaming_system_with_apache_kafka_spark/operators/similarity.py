@@ -306,13 +306,18 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform("embedding", xq_el).alias("xq"),
     )
-    stats = base.select(
-        F.posexplode("xq").alias("dim", "x")
-    ).groupBy("dim").agg(F.sum("x").alias("s"))
-    n_rows = base.count()
+    stats = (
+        base.select(F.posexplode("xq").alias("dim", "x"))
+        .groupBy("dim")
+        # every dim appears once per row, so any dim's count IS the
+        # corpus size — one job instead of a separate base.count()
+        .agg(F.sum("x").alias("s"), F.count("x").alias("n"))
+    )
     s_vec = [0] * EMBEDDING_DIM
+    n_rows = 0
     for r in stats.collect():
         s_vec[r["dim"]] = int(r["s"])
+        n_rows = int(r["n"])
     s_lit = F.array(*[F.lit(int(v)).cast("long") for v in s_vec])
     centered = base.select(
         "vec_id",

@@ -234,6 +234,55 @@ def text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOP_PAIRS = 30
+
+
+def vocab_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, first iteration: rank adjacent
+    character-pair merge candidates by corpus-weighted frequency — the
+    statistic byte-pair-encoding greedily merges on. Emits the top
+    candidates with their weight (sum over word occurrences of each
+    pair position) and vocabulary support (distinct words containing
+    the pair). Full BPE training iterates exactly this plan on a
+    re-segmented symbol vocabulary; the per-iteration shape — and the
+    scale argument — are identical.
+
+    Scale shape: the corpus-sized work is ONE token explode feeding a
+    map-side-combining count, so the first shuffle carries one row per
+    distinct word per partition (vocabulary-bounded). Everything after
+    — pair explosion, pair aggregation, top-K — runs on the VOCABULARY,
+    which grows sublinearly with corpus size; the final top-K is
+    TakeOrderedAndProject. At 100 TB the plan's cost is the scan, as it
+    must be.
+    """
+    docs = load(spark, "documents", sf_dir)
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = vocab.filter(F.length("word") >= 2).select(
+        "word",
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").alias("weight"),
+            F.count_distinct("word").alias("n_vocab_words"),
+        )
+        .orderBy(F.desc("weight"), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
 QUERIES = {
     "corpus_curation_pipeline": corpus_curation_pipeline,
     "text_stats_quality": text_stats_quality,
@@ -242,6 +291,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_token_stats_by_lang": text_token_stats_by_lang,
     "text_ngram_diversity": text_ngram_diversity,
+    "vocab_bpe_pair_stats": vocab_bpe_pair_stats,
 }
 
 def _sw_literal(words: list[str]) -> str:
@@ -288,6 +338,27 @@ _LANGID_SQL = f"""
 """
 
 ORACLES = {
+    "vocab_bpe_pair_stats": f"""
+        WITH w AS (
+            SELECT word, count(*) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word <> ''
+            GROUP BY word
+        ),
+        p AS (
+            SELECT word, freq, substr(word, cast(i AS int), 2) AS pair
+            FROM w, unnest(range(1, length(word))) AS t(i)
+            WHERE length(word) >= 2
+        )
+        SELECT pair,
+               cast(sum(freq) AS bigint) AS weight,
+               count(DISTINCT word) AS n_vocab_words
+        FROM p
+        GROUP BY pair
+        ORDER BY weight DESC, pair
+        LIMIT {BPE_TOP_PAIRS}
+    """,
     "corpus_curation_pipeline": f"""
         WITH base AS (
             SELECT doc_id, lang, text,

@@ -609,3 +609,26 @@ def test_hard_negatives_bucket_join_no_cartesian(spark, sf_dir):
     plan = _plan(similarity.sim_hard_negatives(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_curation_funnel_single_scan_no_join(spark, sf_dir):
+    """The funnel must derive all three stages from ONE corpus scan:
+    window-based survivor election, no self-join re-deriving flags."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import curation
+
+    plan = _plan(curation.curation_funnel(spark, sf_dir))
+    assert "Join" not in plan
+    # formatted output names each node in tree + detail section: one
+    # physical scan appears exactly twice.
+    assert plan.count("Scan parquet") == 2
+
+
+def test_bpe_pair_stats_pruned_scan_take_ordered(spark, sf_dir):
+    """BPE pair ranking reads only the text column and finishes with
+    TakeOrderedAndProject (no global sort of the pair space)."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import text
+
+    plan = _plan(text.vocab_bpe_pair_stats(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "struct<text:string>" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]

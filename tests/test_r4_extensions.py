@@ -225,3 +225,72 @@ def test_transition_matrix_is_stochastic_closure(spark, sf_dir):
     n_users = ev.select("user_id").distinct().count()
     assert sum(r["n_transitions"] for r in rows) == n_events - n_users
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+
+
+def test_curation_funnel_stage_monotonicity(spark, sf_dir):
+    """Each stage can only shrink: n_unique <= n_quality <= n_raw per
+    source; raw totals reconcile with the corpus; survival_rate is the
+    n_unique/n_raw ratio."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import curation
+
+    rows = curation.curation_funnel(spark, sf_dir).collect()
+    assert rows
+    n_docs = load(spark, "documents", sf_dir).count()
+    assert sum(r["n_raw"] for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r["n_unique"] <= r["n_quality"] <= r["n_raw"]
+        assert abs(r["survival_rate"] - r["n_unique"] / r["n_raw"]) < 1e-12
+
+
+def test_quality_survivor_one_per_component_and_maximal(spark, sf_dir):
+    """Exactly one survivor per component, and no member of the
+    component strictly beats it on (quality_score, n_chars, -doc_id).
+    Components must agree with dedup_cc_survivors'."""
+    out = dedup.dedup_quality_survivor(spark, sf_dir).collect()
+    cc = {
+        r["doc_id"]: r["component"]
+        for r in dedup.dedup_cc_survivors(spark, sf_dir).collect()
+    }
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in load(spark, "documents", sf_dir).select("doc_id", "n_chars").collect()
+    }
+    by_comp: dict[int, list] = {}
+    for r in out:
+        assert cc[r["doc_id"]] == r["component"]
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        survivors = [m for m in members if m["is_survivor"]]
+        assert len(survivors) == 1
+        key = lambda m: (-m["quality_score"], -chars[m["doc_id"]], m["doc_id"])  # noqa: E731
+        assert min(members, key=key)["doc_id"] == survivors[0]["doc_id"]
+
+
+def test_bpe_pair_stats_ranking_and_shape(spark, sf_dir):
+    """Pairs are 2-char substrings, ranking is (weight desc, pair asc),
+    and a hand-computed weight for the top pair matches a direct
+    recount over the corpus."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import text as t
+
+    rows = t.vocab_bpe_pair_stats(spark, sf_dir).collect()
+    assert len(rows) == t.BPE_TOP_PAIRS
+    keys = [(-r["weight"], r["pair"]) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert len(r["pair"]) == 2 and r["n_vocab_words"] >= 1
+    # Direct recount of the top pair: occurrences of the pair across
+    # all word instances (overlapping positions included).
+    top = rows[0]["pair"]
+    docs = load(spark, "documents", sf_dir)
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    recount = words.select(
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.greatest(F.length("w") - 1, F.lit(0))),
+                lambda i: F.col("w").substr(i, F.lit(2)) == F.lit(top),
+            )
+        ).alias("k")
+    ).agg(F.sum("k")).collect()[0][0]
+    assert recount == rows[0]["weight"]
