@@ -798,6 +798,40 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration audit over the two-stage verify output:
+    for each signature-agreement level k (est_jaccard = k/N_HASHES),
+    how many candidate pairs the banding produced and what fraction
+    are TRUE near-dups under the exact-Jaccard threshold — the
+    measured precision curve that justifies (or re-tunes) the
+    band/row split. "Measure, don't guess" applied to the dedup stack
+    itself: at 100 TB this table is how you know the 4x2 banding
+    holds its false-positive cost BEFORE paying the verify joins
+    corpus-wide.
+
+    Scale shape: derives entirely from the candidate-bounded verify
+    triples (never all pairs); the rollup collapses to at most
+    N_HASHES+1 rows with map-side combine. ``is_true`` compares the
+    ratio of exact integers both engines compute identically."""
+    t = _verified_triples(spark, sf_dir)
+    exact = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        t.select(
+            F.round(F.col("est_jaccard") * N_HASHES).cast("int").alias("n_agree"),
+            (exact >= JACCARD_THRESHOLD).alias("is_true"),
+        )
+        .groupBy("n_agree")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_if(F.col("is_true")).alias("n_true"),
+        )
+        .withColumn(
+            "precision", F.col("n_true").cast("double") / F.col("n_pairs")
+        )
+        .orderBy("n_agree")
+    )
+
+
 def _verified_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared scaffold of the two-stage verify pattern (the single
     definition dedup_lsh_verified and dedup_containment both build on,
@@ -1067,6 +1101,7 @@ QUERIES = {
     "dedup_soft_weights": dedup_soft_weights,
     "dedup_prefix": dedup_prefix,
     "dedup_lsh_verified": dedup_lsh_verified,
+    "dedup_lsh_calibration": dedup_lsh_calibration,
     "graph_pagerank_dupgraph": graph_pagerank_dupgraph,
     "graph_triangle_count": graph_triangle_count,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1178,6 +1213,32 @@ ORACLES = {
         WHERE len(list_intersect(a.sh, b.sh))
                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
               >= {JACCARD_THRESHOLD}
+    """,
+    "dedup_lsh_calibration": f"""
+        WITH {_ORACLE_LSH_CAND},
+        ss AS (
+            SELECT doc_id, list_distinct(shingles) AS sh
+            FROM ({_ORACLE_SHINGLES})
+        ),
+        v AS (
+            SELECT cast(len(list_filter(list_zip(sig_a, sig_b),
+                                        p -> p[1] = p[2])) AS int) AS n_agree,
+                   len(list_intersect(a.sh, b.sh)) AS n_common,
+                   len(a.sh) AS n_a, len(b.sh) AS n_b
+            FROM cand
+            JOIN ss a ON doc_a = a.doc_id
+            JOIN ss b ON doc_b = b.doc_id
+        )
+        SELECT n_agree,
+               count(*) AS n_pairs,
+               count(*) FILTER (WHERE n_common / (n_a + n_b - n_common)
+                                      >= {JACCARD_THRESHOLD}) AS n_true,
+               cast(count(*) FILTER (WHERE n_common / (n_a + n_b - n_common)
+                                           >= {JACCARD_THRESHOLD}) AS double)
+                   / count(*) AS precision
+        FROM v
+        GROUP BY n_agree
+        ORDER BY n_agree
     """,
     "graph_pagerank_dupgraph": _pagerank_oracle(),
     "graph_triangle_count": _triangle_oracle(),

@@ -155,6 +155,58 @@ def shuffle_global_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum ordering: documents are staged by
+    Gopher quality score (6 = cleanest first — quality-first curricula
+    front-load the best data), shuffled WITHIN each stage by seeded
+    md5, and assigned a dense global position 0..N-1 — the training
+    order a curriculum run consumes, reproducible on any engine, run,
+    and cluster size.
+
+    Same distributed shape as ``shuffle_global_order`` — the two-phase
+    rank generalized to a compound key: bucket by (stage, hash byte),
+    count per bucket (a <=7x256-row aggregate, broadcast back as
+    exclusive prefix sums over stage-desc/byte-asc order), rank within
+    each bucket in parallel, add the offset. No single-reducer global
+    sort anywhere; shuffle is bounded by the bucket count."""
+    from pyspark.sql import Window
+
+    from real_time_streaming_system_with_apache_kafka_spark.operators.curation import (
+        gopher_score_column,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    h = F.md5(F.concat_ws("#", F.lit("curriculum_v1"), F.col("doc_id")))
+    keyed = docs.select(
+        "doc_id",
+        gopher_score_column().alias("stage"),
+        h.alias("h"),
+        F.substring(h, 1, 2).alias("b"),
+    )
+    offsets = (
+        keyed.groupBy("stage", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "stage",
+            "b",
+            F.sum("n")
+            .over(
+                Window.orderBy(F.desc("stage"), F.asc("b")).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+            .alias("offset"),
+        )
+        .fillna(0, ["offset"])
+    )
+    wb = Window.partitionBy("stage", "b").orderBy("h", "doc_id")
+    return keyed.join(F.broadcast(offsets), ["stage", "b"]).select(
+        "doc_id",
+        "stage",
+        (F.row_number().over(wb) - 1 + F.col("offset")).alias("curriculum_pos"),
+    )
+
+
 DOMAIN_CAP = 15
 
 
@@ -226,6 +278,7 @@ QUERIES = {
     "agg_distinct_twophase": agg_distinct_twophase,
     "sample_stratified_balanced": sample_stratified_balanced,
     "shuffle_global_order": shuffle_global_order,
+    "sample_curriculum_order": sample_curriculum_order,
 }
 
 ORACLES = {
@@ -294,3 +347,29 @@ ORACLES = {
         FROM documents
     """,
 }
+
+
+def _curriculum_oracle() -> str:
+    # Deferred import to module bottom: sampling is otherwise
+    # curation-independent; the oracle shares the Gopher fragments so
+    # the curriculum stage is definitionally the gates' score.
+    from real_time_streaming_system_with_apache_kafka_spark.operators.curation import (
+        GOPHER_M_CTES,
+        GOPHER_SCORE_SQL,
+    )
+
+    return f"""
+        WITH {GOPHER_M_CTES},
+        s AS (
+            SELECT doc_id, {GOPHER_SCORE_SQL} AS stage,
+                   md5('curriculum_v1' || '#' || cast(doc_id AS varchar)) AS h
+            FROM gm
+        )
+        SELECT doc_id, stage,
+               row_number() OVER (ORDER BY stage DESC, h, doc_id) - 1
+                   AS curriculum_pos
+        FROM s
+    """
+
+
+ORACLES["sample_curriculum_order"] = _curriculum_oracle()

@@ -294,3 +294,33 @@ def test_bpe_pair_stats_ranking_and_shape(spark, sf_dir):
         ).alias("k")
     ).agg(F.sum("k")).collect()[0][0]
     assert recount == rows[0]["weight"]
+
+
+def test_lsh_calibration_reconciles_with_verified(spark, sf_dir):
+    """Per-level counts are sane and the true-positive total equals
+    the verified pair count — the calibration table and the two-stage
+    verify can never tell different stories."""
+    rows = dedup.dedup_lsh_calibration(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_true"] <= r["n_pairs"]
+        assert abs(r["precision"] - r["n_true"] / r["n_pairs"]) < 1e-12
+        assert 0 <= r["n_agree"] <= dedup.N_HASHES
+    n_verified = dedup.dedup_lsh_verified(spark, sf_dir).count()
+    assert sum(r["n_true"] for r in rows) == n_verified
+
+
+def test_curriculum_order_dense_and_stage_sorted(spark, sf_dir):
+    """curriculum_pos is a dense permutation 0..N-1 and stage is
+    non-increasing along it (quality-first); within a stage the order
+    matches the seeded hash."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import sampling
+
+    rows = sorted(
+        sampling.sample_curriculum_order(spark, sf_dir).collect(),
+        key=lambda r: r["curriculum_pos"],
+    )
+    n = load(spark, "documents", sf_dir).count()
+    assert [r["curriculum_pos"] for r in rows] == list(range(n))
+    stages = [r["stage"] for r in rows]
+    assert stages == sorted(stages, reverse=True)
