@@ -28,7 +28,9 @@ from real_time_streaming_system_with_apache_kafka_spark.operators import (  # no
     curation,
     dedup,
     pipeline_analytics,
+    sampling,
     similarity,
+    text,
 )
 from real_time_streaming_system_with_apache_kafka_spark.session import (  # noqa: E402
     get_session,
@@ -97,6 +99,34 @@ def main() -> None:
             f"{r['prev_type']}->{r['event_type']} ({r['share']:.1%})"
             for r in top
         )
+    )
+
+    funnel = curation.curation_funnel(spark, sf_dir).collect()
+    worst = min(funnel, key=lambda r: r["survival_rate"])
+    print(
+        f"[9] curation funnel: {sum(r['n_raw'] for r in funnel)} raw -> "
+        f"{sum(r['n_quality'] for r in funnel)} quality -> "
+        f"{sum(r['n_unique'] for r in funnel)} unique; worst source "
+        f"{worst['source']} at {worst['survival_rate']:.0%}"
+    )
+
+    merges = text.vocab_bpe_learn_merges(spark, sf_dir).collect()
+    print(
+        "[10] BPE merges learned: "
+        + ", ".join(
+            f"#{r['merge_rank']} '{r['merge_left']}'+'{r['merge_right']}'"
+            f" (w={r['weight']})"
+            for r in sorted(merges, key=lambda r: r["merge_rank"])
+        )
+    )
+
+    cur = sampling.sample_curriculum_order(spark, sf_dir)
+    head = cur.orderBy("curriculum_pos").limit(1).collect()[0]
+    tail = cur.orderBy(F.desc("curriculum_pos")).limit(1).collect()[0]
+    print(
+        f"[11] curriculum order: doc {head['doc_id']} first "
+        f"(stage {head['stage']}), doc {tail['doc_id']} last "
+        f"(stage {tail['stage']})"
     )
 
 

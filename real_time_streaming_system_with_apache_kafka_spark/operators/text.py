@@ -283,6 +283,145 @@ def vocab_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MERGE_ROUNDS = 3
+# Merged symbols ride as Unicode private-use chars (U+E000 + round)
+# between rounds; they can never collide with corpus characters and
+# expand back to plain strings in the output.
+
+
+def vocab_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL BPE merge learning, {BPE_MERGE_ROUNDS} rounds with
+    re-segmentation: each round ranks adjacent symbol pairs by
+    corpus-weighted frequency, merges the winner everywhere (greedy
+    left-to-right, the BPE convention), and re-ranks over the merged
+    vocabulary — emitting the merge table (rank, left, right, weight)
+    a BPE tokenizer ships as merges.txt. Iteration 1 alone is
+    ``vocab_bpe_pair_stats``; this operator is the training loop.
+
+    Scale shape: the corpus is touched ONCE (token explode with
+    map-side combine into word frequencies, localCheckpointed);
+    every round after runs on the VOCABULARY (sublinear in corpus
+    size) and returns exactly one (pair, weight) row to the driver —
+    O(1) model state per round, the same driver-traffic contract as
+    learn_centroids/PQ. Merged symbols ride as private-use sentinel
+    chars so re-segmentation is a codegen ``replace``, not a
+    re-tokenization.
+
+    Exactness: weights are integer sums; the winner ties-break on the
+    pair string, and greedy left-to-right non-overlapping replace is
+    the same algorithm in the JVM and DuckDB — the oracle unrolls the
+    rounds as chained CTEs (scalar-subquery winners feeding the next
+    round's replace) and matches exactly."""
+    docs = load(spark, "documents", sf_dir)
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    return learn_merges(vocab, BPE_MERGE_ROUNDS)
+
+
+def learn_merges(vocab: DataFrame, rounds: int) -> DataFrame:
+    """The BPE training loop over a (word, freq) vocabulary DataFrame —
+    factored out so tests can drive it with crafted vocabularies that
+    force merged symbols into later winners (exercising the sentinel
+    expansion path the natural corpus may not hit in few rounds)."""
+    spark = vocab.sparkSession
+    expand: dict[str, str] = {}
+    merges: list[tuple[int, str, str, int]] = []
+    cur = vocab
+    for r in range(rounds):
+        pairs = cur.filter(F.length("word") >= 2).select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.col("word").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("weight"))
+            .orderBy(F.desc("weight"), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, weight = top[0]["pair"], int(top[0]["weight"])
+        left = expand.get(pair[0], pair[0])
+        right = expand.get(pair[1], pair[1])
+        sentinel = chr(0xE000 + r)  # private-use, one per round
+        expand[sentinel] = left + right
+        merges.append((r + 1, left, right, weight))
+        cur = cur.select(
+            F.replace(F.col("word"), F.lit(pair), F.lit(sentinel)).alias("word"),
+            "freq",
+        )
+    return spark.createDataFrame(
+        merges, "merge_rank int, merge_left string, merge_right string, weight bigint"
+    )
+
+
+def _bpe_merges_oracle() -> str:
+    """Unrolled {BPE_MERGE_ROUNDS}-round BPE oracle: tN picks round
+    N's winner, wN is the re-segmented vocabulary, eN the sentinel's
+    plain-string expansion; the final UNION expands each winner's two
+    symbols back to strings."""
+    s1, s2 = "chr(57344)", "chr(57345)"  # , 
+
+    def pair_cte(src: str) -> str:
+        return f"""(
+            SELECT substr(word, cast(i AS int), 2) AS pair,
+                   sum(freq) AS weight
+            FROM {src}, unnest(range(1, length(word))) AS t(i)
+            WHERE length(word) >= 2
+            GROUP BY 1
+        )"""
+
+    def exp(x: str) -> str:
+        return (
+            f"replace(replace({x}, {s2}, (SELECT exp FROM e2)), "
+            f"{s1}, (SELECT exp FROM e1))"
+        )
+
+    rows = []
+    for r in (1, 2, 3):
+        p = f"(SELECT pair FROM t{r})"
+        rows.append(
+            f"""SELECT {r} AS merge_rank,
+               {exp(f"substr({p}, 1, 1)")} AS merge_left,
+               {exp(f"substr({p}, 2, 1)")} AS merge_right,
+               cast((SELECT weight FROM t{r}) AS bigint) AS weight"""
+        )
+    union = "\n        UNION ALL\n        ".join(rows)
+    return f"""
+        WITH w0 AS (
+            SELECT word, count(*) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word <> ''
+            GROUP BY word
+        ),
+        p1 AS {pair_cte('w0')},
+        t1 AS (SELECT pair, weight FROM p1 ORDER BY weight DESC, pair LIMIT 1),
+        w1 AS (SELECT replace(word, (SELECT pair FROM t1), {s1}) AS word, freq
+               FROM w0),
+        p2 AS {pair_cte('w1')},
+        t2 AS (SELECT pair, weight FROM p2 ORDER BY weight DESC, pair LIMIT 1),
+        w2 AS (SELECT replace(word, (SELECT pair FROM t2), {s2}) AS word, freq
+               FROM w1),
+        p3 AS {pair_cte('w2')},
+        t3 AS (SELECT pair, weight FROM p3 ORDER BY weight DESC, pair LIMIT 1),
+        e1 AS (SELECT pair AS exp FROM t1),
+        e2 AS (SELECT replace(pair, {s1}, (SELECT exp FROM e1)) AS exp FROM t2)
+        {union}
+    """
+
+
 QUERIES = {
     "corpus_curation_pipeline": corpus_curation_pipeline,
     "text_stats_quality": text_stats_quality,
@@ -292,6 +431,7 @@ QUERIES = {
     "text_token_stats_by_lang": text_token_stats_by_lang,
     "text_ngram_diversity": text_ngram_diversity,
     "vocab_bpe_pair_stats": vocab_bpe_pair_stats,
+    "vocab_bpe_learn_merges": vocab_bpe_learn_merges,
 }
 
 def _sw_literal(words: list[str]) -> str:
@@ -359,6 +499,7 @@ ORACLES = {
         ORDER BY weight DESC, pair
         LIMIT {BPE_TOP_PAIRS}
     """,
+    "vocab_bpe_learn_merges": _bpe_merges_oracle(),
     "corpus_curation_pipeline": f"""
         WITH base AS (
             SELECT doc_id, lang, text,

@@ -42,8 +42,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # url_canonical_dedup, quality_lm_surprise, quality_domain_calibrated,
 # mask_span_plan, embed_pca_power, sim_hard_negatives,
 # event_transition_matrix, curation_funnel, dedup_quality_survivor,
-# vocab_bpe_pair_stats, dedup_lsh_calibration, sample_curriculum_order)
-# — ~40 entries; prioritize the never-signed
+# vocab_bpe_pair_stats, dedup_lsh_calibration, sample_curriculum_order,
+# vocab_bpe_learn_merges) — ~41 entries; prioritize the never-signed
 # suites, spill the remainder to r6.
 _PRIORITY: list[str] = [
     # §2 sentinels — pinned every round.

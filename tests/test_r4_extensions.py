@@ -324,3 +324,60 @@ def test_curriculum_order_dense_and_stage_sorted(spark, sf_dir):
     assert [r["curriculum_pos"] for r in rows] == list(range(n))
     stages = [r["stage"] for r in rows]
     assert stages == sorted(stages, reverse=True)
+
+
+def _ref_bpe(vocab: dict, rounds: int):
+    """Pure-Python reference BPE with the operator's exact conventions:
+    symbols ride as chars (merge r -> chr(0xE000+r)), winner ties break
+    on the pair string, merging is str.replace (greedy left-to-right
+    non-overlapping — the same algorithm in the JVM and DuckDB)."""
+    expand: dict = {}
+    merges = []
+    cur = dict(vocab)
+    for r in range(rounds):
+        w: dict = {}
+        for word, f in cur.items():
+            for i in range(len(word) - 1):
+                p = word[i : i + 2]
+                w[p] = w.get(p, 0) + f
+        if not w:
+            break
+        pair = min(w, key=lambda p: (-w[p], p))
+        sent = chr(0xE000 + r)
+        left = expand.get(pair[0], pair[0])
+        right = expand.get(pair[1], pair[1])
+        expand[sent] = left + right
+        merges.append((r + 1, left, right, w[pair]))
+        nxt: dict = {}
+        for word, f in cur.items():
+            w2 = word.replace(pair, sent)
+            nxt[w2] = nxt.get(w2, 0) + f
+        cur = nxt
+    return merges
+
+
+def test_bpe_learn_merges_matches_reference(spark, sf_dir):
+    """The distributed training loop equals a sequential reference BPE
+    over the same vocabulary, on the real corpus AND on a crafted
+    vocabulary that forces a merged symbol into the round-2 winner
+    (exercising sentinel expansion)."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import text as t
+
+    vocab_rows = (
+        load(spark, "documents", sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .collect()
+    )
+    vocab = {r["word"]: r["freq"] for r in vocab_rows}
+    got = sorted(map(tuple, t.vocab_bpe_learn_merges(spark, sf_dir).collect()))
+    assert got == _ref_bpe(vocab, t.BPE_MERGE_ROUNDS)
+
+    crafted = spark.createDataFrame(
+        [("abc", 100), ("ab", 10)], "word string, freq bigint"
+    )
+    got2 = sorted(map(tuple, t.learn_merges(crafted, 2).collect()))
+    assert got2 == [(1, "a", "b", 110), (2, "ab", "c", 100)]
+    assert got2 == _ref_bpe({"abc": 100, "ab": 10}, 2)
