@@ -381,3 +381,18 @@ def test_bpe_learn_merges_matches_reference(spark, sf_dir):
     got2 = sorted(map(tuple, t.learn_merges(crafted, 2).collect()))
     assert got2 == [(1, "a", "b", 110), (2, "ab", "c", 100)]
     assert got2 == _ref_bpe({"abc": 100, "ab": 10}, 2)
+
+
+def test_bpe_pair_stats_agrees_with_training_round_one(spark, sf_dir):
+    """The single-iteration ranking operator and round 1 of the
+    training loop must crown the same merge with the same weight."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import text as t
+
+    top = t.vocab_bpe_pair_stats(spark, sf_dir).collect()[0]
+    first = (
+        t.vocab_bpe_learn_merges(spark, sf_dir)
+        .filter(F.col("merge_rank") == 1)
+        .collect()[0]
+    )
+    assert first["merge_left"] + first["merge_right"] == top["pair"]
+    assert first["weight"] == top["weight"]
