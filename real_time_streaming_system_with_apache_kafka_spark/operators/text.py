@@ -313,14 +313,20 @@ def vocab_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds as chained CTEs (scalar-subquery winners feeding the next
     round's replace) and matches exactly."""
     docs = load(spark, "documents", sf_dir)
-    vocab = (
+    return learn_merges(_corpus_vocab(docs), BPE_MERGE_ROUNDS)
+
+
+def _corpus_vocab(docs: DataFrame) -> DataFrame:
+    """(word, freq) vocabulary — the one corpus-sized pass of the BPE
+    lifecycle, checkpointed so training rounds scan the vocabulary,
+    not the corpus lineage."""
+    return (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .localCheckpoint(eager=True)
     )
-    return learn_merges(vocab, BPE_MERGE_ROUNDS)
 
 
 def learn_merges(vocab: DataFrame, rounds: int) -> DataFrame:
@@ -329,8 +335,26 @@ def learn_merges(vocab: DataFrame, rounds: int) -> DataFrame:
     force merged symbols into later winners (exercising the sentinel
     expansion path the natural corpus may not hit in few rounds)."""
     spark = vocab.sparkSession
+    merges = [
+        (rank, left, right, weight)
+        for rank, _pair, _sent, left, right, weight in _learn_merges_raw(
+            vocab, rounds
+        )
+    ]
+    return spark.createDataFrame(
+        merges, "merge_rank int, merge_left string, merge_right string, weight bigint"
+    )
+
+
+def _learn_merges_raw(
+    vocab: DataFrame, rounds: int
+) -> list[tuple[int, str, str, str, str, int]]:
+    """Training core returning (rank, pair, sentinel, left, right,
+    weight) — pair/sentinel are the sentinel-space forms the APPLY
+    step replays as a replace chain; left/right are the expanded
+    plain strings the merge table publishes."""
     expand: dict[str, str] = {}
-    merges: list[tuple[int, str, str, int]] = []
+    merges: list[tuple[int, str, str, str, str, int]] = []
     cur = vocab
     for r in range(rounds):
         pairs = cur.filter(F.length("word") >= 2).select(
@@ -356,13 +380,53 @@ def learn_merges(vocab: DataFrame, rounds: int) -> DataFrame:
         right = expand.get(pair[1], pair[1])
         sentinel = chr(0xE000 + r)  # private-use, one per round
         expand[sentinel] = left + right
-        merges.append((r + 1, left, right, weight))
+        merges.append((r + 1, pair, sentinel, left, right, weight))
         cur = cur.select(
             F.replace(F.col("word"), F.lit(pair), F.lit(sentinel)).alias("word"),
             "freq",
         )
-    return spark.createDataFrame(
-        merges, "merge_rank int, merge_left string, merge_right string, weight bigint"
+    return merges
+
+
+def tokenize_with_learned_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of the tokenizer lifecycle: train the
+    {BPE_MERGE_ROUNDS}-round merge table (above), then segment every
+    document with it and report per-doc symbol counts before/after —
+    the fertility/compression audit run after every tokenizer change.
+
+    Scale shape: training as in ``vocab_bpe_learn_merges`` (one corpus
+    pass + vocabulary-sized rounds); application is a SECOND corpus
+    scan where the learned merges replay as a literal codegen
+    ``replace`` chain inside a higher-order sum over the words array —
+    zero shuffle, no explode, embarrassingly parallel. The oracle
+    reruns the training CTEs and applies the same replaces via scalar
+    subqueries, so train and apply stay one definition."""
+    docs = load(spark, "documents", sf_dir)
+    raw = _learn_merges_raw(_corpus_vocab(docs), BPE_MERGE_ROUNDS)
+
+    def merged_len(w):  # noqa: ANN001 — lambda-var Column
+        x = w
+        for _rank, pair, sentinel, _l, _r, _w in raw:
+            x = F.replace(x, F.lit(pair), F.lit(sentinel))
+        return F.length(x)
+
+    words = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    total = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0), lambda acc, x: acc + x
+    )
+    lb = total(F.transform(words, lambda w: F.length(w)))
+    la = total(F.transform(words, merged_len))
+    return (
+        docs.select(
+            "doc_id",
+            lb.cast("long").alias("n_symbols_before"),
+            la.cast("long").alias("n_symbols_after"),
+        )
+        .filter(F.col("n_symbols_before") > 0)
+        .withColumn(
+            "compression",
+            F.col("n_symbols_after").cast("double") / F.col("n_symbols_before"),
+        )
     )
 
 
@@ -371,16 +435,7 @@ def _bpe_merges_oracle() -> str:
     N's winner, wN is the re-segmented vocabulary, eN the sentinel's
     plain-string expansion; the final UNION expands each winner's two
     symbols back to strings."""
-    s1, s2 = "chr(57344)", "chr(57345)"  # , 
-
-    def pair_cte(src: str) -> str:
-        return f"""(
-            SELECT substr(word, cast(i AS int), 2) AS pair,
-                   sum(freq) AS weight
-            FROM {src}, unnest(range(1, length(word))) AS t(i)
-            WHERE length(word) >= 2
-            GROUP BY 1
-        )"""
+    s1, s2 = _BPE_S1, _BPE_S2
 
     def exp(x: str) -> str:
         return (
@@ -399,7 +454,33 @@ def _bpe_merges_oracle() -> str:
         )
     union = "\n        UNION ALL\n        ".join(rows)
     return f"""
-        WITH w0 AS (
+        WITH {_bpe_training_ctes()},
+        e1 AS (SELECT pair AS exp FROM t1),
+        e2 AS (SELECT replace(pair, {s1}, (SELECT exp FROM e1)) AS exp FROM t2)
+        {union}
+    """
+
+
+_BPE_S1, _BPE_S2, _BPE_S3 = "chr(57344)", "chr(57345)", "chr(57346)"
+
+
+def _bpe_training_ctes() -> str:
+    """The shared unrolled-training CTE chain (w0 vocabulary, pN pair
+    stats, tN winners, wN re-segmented vocabularies) — one SQL
+    definition for the merge-table oracle AND the tokenize-apply
+    oracle, mirroring the one ``_learn_merges_raw`` on the engine
+    side."""
+
+    def pair_cte(src: str) -> str:
+        return f"""(
+            SELECT substr(word, cast(i AS int), 2) AS pair,
+                   sum(freq) AS weight
+            FROM {src}, unnest(range(1, length(word))) AS t(i)
+            WHERE length(word) >= 2
+            GROUP BY 1
+        )"""
+
+    return f"""w0 AS (
             SELECT word, count(*) AS freq
             FROM (SELECT unnest(string_split(text, ' ')) AS word
                   FROM documents)
@@ -408,17 +489,44 @@ def _bpe_merges_oracle() -> str:
         ),
         p1 AS {pair_cte('w0')},
         t1 AS (SELECT pair, weight FROM p1 ORDER BY weight DESC, pair LIMIT 1),
-        w1 AS (SELECT replace(word, (SELECT pair FROM t1), {s1}) AS word, freq
+        w1 AS (SELECT replace(word, (SELECT pair FROM t1), {_BPE_S1}) AS word,
+                      freq
                FROM w0),
         p2 AS {pair_cte('w1')},
         t2 AS (SELECT pair, weight FROM p2 ORDER BY weight DESC, pair LIMIT 1),
-        w2 AS (SELECT replace(word, (SELECT pair FROM t2), {s2}) AS word, freq
+        w2 AS (SELECT replace(word, (SELECT pair FROM t2), {_BPE_S2}) AS word,
+                      freq
                FROM w1),
         p3 AS {pair_cte('w2')},
-        t3 AS (SELECT pair, weight FROM p3 ORDER BY weight DESC, pair LIMIT 1),
-        e1 AS (SELECT pair AS exp FROM t1),
-        e2 AS (SELECT replace(pair, {s1}, (SELECT exp FROM e1)) AS exp FROM t2)
-        {union}
+        t3 AS (SELECT pair, weight FROM p3 ORDER BY weight DESC, pair LIMIT 1)"""
+
+
+def _bpe_tokenize_oracle() -> str:
+    """Apply oracle: rerun the training CTEs, then segment every word
+    of every document with the three winners (scalar subqueries) and
+    aggregate per-doc symbol counts."""
+    merged = (
+        f"replace(replace(replace(w, (SELECT pair FROM t1), {_BPE_S1}), "
+        f"(SELECT pair FROM t2), {_BPE_S2}), "
+        f"(SELECT pair FROM t3), {_BPE_S3})"
+    )
+    return f"""
+        WITH {_bpe_training_ctes()},
+        dw AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, length(w) AS lb, length({merged}) AS la
+            FROM dw WHERE w <> ''
+        )
+        SELECT doc_id,
+               cast(sum(lb) AS bigint) AS n_symbols_before,
+               cast(sum(la) AS bigint) AS n_symbols_after,
+               cast(sum(la) AS double) / sum(lb) AS compression
+        FROM m
+        GROUP BY doc_id
+        HAVING sum(lb) > 0
     """
 
 
@@ -432,6 +540,7 @@ QUERIES = {
     "text_ngram_diversity": text_ngram_diversity,
     "vocab_bpe_pair_stats": vocab_bpe_pair_stats,
     "vocab_bpe_learn_merges": vocab_bpe_learn_merges,
+    "tokenize_with_learned_bpe": tokenize_with_learned_bpe,
 }
 
 def _sw_literal(words: list[str]) -> str:
@@ -500,6 +609,7 @@ ORACLES = {
         LIMIT {BPE_TOP_PAIRS}
     """,
     "vocab_bpe_learn_merges": _bpe_merges_oracle(),
+    "tokenize_with_learned_bpe": _bpe_tokenize_oracle(),
     "corpus_curation_pipeline": f"""
         WITH base AS (
             SELECT doc_id, lang, text,

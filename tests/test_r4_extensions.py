@@ -396,3 +396,28 @@ def test_bpe_pair_stats_agrees_with_training_round_one(spark, sf_dir):
     )
     assert first["merge_left"] + first["merge_right"] == top["pair"]
     assert first["weight"] == top["weight"]
+
+
+def test_tokenize_apply_compression_law(spark, sf_dir):
+    """Applying the learned merges can only shrink: after <= before per
+    doc, and the corpus-wide shrinkage equals the sum of the merge
+    weights STILL PRESENT at each round's application time — bounded
+    above by the published weights."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import text as t
+
+    rows = t.tokenize_with_learned_bpe(spark, sf_dir).collect()
+    assert rows
+    n_docs = load(spark, "documents", sf_dir).count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert 0 < r["n_symbols_after"] <= r["n_symbols_before"]
+        assert abs(
+            r["compression"] - r["n_symbols_after"] / r["n_symbols_before"]
+        ) < 1e-12
+    # Each sentinel replaces a 2-symbol pair: total symbols saved ==
+    # total pair occurrences merged == exactly the sum of the three
+    # merge weights (weights are counted on the SAME vocabulary state
+    # each round applies to).
+    merges = t.vocab_bpe_learn_merges(spark, sf_dir).collect()
+    saved = sum(r["n_symbols_before"] - r["n_symbols_after"] for r in rows)
+    assert saved == sum(m["weight"] for m in merges)
