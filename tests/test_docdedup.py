@@ -145,3 +145,45 @@ def test_streaming_quality_gate_matches_batch(spark, sf_smoke, tmp_path):
     }
     assert got == want
     assert 0 < len(want) < len(docs)  # the gate discriminates
+
+
+def test_streaming_pipeline_counts_match_batch_funnel(spark, sf_smoke, tmp_path):
+    """The online pipeline (quality gate -> exact dedup) yields exactly
+    the batch ``curation_funnel`` stage totals: gated-doc count equals
+    Σ n_quality and survivor count equals Σ n_unique — the per-source
+    batch audit and the streaming path tell one story."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators.curation import (
+        curation_funnel,
+    )
+    from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
+
+    docs = load(spark, "documents", sf_smoke).select("doc_id", "text").collect()
+    path = tmp_path / "fdocs"
+    path.mkdir()
+    rows = [
+        json.dumps(
+            {
+                "doc_id": r.doc_id,
+                "text": r.text,
+                "ingest_ts": f"2026-01-05T10:{r.doc_id % 60:02d}:00",
+            }
+        )
+        for r in docs
+    ]
+    for chunk in range(2):
+        (path / f"part-{chunk}.json").write_text("\n".join(rows[chunk::2]) + "\n")
+
+    stream = docdedup.read_document_stream_from_json_dir(spark, str(path))
+    gated = _drain(docdedup.gate_quality(stream), "funnel_gate")
+    deduped = _drain(
+        docdedup.filter_exact_duplicates(
+            docdedup.gate_quality(
+                docdedup.read_document_stream_from_json_dir(spark, str(path))
+            ),
+            watermark="10 minutes",
+        ),
+        "funnel_dedup",
+    )
+    funnel = curation_funnel(spark, sf_smoke).collect()
+    assert gated.count() == sum(r["n_quality"] for r in funnel)
+    assert deduped.count() == sum(r["n_unique"] for r in funnel)
