@@ -231,3 +231,45 @@ def minute_checksum_stream(
         )
         .select(F.col("w.start").alias("window_start"), "n_rows", "hash_sum")
     )
+
+
+def ohlc_bars_stream(
+    trades: DataFrame, watermark: str | None = "2 minutes"
+) -> DataFrame:
+    """Per-minute OHLC price bars per instrument — the streaming twin
+    of ``operators/timeseries.py::ts_ohlc_bars``: open/close are
+    arg-min/arg-max over the TOTAL order (timestamp, trade_id), so the
+    bar is deterministic on tied timestamps and identical to the batch
+    recompute over the same wire data; the volume sum is decimal-exact
+    then presented as double (one conversion). min_by/max_by are
+    incremental-aggregation-safe: each micro-batch folds into the
+    stored (key, value) partial, watermark-bounded state per
+    (instrument, window)."""
+    if watermark is not None:
+        trades = trades.withWatermark("timestamp", watermark)
+    ordkey = F.struct(F.col("timestamp"), F.col("trade_id"))
+    return (
+        trades.groupBy(
+            "instrument", F.window(F.col("timestamp"), "1 minute").alias("w")
+        )
+        .agg(
+            F.min_by("price", ordkey).alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", ordkey).alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+            F.sum(F.col("notional_value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("volume"),
+        )
+        .select(
+            "instrument",
+            F.col("w.start").alias("window_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_trades",
+            "volume",
+        )
+    )

@@ -504,3 +504,53 @@ def test_trades_rate_stream_plan_and_determinism(spark):
     # Redelivered payloads are byte-identical — the at-least-once shape
     # dropDuplicatesWithinWatermark absorbs without a tiebreaker.
     assert all(len(set(v)) == 1 for v in dups.values())
+
+
+def test_ohlc_stream_matches_batch(spark, wire_dir):
+    """Streaming per-minute OHLC equals the batch recompute over the
+    same wire data: arg-min/arg-max over the (timestamp, trade_id)
+    total order make the bars micro-batch- and arrival-order-
+    independent."""
+    path, n_base, n_dup = wire_dir
+    stream = ingest.read_trade_stream_from_json_dir(spark, path)
+    got = sorted(
+        map(tuple, _drain(windowed.ohlc_bars_stream(stream), "ohlc", mode="complete").collect()),
+        key=str,
+    )
+    parsed = ingest.parse_wire(spark.read.text(path), value_col="value")
+    ordkey = F.struct(F.col("timestamp"), F.col("trade_id"))
+    want = sorted(
+        map(
+            tuple,
+            parsed.groupBy(
+                "instrument", F.window("timestamp", "1 minute").alias("w")
+            )
+            .agg(
+                F.min_by("price", ordkey).alias("open"),
+                F.max("price").alias("high"),
+                F.min("price").alias("low"),
+                F.max_by("price", ordkey).alias("close"),
+                F.count(F.lit(1)).alias("n_trades"),
+                F.sum(F.col("notional_value").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("volume"),
+            )
+            .select(
+                "instrument",
+                F.col("w.start").alias("window_start"),
+                "open",
+                "high",
+                "low",
+                "close",
+                "n_trades",
+                "volume",
+            )
+            .collect(),
+        ),
+        key=str,
+    )
+    assert got == want
+    assert len(got) > 1
+    for r in got:
+        lo, hi = r[4], r[3]
+        assert lo <= r[2] <= hi and lo <= r[5] <= hi  # open/close within [low, high]
