@@ -80,6 +80,38 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_topk(_all_pairs(emb))
 
 
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@K of the LSH ANN index against exact brute-force
+    ground truth, per query — the same "measure, don't guess" audit as
+    ``dedup_lsh_calibration``, for the vector side: before trusting a
+    bucketed index at 100 TB you run this on a sample and read the
+    recall, you don't assume the hyperplane count is right.
+
+    Scale shape: the ground-truth side is the documented all-pairs
+    baseline over the SAMPLE of query vectors (N_QUERIES rows
+    broadcast); the index side is the production bucketed path; the
+    comparison join touches only 2×K×N_QUERIES id pairs. The recall
+    tests in tests/test_similarity.py assert thresholds; this operator
+    publishes the number."""
+    truth = sim_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = (
+        sim_lsh_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k"), F.count("hit").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("k")).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def cell_centroids(emb: DataFrame) -> DataFrame:
     """Decimal-exact per-cell mean vectors: posexplode -> exact sum per
     (cell, dim) -> collect back into ordered arrays."""
@@ -1488,8 +1520,29 @@ QUERIES = {
     "sim_range_search": sim_range_search,
     "sim_knn_join": sim_knn_join,
     "sim_hard_negatives": sim_hard_negatives,
+    "sim_ann_recall_eval": sim_ann_recall_eval,
     "embed_pca_power": embed_pca_power,
 }
+
+def _bf_oracle_sql() -> str:
+    return f"""
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   {oracle_cosine('q.embedding', 'n.embedding')} AS cos
+            FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+            CROSS JOIN embeddings n
+            WHERE q.vec_id <> n.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, cast(rank AS int) AS rank, neighbor_id, cos
+        FROM ranked WHERE rank <= {TOP_K}
+    """
+
 
 ORACLES = {
     "embed_pca_power": _pca_oracle_sql(),
@@ -1514,27 +1567,24 @@ ORACLES = {
         WHERE rank <= {TOP_K}
     """,
     "sim_ivfpq_topk": _ivfpq_oracle_sql(),
-    "sim_bruteforce_topk": f"""
-        WITH scored AS (
-            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-                   {oracle_cosine('q.embedding', 'n.embedding')} AS cos
-            FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
-            CROSS JOIN embeddings n
-            WHERE q.vec_id <> n.vec_id
-        ),
-        ranked AS (
-            SELECT query_id, neighbor_id, cos,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY cos DESC, neighbor_id) AS rank
-            FROM scored
-        )
-        SELECT query_id, cast(rank AS int) AS rank, neighbor_id, cos
-        FROM ranked WHERE rank <= {TOP_K}
-    """,
+    "sim_bruteforce_topk": _bf_oracle_sql(),
     # Full LSH twin (upgraded from rows-only in r3): quantized-integer
     # sign bits make the bucket assignment SQL-expressible; the seeded
     # hyperplanes are regenerated and inlined as literals.
     "sim_lsh_topk": _lsh_oracle_sql(),
+    # Recall audit: exact ground truth (bf) LEFT JOIN the index's
+    # answer set (ax) on (query, neighbor); per-query hit fraction.
+    "sim_ann_recall_eval": f"""
+        WITH bf AS ({_bf_oracle_sql()}),
+        ax AS ({_lsh_oracle_sql()})
+        SELECT bf.query_id,
+               count(ax.neighbor_id) AS n_hits,
+               cast(count(ax.neighbor_id) AS double) / count(*) AS recall
+        FROM bf LEFT JOIN ax
+          ON bf.query_id = ax.query_id AND bf.neighbor_id = ax.neighbor_id
+        GROUP BY bf.query_id
+        ORDER BY bf.query_id
+    """,
     "sim_hard_negatives": _lsh_oracle_sql(label_negatives=True),
     # Full learned-k-means twin (upgraded from rows-only in r3):
     # Lloyd's loop unrolled as chained CTE stages — see

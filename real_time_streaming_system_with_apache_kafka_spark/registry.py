@@ -43,7 +43,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # mask_span_plan, embed_pca_power, sim_hard_negatives,
 # event_transition_matrix, curation_funnel, dedup_quality_survivor,
 # vocab_bpe_pair_stats, dedup_lsh_calibration, sample_curriculum_order,
-# vocab_bpe_learn_merges, tokenize_with_learned_bpe) — ~42 entries;
+# vocab_bpe_learn_merges, tokenize_with_learned_bpe,
+# sim_ann_recall_eval) — ~43 entries;
 # prioritize the never-signed
 # suites, spill the remainder to r6.
 _PRIORITY: list[str] = [

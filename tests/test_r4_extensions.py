@@ -421,3 +421,20 @@ def test_tokenize_apply_compression_law(spark, sf_dir):
     merges = t.vocab_bpe_learn_merges(spark, sf_dir).collect()
     saved = sum(r["n_symbols_before"] - r["n_symbols_after"] for r in rows)
     assert saved == sum(m["weight"] for m in merges)
+
+
+def test_ann_recall_eval_reconciles_with_overlap(spark, sf_dir):
+    """Per-query recall equals the measured top-K overlap between the
+    index and the brute-force truth, computed independently here."""
+    rows = similarity.sim_ann_recall_eval(spark, sf_dir).collect()
+    assert len(rows) == similarity.N_QUERIES
+    truth: dict[int, set] = {}
+    for r in similarity.sim_bruteforce_topk(spark, sf_dir).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got: dict[int, set] = {}
+    for r in similarity.sim_lsh_topk(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in rows:
+        inter = len(truth[r["query_id"]] & got.get(r["query_id"], set()))
+        assert r["n_hits"] == inter
+        assert abs(r["recall"] - inter / similarity.TOP_K) < 1e-12
