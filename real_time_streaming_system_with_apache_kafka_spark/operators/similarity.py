@@ -341,15 +341,20 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = (
         base.select(F.posexplode("xq").alias("dim", "x"))
         .groupBy("dim")
-        # every dim appears once per row, so any dim's count IS the
-        # corpus size — one job instead of a separate base.count()
-        .agg(F.sum("x").alias("s"), F.count("x").alias("n"))
+        # every dim appears once per row, so each dim's row count IS
+        # the corpus size — one job instead of a separate base.count().
+        # count(lit(1)) not count(x): null-skipping would make counts
+        # dim-dependent on a corrupt array, and collect order of a
+        # groupBy is arbitrary; max() below turns "any null component"
+        # into at worst a loud centering mismatch, not a silent
+        # arbitrary-dim pick.
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
     )
     s_vec = [0] * EMBEDDING_DIM
     n_rows = 0
     for r in stats.collect():
         s_vec[r["dim"]] = int(r["s"])
-        n_rows = int(r["n"])
+        n_rows = max(n_rows, int(r["n"]))
     s_lit = F.array(*[F.lit(int(v)).cast("long") for v in s_vec])
     centered = base.select(
         "vec_id",

@@ -256,22 +256,9 @@ def vocab_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     must be.
     """
     docs = load(spark, "documents", sf_dir)
-    vocab = (
-        docs.select(F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    pairs = vocab.filter(F.length("word") >= 2).select(
-        "word",
-        "freq",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("word") - 1),
-                lambda i: F.col("word").substr(i, F.lit(2)),
-            )
-        ).alias("pair"),
-    )
+    # checkpoint=False: one-shot consumer — keep the scan visible to
+    # the plan audit instead of materializing the vocabulary.
+    pairs = _adjacent_pairs(_corpus_vocab(docs, checkpoint=False))
     return (
         pairs.groupBy("pair")
         .agg(
@@ -316,16 +303,33 @@ def vocab_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_merges(_corpus_vocab(docs), BPE_MERGE_ROUNDS)
 
 
-def _corpus_vocab(docs: DataFrame) -> DataFrame:
-    """(word, freq) vocabulary — the one corpus-sized pass of the BPE
-    lifecycle, checkpointed so training rounds scan the vocabulary,
-    not the corpus lineage."""
-    return (
+def _corpus_vocab(docs: DataFrame, checkpoint: bool = True) -> DataFrame:
+    """(word, freq) vocabulary — the ONE corpus-sized pass of the BPE
+    lifecycle (pair stats, merge training, tokenize-apply all build on
+    this single definition). ``checkpoint`` materializes it so the
+    training rounds scan the vocabulary, not the corpus lineage;
+    one-shot consumers pass False to keep the pruned scan visible."""
+    vocab = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .localCheckpoint(eager=True)
+    )
+    return vocab.localCheckpoint(eager=True) if checkpoint else vocab
+
+
+def _adjacent_pairs(vocab: DataFrame) -> DataFrame:
+    """Explode each vocabulary word into its adjacent 2-symbol pairs,
+    carrying the other columns — the single engine-side definition of
+    the BPE pair statistic (mirrored by ``_bpe_pair_cte`` in SQL)."""
+    return vocab.filter(F.length("word") >= 2).select(
+        *vocab.columns,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
     )
 
 
@@ -357,15 +361,7 @@ def _learn_merges_raw(
     merges: list[tuple[int, str, str, str, str, int]] = []
     cur = vocab
     for r in range(rounds):
-        pairs = cur.filter(F.length("word") >= 2).select(
-            "freq",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("word") - 1),
-                    lambda i: F.col("word").substr(i, F.lit(2)),
-                )
-            ).alias("pair"),
-        )
+        pairs = _adjacent_pairs(cur).select("freq", "pair")
         top = (
             pairs.groupBy("pair")
             .agg(F.sum("freq").alias("weight"))
@@ -464,15 +460,20 @@ def _bpe_merges_oracle() -> str:
 _BPE_S1, _BPE_S2, _BPE_S3 = "chr(57344)", "chr(57345)", "chr(57346)"
 
 
-def _bpe_training_ctes() -> str:
-    """The shared unrolled-training CTE chain (w0 vocabulary, pN pair
-    stats, tN winners, wN re-segmented vocabularies) — one SQL
-    definition for the merge-table oracle AND the tokenize-apply
-    oracle, mirroring the one ``_learn_merges_raw`` on the engine
-    side."""
+# Shared SQL twins of _corpus_vocab / _adjacent_pairs — the one
+# definition every BPE oracle (pair stats, merge table, tokenize
+# apply) builds from.
+_BPE_W0_SQL = """(
+            SELECT word, count(*) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word <> ''
+            GROUP BY word
+        )"""
 
-    def pair_cte(src: str) -> str:
-        return f"""(
+
+def _bpe_pair_cte(src: str) -> str:
+    return f"""(
             SELECT substr(word, cast(i AS int), 2) AS pair,
                    sum(freq) AS weight
             FROM {src}, unnest(range(1, length(word))) AS t(i)
@@ -480,13 +481,16 @@ def _bpe_training_ctes() -> str:
             GROUP BY 1
         )"""
 
-    return f"""w0 AS (
-            SELECT word, count(*) AS freq
-            FROM (SELECT unnest(string_split(text, ' ')) AS word
-                  FROM documents)
-            WHERE word <> ''
-            GROUP BY word
-        ),
+
+def _bpe_training_ctes() -> str:
+    """The shared unrolled-training CTE chain (w0 vocabulary, pN pair
+    stats, tN winners, wN re-segmented vocabularies) — one SQL
+    definition for the merge-table oracle AND the tokenize-apply
+    oracle, mirroring the one ``_learn_merges_raw`` on the engine
+    side."""
+    pair_cte = _bpe_pair_cte
+
+    return f"""w0 AS {_BPE_W0_SQL},
         p1 AS {pair_cte('w0')},
         t1 AS (SELECT pair, weight FROM p1 ORDER BY weight DESC, pair LIMIT 1),
         w1 AS (SELECT replace(word, (SELECT pair FROM t1), {_BPE_S1}) AS word,
@@ -587,17 +591,14 @@ _LANGID_SQL = f"""
 """
 
 ORACLES = {
+    # w0 is the shared vocabulary CTE; the pair explode here carries
+    # the word column (for the DISTINCT support count), so it uses the
+    # row form rather than the aggregated _bpe_pair_cte.
     "vocab_bpe_pair_stats": f"""
-        WITH w AS (
-            SELECT word, count(*) AS freq
-            FROM (SELECT unnest(string_split(text, ' ')) AS word
-                  FROM documents)
-            WHERE word <> ''
-            GROUP BY word
-        ),
+        WITH w0 AS {_BPE_W0_SQL},
         p AS (
             SELECT word, freq, substr(word, cast(i AS int), 2) AS pair
-            FROM w, unnest(range(1, length(word))) AS t(i)
+            FROM w0, unnest(range(1, length(word))) AS t(i)
             WHERE length(word) >= 2
         )
         SELECT pair,

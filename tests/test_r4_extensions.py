@@ -400,9 +400,11 @@ def test_bpe_pair_stats_agrees_with_training_round_one(spark, sf_dir):
 
 def test_tokenize_apply_compression_law(spark, sf_dir):
     """Applying the learned merges can only shrink: after <= before per
-    doc, and the corpus-wide shrinkage equals the sum of the merge
-    weights STILL PRESENT at each round's application time — bounded
-    above by the published weights."""
+    doc; corpus-wide shrinkage equals a sequential reference replay of
+    the replace chain EXACTLY, and is bounded above by the published
+    weights (weights count OVERLAPPING pair positions, replace merges
+    non-overlapping left-to-right, so equality holds only when no
+    winner self-overlaps — e.g. 'aa' inside 'aaa' scores 2 but saves 1)."""
     from real_time_streaming_system_with_apache_kafka_spark.operators import text as t
 
     rows = t.tokenize_with_learned_bpe(spark, sf_dir).collect()
@@ -414,13 +416,38 @@ def test_tokenize_apply_compression_law(spark, sf_dir):
         assert abs(
             r["compression"] - r["n_symbols_after"] / r["n_symbols_before"]
         ) < 1e-12
-    # Each sentinel replaces a 2-symbol pair: total symbols saved ==
-    # total pair occurrences merged == exactly the sum of the three
-    # merge weights (weights are counted on the SAME vocabulary state
-    # each round applies to).
+    vocab = {
+        r["word"]: r["freq"]
+        for r in (
+            load(spark, "documents", sf_dir)
+            .select(F.explode(F.split("text", " ")).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .collect()
+        )
+    }
+    expected_saved, cur = 0, dict(vocab)
+    for r_i in range(t.BPE_MERGE_ROUNDS):
+        w: dict = {}
+        for word, f in cur.items():
+            for i in range(len(word) - 1):
+                pair = word[i : i + 2]
+                w[pair] = w.get(pair, 0) + f
+        if not w:
+            break
+        pair = min(w, key=lambda pp: (-w[pp], pp))
+        sent = chr(0xE000 + r_i)
+        nxt: dict = {}
+        for word, f in cur.items():
+            w2 = word.replace(pair, sent)
+            expected_saved += f * (len(word) - len(w2))
+            nxt[w2] = nxt.get(w2, 0) + f
+        cur = nxt
     merges = t.vocab_bpe_learn_merges(spark, sf_dir).collect()
     saved = sum(r["n_symbols_before"] - r["n_symbols_after"] for r in rows)
-    assert saved == sum(m["weight"] for m in merges)
+    assert saved == expected_saved
+    assert saved <= sum(m["weight"] for m in merges)
 
 
 def test_ann_recall_eval_reconciles_with_overlap(spark, sf_dir):

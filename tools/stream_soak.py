@@ -91,32 +91,41 @@ def main() -> None:
     samples: list[dict] = []
     t0 = time.monotonic()
     rows_in = 0.0
+    seen_batches: set[int] = set()
     try:
         while time.monotonic() - t0 < args.seconds:
             time.sleep(5)
-            p = query.lastProgress
-            if not p:
-                continue
-            rows_in += p.get("numInputRows") or 0
-            samples.append(
-                {
-                    "wall_s": round(time.monotonic() - t0, 1),
-                    "batch_id": p.get("batchId"),
-                    "input_rows": p.get("numInputRows"),
-                    "batch_duration_ms": (p.get("durationMs") or {}).get(
-                        "triggerExecution"
-                    ),
-                    "state_rows": [
-                        {
-                            "operator": op.get("operatorName"),
-                            "total": op.get("numRowsTotal"),
-                            "removed": op.get("numRowsRemoved"),
-                        }
-                        for op in p.get("stateOperators") or []
-                    ],
-                    "watermark": (p.get("eventTime") or {}).get("watermark"),
-                }
-            )
+            if query.exception():  # fail fast, not after --seconds
+                raise RuntimeError(str(query.exception()))
+            # recentProgress, filtered by batchId: the poll cadence and
+            # the trigger interval drift, so lastProgress alone would
+            # double-count a batch seen by two polls and lose batches
+            # that completed between polls.
+            for p in query.recentProgress:
+                bid = p.get("batchId")
+                if bid is None or bid in seen_batches:
+                    continue
+                seen_batches.add(bid)
+                rows_in += p.get("numInputRows") or 0
+                samples.append(
+                    {
+                        "wall_s": round(time.monotonic() - t0, 1),
+                        "batch_id": bid,
+                        "input_rows": p.get("numInputRows"),
+                        "batch_duration_ms": (p.get("durationMs") or {}).get(
+                            "triggerExecution"
+                        ),
+                        "state_rows": [
+                            {
+                                "operator": op.get("operatorName"),
+                                "total": op.get("numRowsTotal"),
+                                "removed": op.get("numRowsRemoved"),
+                            }
+                            for op in p.get("stateOperators") or []
+                        ],
+                        "watermark": (p.get("eventTime") or {}).get("watermark"),
+                    }
+                )
         if query.exception():
             raise RuntimeError(str(query.exception()))
     finally:
@@ -138,7 +147,8 @@ def main() -> None:
 
     ops = max((len(s["state_rows"]) for s in samples), default=0)
     per_op = []
-    bounded = True
+    # Vacuous truth guard: no samples -> no evidence -> NOT bounded.
+    bounded = ops > 0
     for i in range(ops):
         vals = series(i)
         if not vals:
