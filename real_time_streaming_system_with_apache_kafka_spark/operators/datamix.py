@@ -285,6 +285,95 @@ def mix_epoch_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANNEAL_PCT = 10  # final 10% of the budget: high-quality anneal phase
+
+
+def mix_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase training mixture with an end-of-run anneal — the
+    now-standard recipe (e.g. FineWeb/Llama-style midtraining): the
+    MAIN phase (first {100-ANNEAL_PCT}% of the token budget) samples
+    sources by natural token share; the ANNEAL phase (final
+    {ANNEAL_PCT}%) re-weights to each source's GOPHER-PASSING tokens
+    only, front-loading the cleanest data into the last steps. Emits
+    one row per (phase, source) with the exact integer token target.
+
+    Exactness: every target is integer arithmetic over exact token
+    counts — budget = BUDGET_MULT x corpus, phase split by integer
+    div, per-source target = phase_budget * metric div total_metric
+    (truncation loses < n_sources tokens per phase, documented).
+    Quality tokens reuse the SAME Gopher keep expression as the gates
+    (curation.gopher_rule_columns), so the anneal pool is
+    definitionally the gated corpus.
+
+    Scale shape: one corpus scan (gate flags are per-row codegen) into
+    a per-source aggregate; totals broadcast back; the two phase rows
+    explode from a literal array — no second scan, no shuffle beyond
+    the tiny rollup."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators.curation import (
+        gopher_rule_columns,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    keep = gopher_rule_columns()["keep"]
+    per_source = docs.groupBy("source").agg(
+        F.sum(n_tok).alias("source_tokens"),
+        F.sum(F.when(keep, n_tok).otherwise(F.lit(0))).alias("quality_tokens"),
+    )
+    totals = per_source.agg(
+        F.sum("source_tokens").alias("tt"), F.sum("quality_tokens").alias("tq")
+    )
+    main_b = (
+        f"((cast(tt AS decimal(38,0)) * {BUDGET_MULT} * {100 - ANNEAL_PCT})"
+        " div 100)"
+    )
+    anneal_b = f"(cast(tt AS decimal(38,0)) * {BUDGET_MULT} - {main_b})"
+    j = (
+        per_source.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "main_target",
+            F.expr(
+                f"cast(({main_b} * source_tokens) div greatest(tt, 1L)"
+                " AS bigint)"
+            ),
+        )
+        .withColumn(
+            "anneal_target",
+            F.expr(
+                f"cast(({anneal_b} * quality_tokens) div greatest(tq, 1L)"
+                " AS bigint)"
+            ),
+        )
+    )
+    return (
+        j.select(
+            "source",
+            "source_tokens",
+            "quality_tokens",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("anneal").alias("phase"),
+                        F.col("anneal_target").alias("target_tokens"),
+                    ),
+                    F.struct(
+                        F.lit("main").alias("phase"),
+                        F.col("main_target").alias("target_tokens"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select(
+            F.col("p.phase").alias("phase"),
+            "source",
+            "source_tokens",
+            "quality_tokens",
+            F.col("p.target_tokens").alias("target_tokens"),
+        )
+        .orderBy("phase", "source")
+    )
+
+
 QUERIES = {
     "mix_epoch_repeats": mix_epoch_repeats,
     "dedup_incremental_ingest": dedup_incremental_ingest,
@@ -292,9 +381,50 @@ QUERIES = {
     "dedup_cross_source": dedup_cross_source,
     "sample_token_budget": sample_token_budget,
     "mix_domain_weights": mix_domain_weights,
+    "mix_anneal_schedule": mix_anneal_schedule,
 }
 
+def _anneal_oracle() -> str:
+    # Shares the Gopher CTEs so the anneal pool is definitionally the
+    # gated corpus (imported here, at the one point of use).
+    from real_time_streaming_system_with_apache_kafka_spark.operators.curation import (
+        GOPHER_KEEP_SQL,
+        GOPHER_M_CTES,
+    )
+
+    main_b = (
+        f"((cast(tt AS hugeint) * {BUDGET_MULT} * {100 - ANNEAL_PCT}) // 100)"
+    )
+    anneal_b = f"(cast(tt AS hugeint) * {BUDGET_MULT} - {main_b})"
+    return f"""
+        WITH {GOPHER_M_CTES},
+        per AS (
+            SELECT source,
+                   cast(sum(n_words) AS bigint) AS source_tokens,
+                   cast(sum(CASE WHEN {GOPHER_KEEP_SQL} THEN n_words
+                                 ELSE 0 END) AS bigint) AS quality_tokens
+            FROM gm GROUP BY source
+        ),
+        tot AS (
+            SELECT sum(source_tokens) AS tt, sum(quality_tokens) AS tq
+            FROM per
+        ),
+        j AS (SELECT per.*, tt, tq FROM per CROSS JOIN tot)
+        SELECT 'anneal' AS phase, source, source_tokens, quality_tokens,
+               cast(({anneal_b} * quality_tokens) // greatest(tq, 1)
+                    AS bigint) AS target_tokens
+        FROM j
+        UNION ALL
+        SELECT 'main' AS phase, source, source_tokens, quality_tokens,
+               cast(({main_b} * source_tokens) // greatest(tt, 1)
+                    AS bigint) AS target_tokens
+        FROM j
+        ORDER BY phase, source
+    """
+
+
 ORACLES = {
+    "mix_anneal_schedule": _anneal_oracle(),
     "mix_epoch_repeats": f"""
         WITH per_source AS (
             SELECT source,

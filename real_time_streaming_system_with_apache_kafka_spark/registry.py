@@ -44,7 +44,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # event_transition_matrix, curation_funnel, dedup_quality_survivor,
 # vocab_bpe_pair_stats, dedup_lsh_calibration, sample_curriculum_order,
 # vocab_bpe_learn_merges, tokenize_with_learned_bpe,
-# sim_ann_recall_eval) — ~43 entries;
+# sim_ann_recall_eval, mix_anneal_schedule) — ~44 entries;
 # prioritize the never-signed
 # suites, spill the remainder to r6.
 _PRIORITY: list[str] = [

@@ -465,3 +465,31 @@ def test_ann_recall_eval_reconciles_with_overlap(spark, sf_dir):
         inter = len(truth[r["query_id"]] & got.get(r["query_id"], set()))
         assert r["n_hits"] == inter
         assert abs(r["recall"] - inter / similarity.TOP_K) < 1e-12
+
+
+def test_anneal_schedule_budget_laws(spark, sf_dir):
+    """Phase targets respect the budget split: each phase's targets sum
+    to its budget minus sub-n_sources truncation loss; quality tokens
+    never exceed source tokens; anneal targets are ordered like the
+    quality-token pool."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import datamix
+
+    rows = datamix.mix_anneal_schedule(spark, sf_dir).collect()
+    srcs = {r["source"] for r in rows}
+    total = sum(r["source_tokens"] for r in rows if r["phase"] == "main")
+    budget = datamix.BUDGET_MULT * total
+    main_b = budget * (100 - datamix.ANNEAL_PCT) // 100
+    anneal_b = budget - main_b
+    for phase, phase_budget in [("main", main_b), ("anneal", anneal_b)]:
+        got = sum(r["target_tokens"] for r in rows if r["phase"] == phase)
+        assert phase_budget - len(srcs) < got <= phase_budget
+    by_src = {(r["phase"], r["source"]): r for r in rows}
+    for s in srcs:
+        r = by_src[("anneal", s)]
+        assert 0 <= r["quality_tokens"] <= r["source_tokens"]
+    ann = sorted(
+        (r for r in rows if r["phase"] == "anneal"),
+        key=lambda r: r["quality_tokens"],
+    )
+    targets = [r["target_tokens"] for r in ann]
+    assert targets == sorted(targets)
