@@ -114,6 +114,12 @@ HEADLINE = [
     # bounded after one corpus explode).
     "curation_funnel",
     "vocab_bpe_pair_stats",
+    # Tokenizer lifecycle (iterative train + apply), the quality-first
+    # curriculum two-phase rank, and the two-phase anneal mixture.
+    "vocab_bpe_learn_merges",
+    "tokenize_with_learned_bpe",
+    "sample_curriculum_order",
+    "mix_anneal_schedule",
 ]
 
 
