@@ -220,6 +220,78 @@ def embed_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OUTLIER_TOPK = 5  # flagged vectors per label
+
+
+def embed_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier detection per label: the top-{OUTLIER_TOPK}
+    vectors farthest from their label centroid — the "weird embeddings"
+    audit a pipeline runs before trusting labels or clustering output
+    (mislabeled rows, corrupt encodes, and off-manifold junk all
+    surface here first).
+
+    Exactness without dividing by n: with s the per-(label,pos)
+    component sum and n the label count, the centroid distance scales
+    to the exact integer
+
+        dist2 = sum_pos (n*xq - s_pos)^2  =  n^2 * ||x - s/n||^2 * 1e14
+
+    over the 7-dp quantized components (the repo-wide quantization
+    contract) — no mean, no division, no float. dist2 is emitted as a
+    decimal(38,0)-summed STRING (the canonicalizer-proven shape of
+    embed_centroid_stats; raw decimal output hash-mismatches through
+    pandas) and the comparable magnitude as share_ppm = dist2*1e6 div
+    label_total — a truncating division of exact integers. Ranking
+    happens on the numeric dist2 before the string cast; within a
+    label n is constant, so the n^2*1e14 scaling cannot reorder.
+
+    Scale shape: one posexplode pass; the per-(label,pos) moment table
+    is labels x dims rows (tiny at any corpus size) and broadcasts
+    back; the per-vector rollup is the only O(rows x dims) shuffle;
+    top-k per label is a rank window Spark prunes map-side
+    (WindowGroupLimit)."""
+    emb = load(spark, "embeddings", sf_dir)
+    e = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn(
+        "xq",
+        (F.col("val").cast("double").cast("decimal(18,7)") * 10_000_000)
+        .cast("decimal(19,0)")
+        .cast("bigint"),
+    )
+    stats = e.groupBy("label", "pos").agg(
+        F.sum("xq").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    dev = e.join(F.broadcast(stats), ["label", "pos"]).select(
+        "vec_id",
+        "label",
+        F.expr(
+            "cast(n * xq - s AS decimal(38,0)) * (n * xq - s)"
+        ).alias("sq"),
+    )
+    per_vec = dev.groupBy("vec_id", "label").agg(F.sum("sq").alias("dist2"))
+    lab_tot = per_vec.groupBy("label").agg(F.sum("dist2").alias("tot"))
+    w = Window.partitionBy("label").orderBy(F.desc("dist2"), F.asc("vec_id"))
+    return (
+        per_vec.join(F.broadcast(lab_tot), "label")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= OUTLIER_TOPK)
+        .select(
+            "label",
+            "rk",
+            "vec_id",
+            F.col("dist2")
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("dist2_n2_e14"),
+            F.expr(
+                "cast((dist2 * 1000000) div greatest(tot, 1) AS bigint)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("label", "rk")
+    )
+
+
 def profile_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length profile: 20 equal-width buckets of n_chars between
     the corpus min and max. Bucket index is integer floor-division of
@@ -663,6 +735,81 @@ def quality_domain_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Threshold sweep for the classifier-vs-gates evaluation below.  The
+# linear model's scores span roughly -18..63 on the synthetic corpus
+# (median ~13), so this grid produces a non-degenerate curve from
+# recall~1 (threshold below every score) to precision-heavy tails.
+CLS_EVAL_THRESHOLDS = [-10, -5, 0, 5, 10, 15, 20, 25, 30, 40]
+
+
+def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall curve of the linear quality classifier
+    (quality_weighted_terms' model) against the rule-based Gopher
+    conjunctive keep as the reference label — the calibration audit a
+    curation stack runs before trusting a learned filter to replace or
+    pre-screen its rule gates. One row per candidate threshold with
+    the exact confusion counts and integer-ppm precision / recall /
+    F1, so threshold selection is a lookup, not a rescan.
+
+    Exactness: tp/fp/fn/tn are exact integer counts; the ppm metrics
+    are truncating integer divisions of those counts (``div`` on the
+    Spark side, ``//`` in DuckDB — identical for non-negative
+    operands), so no float ratio crosses engines. Zero denominators
+    (a threshold above every score) guard with greatest(1, .).
+
+    Scale shape: the corpus collapses FIRST to a (score, label)
+    histogram — one O(docs) shuffle keyed on the bounded score domain
+    — and the 10-threshold sweep runs over that tiny histogram via a
+    broadcast cross join; the confusion matrix for all thresholds
+    costs histogram-size work, not docs x thresholds. The label scan
+    is per-row codegen (gopher_rule_columns), the score scan is the
+    shared explode + broadcast-model join."""
+    scored = quality_weighted_terms(spark, sf_dir).select("doc_id", "score")
+    rules = gopher_rule_columns()
+    labels = load(spark, "documents", sf_dir).select(
+        "doc_id", rules["keep"].alias("label")
+    )
+    hist = (
+        scored.join(labels, "doc_id")
+        .groupBy("score", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in CLS_EVAL_THRESHOLDS], "threshold int"
+    )
+    pred = F.col("score") >= F.col("threshold")
+    cell = lambda cond: F.sum(  # noqa: E731
+        F.when(cond, F.col("n")).otherwise(F.lit(0))
+    ).cast("bigint")
+    return (
+        hist.join(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            cell(F.col("label") & pred).alias("tp"),
+            cell(~F.col("label") & pred).alias("fp"),
+            cell(F.col("label") & ~pred).alias("fn"),
+            cell(~F.col("label") & ~pred).alias("tn"),
+        )
+        .select(
+            "threshold",
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            F.expr("tp * 1000000 div greatest(tp + fp, 1)").alias(
+                "precision_ppm"
+            ),
+            F.expr("tp * 1000000 div greatest(tp + fn, 1)").alias(
+                "recall_ppm"
+            ),
+            F.expr("tp * 2000000 div greatest(2 * tp + fp + fn, 1)").alias(
+                "f1_ppm"
+            ),
+        )
+        .orderBy("threshold")
+    )
+
+
 MASK_HEX_MAX = "0c"  # md5-prefix <= this starts a span: 13/256 ~ 5.1%
 MASK_SPAN = 3  # words per masked span (T5 mean noise span length)
 
@@ -922,6 +1069,7 @@ QUERIES = {
     "text_tfidf_terms": text_tfidf_terms,
     "text_pii_redact": text_pii_redact,
     "embed_centroid_stats": embed_centroid_stats,
+    "embed_outlier_scores": embed_outlier_scores,
     "profile_length_histogram": profile_length_histogram,
     "text_inverted_index": text_inverted_index,
     "text_rarity_score": text_rarity_score,
@@ -930,6 +1078,7 @@ QUERIES = {
     "quality_weighted_terms": quality_weighted_terms,
     "quality_lm_surprise": quality_lm_surprise,
     "quality_domain_calibrated": quality_domain_calibrated,
+    "quality_classifier_eval": quality_classifier_eval,
     "mask_span_plan": mask_span_plan,
     "curation_funnel": curation_funnel,
 }
@@ -1175,6 +1324,47 @@ ORACLES = {
         )
         GROUP BY label, pos
     """,
+    "embed_outlier_scores": f"""
+        WITH e AS (
+            SELECT vec_id, label,
+                   cast(unnest(generate_series(1, len(embedding))) - 1
+                        AS integer) AS pos,
+                   cast(cast(cast(unnest(embedding) AS double)
+                             AS decimal(18,7)) * 10000000 AS bigint)
+                       AS xq
+            FROM embeddings
+        ),
+        stats AS (
+            SELECT label, pos, cast(sum(xq) AS bigint) AS s,
+                   cast(count(*) AS bigint) AS n
+            FROM e GROUP BY label, pos
+        ),
+        dev AS (
+            SELECT vec_id, e.label,
+                   cast(n * xq - s AS hugeint) * (n * xq - s) AS sq
+            FROM e JOIN stats USING (label, pos)
+        ),
+        per_vec AS (
+            SELECT vec_id, label, sum(sq) AS dist2
+            FROM dev GROUP BY vec_id, label
+        ),
+        tot AS (SELECT label, sum(dist2) AS tot FROM per_vec
+                GROUP BY label),
+        ranked AS (
+            SELECT per_vec.*, tot,
+                   cast(row_number() OVER (PARTITION BY per_vec.label
+                            ORDER BY dist2 DESC, vec_id) AS int) AS rk
+            FROM per_vec JOIN tot USING (label)
+        )
+        SELECT label, rk, vec_id,
+               cast(cast(dist2 AS decimal(38,0)) AS varchar)
+                   AS dist2_n2_e14,
+               cast((dist2 * 1000000) // greatest(tot, 1) AS bigint)
+                   AS share_ppm
+        FROM ranked
+        WHERE rk <= {OUTLIER_TOPK}
+        ORDER BY label, rk
+    """,
     "profile_length_histogram": f"""
         WITH b AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx
                    FROM documents)
@@ -1242,6 +1432,50 @@ ORACLES = {
                                     ORDER BY score DESC, doc_id)
                    < {CALIB_TOP_FRAC} AS keep
         FROM scored
+    """,
+    "quality_classifier_eval": f"""
+        WITH weights(term, weight) AS (VALUES {", ".join(
+            f"('{t}', {w})" for t, w in sorted(QUALITY_WEIGHTS.items())
+        )}),
+        term_scores AS (
+            SELECT doc_id, cast(sum(weight) AS bigint) AS term_score
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            JOIN weights USING (term)
+            GROUP BY doc_id
+        ),
+        scored AS (
+            SELECT d.doc_id, coalesce(term_score, 0) + {QUALITY_BIAS} AS score
+            FROM documents d LEFT JOIN term_scores t ON d.doc_id = t.doc_id
+        ),
+        {GOPHER_M_CTES},
+        labels AS (SELECT doc_id, {GOPHER_KEEP_SQL} AS label FROM gm),
+        j AS (SELECT score, label FROM scored JOIN labels USING (doc_id)),
+        th(threshold) AS (VALUES {", ".join(
+            f"({t})" for t in CLS_EVAL_THRESHOLDS
+        )}),
+        cm AS (
+            SELECT threshold,
+                   cast(sum(CASE WHEN label AND score >= threshold
+                            THEN 1 ELSE 0 END) AS bigint) AS tp,
+                   cast(sum(CASE WHEN NOT label AND score >= threshold
+                            THEN 1 ELSE 0 END) AS bigint) AS fp,
+                   cast(sum(CASE WHEN label AND score < threshold
+                            THEN 1 ELSE 0 END) AS bigint) AS fn,
+                   cast(sum(CASE WHEN NOT label AND score < threshold
+                            THEN 1 ELSE 0 END) AS bigint) AS tn
+            FROM j CROSS JOIN th
+            GROUP BY threshold
+        )
+        SELECT threshold, tp, fp, fn, tn,
+               cast(tp * 1000000 // greatest(tp + fp, 1) AS bigint)
+                   AS precision_ppm,
+               cast(tp * 1000000 // greatest(tp + fn, 1) AS bigint)
+                   AS recall_ppm,
+               cast(tp * 2000000 // greatest(2 * tp + fp + fn, 1) AS bigint)
+                   AS f1_ppm
+        FROM cm
+        ORDER BY threshold
     """,
     "mask_span_plan": f"""
         WITH base AS (

@@ -374,8 +374,95 @@ def mix_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DRIFT_TAG = "drift_v1"
+
+
+def mix_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-drift audit: draw the deterministic sample the
+    mix_domain_weights recipe induces (md5 ppm-bucket vs the per-source
+    weight), then measure how far the REALIZED token mix drifted from
+    the uniform target with a per-source chi-square contribution — the
+    post-sampling check a data-recipe pipeline runs before training,
+    since hash sampling only approximates its target in expectation
+    and capped weights (weight_ppm > 1e6 cannot oversample) shift the
+    realized shares of every other source.
+
+    Exactness: the sample membership is a pure function of doc_id
+    (md5 ppm bucket, the sampling.py convention at ppm granularity);
+    observed token counts are exact integers; with T total sampled
+    tokens over S sources, the per-source contribution
+    (obs - T/S)^2 / (T/S) is emitted as the exact integer
+    chi2_contrib_ppm = 1e6 * (S*obs - T)^2 div (S^2 * T/S = S*T) —
+    hugeint/decimal(38,0) arithmetic with truncating division, no
+    float crossing engines. Sources sampled to zero stay in the
+    result via the weights-side left join.
+
+    Scale shape: the weight table is a tiny per-source aggregate
+    (broadcast); the sampling filter is a per-row codegen predicate on
+    the corpus scan; the observed counts are one O(docs) aggregation
+    to S rows; the chi-square sweep runs on the S-row table against a
+    broadcast 1-row total. One corpus shuffle end to end."""
+    docs = load(spark, "documents", sf_dir)
+    weights = mix_domain_weights(spark, sf_dir).select(
+        "source", F.col("weight_ppm").cast("bigint").alias("weight_ppm")
+    )
+    h6 = F.substring(
+        F.md5(F.concat_ws("#", F.lit(DRIFT_TAG), F.col("doc_id"))), 1, 6
+    )
+    bucket = F.pmod(F.conv(h6, 16, 10).cast("bigint"), F.lit(1_000_000))
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    sampled = (
+        docs.select("doc_id", "source", n_tok.alias("n_tok"))
+        .join(F.broadcast(weights), "source")
+        .filter(bucket < F.least(F.col("weight_ppm"), F.lit(1_000_000)))
+    )
+    obs = (
+        weights.join(
+            F.broadcast(
+                sampled.groupBy("source").agg(
+                    F.count(F.lit(1)).alias("sampled_docs"),
+                    F.sum("n_tok").alias("obs_tokens"),
+                )
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "weight_ppm",
+            F.coalesce("sampled_docs", F.lit(0)).alias("sampled_docs"),
+            F.coalesce("obs_tokens", F.lit(0)).alias("obs_tokens"),
+        )
+    )
+    totals = obs.agg(
+        F.sum("obs_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return (
+        obs.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "weight_ppm",
+            "sampled_docs",
+            "obs_tokens",
+            F.expr("1000000 div n_sources").alias("target_ppm"),
+            F.expr(
+                "obs_tokens * 1000000 div greatest(total_tokens, 1)"
+            ).alias("realized_ppm"),
+            F.expr(
+                "(cast(n_sources * obs_tokens - total_tokens"
+                "      AS decimal(38,0))"
+                " * (n_sources * obs_tokens - total_tokens) * 1000000)"
+                " div greatest(n_sources * total_tokens, 1)"
+            ).alias("chi2_contrib_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "mix_epoch_repeats": mix_epoch_repeats,
+    "mix_drift_chi2": mix_drift_chi2,
     "dedup_incremental_ingest": dedup_incremental_ingest,
     "mix_temperature_weights": mix_temperature_weights,
     "dedup_cross_source": dedup_cross_source,
@@ -425,6 +512,56 @@ def _anneal_oracle() -> str:
 
 ORACLES = {
     "mix_anneal_schedule": _anneal_oracle(),
+    "mix_drift_chi2": f"""
+        WITH per_source AS (
+            SELECT source,
+                   sum(len(string_split(text, ' '))) AS source_tokens
+            FROM documents GROUP BY source
+        ),
+        wtotals AS (
+            SELECT sum(source_tokens) AS wt, count(*) AS ws FROM per_source
+        ),
+        weights AS (
+            SELECT source,
+                   cast((cast(wt AS hugeint) * 1000000)
+                        // (ws * source_tokens) AS bigint) AS weight_ppm
+            FROM per_source CROSS JOIN wtotals
+        ),
+        sampled AS (
+            SELECT d.source,
+                   cast(len(string_split(d.text, ' ')) AS bigint) AS n_tok
+            FROM documents d JOIN weights w ON d.source = w.source
+            WHERE (cast(concat('0x', substr(md5('{DRIFT_TAG}' || '#' ||
+                       cast(d.doc_id AS varchar)), 1, 6)) AS bigint)
+                   % 1000000) < least(w.weight_ppm, 1000000)
+        ),
+        obs AS (
+            SELECT w.source, w.weight_ppm,
+                   cast(coalesce(s.sampled_docs, 0) AS bigint)
+                       AS sampled_docs,
+                   cast(coalesce(s.obs_tokens, 0) AS bigint) AS obs_tokens
+            FROM weights w
+            LEFT JOIN (SELECT source, count(*) AS sampled_docs,
+                              sum(n_tok) AS obs_tokens
+                       FROM sampled GROUP BY source) s
+              ON w.source = s.source
+        ),
+        totals AS (
+            SELECT cast(sum(obs_tokens) AS bigint) AS total_tokens,
+                   cast(count(*) AS bigint) AS n_sources
+            FROM obs
+        )
+        SELECT source, weight_ppm, sampled_docs, obs_tokens,
+               cast(1000000 // n_sources AS bigint) AS target_ppm,
+               cast(obs_tokens * 1000000 // greatest(total_tokens, 1)
+                    AS bigint) AS realized_ppm,
+               cast((cast(n_sources * obs_tokens - total_tokens AS hugeint)
+                     * (n_sources * obs_tokens - total_tokens) * 1000000)
+                    // greatest(n_sources * total_tokens, 1)
+                    AS bigint) AS chi2_contrib_ppm
+        FROM obs CROSS JOIN totals
+        ORDER BY source
+    """,
     "mix_epoch_repeats": f"""
         WITH per_source AS (
             SELECT source,

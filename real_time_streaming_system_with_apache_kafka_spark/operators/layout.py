@@ -39,7 +39,7 @@ import hashlib
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_streaming_system_with_apache_kafka_spark.functions.exact import (
@@ -263,9 +263,81 @@ def j8_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Compaction planner model: streaming ingest lands one micro-batch
+# file per COMPACT_FILE_ROWS events inside each daily partition; the
+# planner coalesces them into ~COMPACT_TARGET_BYTES outputs.
+COMPACT_FILE_ROWS = 50
+COMPACT_TARGET_BYTES = 4_000
+COMPACT_ROW_OVERHEAD = 16  # fixed per-row bytes beyond the varlen cols
+
+
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE bin-packing step of
+    a lakehouse table): streaming ingest leaves each daily partition
+    littered with micro-batch files; this plans which files coalesce
+    into which target output so every rewritten file lands near
+    {COMPACT_TARGET_BYTES} bytes. Emits one row per input file with
+    its assigned output bin — the work list a rewrite job executes.
+
+    Binning is the deterministic single-pass rule every production
+    compactor uses (Delta OPTIMIZE, Iceberg binpack): within a
+    partition, take files in layout order (file_id = arrival order, so
+    time locality survives compaction) and cut a new bin whenever the
+    running byte total crosses the target — bin = exclusive-prefix-sum
+    div target. True minimal bin packing is NP-hard and order-
+    destroying; the greedy cut is one window pass and keeps ordering.
+
+    Exactness: file sizes are exact integer byte models (varlen column
+    lengths + {COMPACT_ROW_OVERHEAD}/row); the prefix sum and the bin
+    division are exact integer ops.
+
+    Scale shape: the input to the planner is FILE METADATA, not data —
+    one row per micro-batch file (a 100 TB table at 128 MB files is
+    under a million metadata rows), aggregated from the event scan by
+    one hash shuffle on (partition_day, file_id). The planning window
+    partitions by day, so the prefix sum never needs a global sort and
+    parallelizes across partitions — the same per-partition
+    independence the real compactor has (it rewrites partitions
+    concurrently)."""
+    ev = load(spark, "events", sf_dir)
+    row_bytes = (
+        F.length("props") + F.length("event_type") + COMPACT_ROW_OVERHEAD
+    ).cast("bigint")
+    files = ev.groupBy(
+        F.to_date("ts").alias("partition_day"),
+        F.expr(f"event_id div {COMPACT_FILE_ROWS}").alias("file_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_bytes).alias("bytes"),
+    )
+    w = (
+        Window.partitionBy("partition_day")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cumx = F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    return (
+        files.withColumn("cum_bytes_before", cumx)
+        .withColumn(
+            "target_bin",
+            F.expr(f"cum_bytes_before div {COMPACT_TARGET_BYTES}"),
+        )
+        .select(
+            "partition_day",
+            "file_id",
+            "n_rows",
+            "bytes",
+            "cum_bytes_before",
+            "target_bin",
+        )
+        .orderBy("partition_day", "file_id")
+    )
+
+
 QUERIES = {
     "layout_zorder_events": layout_zorder_events,
     "j8_bucketed_join": j8_bucketed_join,
+    "layout_compaction_plan": layout_compaction_plan,
 }
 
 ORACLES = {
@@ -279,5 +351,29 @@ ORACLES = {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
+    """,
+    "layout_compaction_plan": f"""
+        WITH files AS (
+            SELECT cast(date_trunc('day', ts) AS date) AS partition_day,
+                   event_id // {COMPACT_FILE_ROWS} AS file_id,
+                   cast(count(*) AS bigint) AS n_rows,
+                   cast(sum(length(props) + length(event_type)
+                            + {COMPACT_ROW_OVERHEAD}) AS bigint) AS bytes
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT partition_day, file_id, n_rows, bytes,
+               cast(coalesce(sum(bytes) OVER (
+                        PARTITION BY partition_day ORDER BY file_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS bigint)
+                   AS cum_bytes_before,
+               cast(coalesce(sum(bytes) OVER (
+                        PARTITION BY partition_day ORDER BY file_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0)
+                    // {COMPACT_TARGET_BYTES} AS bigint) AS target_bin
+        FROM files
+        ORDER BY partition_day, file_id
     """,
 }

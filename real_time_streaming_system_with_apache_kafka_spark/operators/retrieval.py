@@ -1,0 +1,370 @@
+"""Corpus retrieval and data-selection scoring operators: BM25 top-k
+search over the document corpus and DSIR-style hashed-n-gram
+importance weights for target-domain data selection.
+
+The reference engine has no retrieval surface (it is a trade-stream
+system); these are the corpus-side query capabilities a training-data
+pipeline adds on the same tables — "find the documents most relevant
+to these probe queries" (dedup audits, targeted decontamination,
+eval-set mining) and "score every document by how target-like it is"
+(Data Selection via Importance Resampling, Xie et al. 2023).
+
+Parity discipline (repo-wide): every emitted value is an exact
+integer, a string, or a truncating integer division of exact integers,
+so the DuckDB twins match bit-for-bit. Logarithms never cross engines:
+BM25's idf uses the exact rational (N - df + 0.5)/(df + 0.5) — the
+argument of the canonical ln, which is strictly monotone in it, so
+rankings are BM25 rankings while values stay exact fractions — and
+DSIR's per-feature log-ratio is linearized to the exact smoothed
+probability ratio in signed ppm (rank-equivalent per feature;
+documented as the libm-free variant).
+
+Scale shapes:
+- BM25: the probe-query term list is tiny and broadcasts; tf rows are
+  filtered to query terms BEFORE the per-doc aggregation, so the big
+  corpus explode collapses map-side to O(matching docs x query terms)
+  rows. df and the corpus totals (N, W) are one vocabulary-sized
+  aggregate each, both broadcast. Top-k per query is a rank window
+  over queries — Spark's WindowGroupLimit prunes to k rows per query
+  map-side before the shuffle.
+- DSIR: two hash aggregations build the bucketed feature table
+  (target counts, raw counts) — DSIR_BUCKETS rows regardless of
+  corpus size — which broadcast-joins back against the exploded
+  corpus; the per-doc rollup is the only O(corpus) shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from real_time_streaming_system_with_apache_kafka_spark.sources.tables import (
+    load,
+    load_rebalanced,
+)
+
+# Probe queries: fixed multi-term probes over the corpus vocabulary,
+# mixing head terms (uniform df) with the rare 'dup' so idf does real
+# work. A production system feeds these from a query table; the VALUES
+# twin in the oracle is the same table.
+BM25_QUERIES: list[tuple[int, str]] = [
+    (1, "hash join dup"),
+    (2, "window agg stream"),
+    (3, "sort merge join"),
+    (4, "dup scan"),
+]
+BM25_TOPK = 10
+# k1 = 1.2, b = 0.75 as exact rationals: k1*(1-b) = 3/10, k1*b = 9/10,
+# k1+1 = 22/10. Multiplying the tf saturation through by 10*W (W =
+# corpus word count) clears every denominator — see bm25 docstring.
+
+
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{BM25_TOPK} retrieval for each probe query.
+
+    Score formulation (exact-integer BM25): with N docs, W total
+    words, per-doc length dl, per-(doc,term) frequency tf and per-term
+    document frequency df,
+
+        idf    = (N - df + 1/2) / (df + 1/2)       -> (2N-2df+1)/(2df+1)
+        tfpart = tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)),  avgdl = W/N
+               = 22*W*tf / (10*W*tf + 3*W + 9*dl*N)
+
+    and the per-(query,doc,term) partial score is the truncating
+    integer division
+
+        score_ppm = 1e6 * (2N-2df+1) * 22*W*tf
+                    div ((2df+1) * (10*W*tf + 3*W + 9*dl*N))
+
+    computed in decimal(38,0) (hugeint in the oracle; the numerator
+    reaches ~1e23 at sf10). The canonical BM25 takes ln(idf); ln is
+    not correctly rounded across engines, and per-term ln changes
+    only the inter-term mixing, not the per-term ordering — the exact
+    rational keeps rankings meaningful and values engine-identical.
+    Per-(query,doc) score sums the exact ppm integers; top-k breaks
+    ties on doc_id ascending.
+    """
+    docs = load_rebalanced(spark, "documents", sf_dir)
+    qterms = spark.createDataFrame(
+        [
+            (qid, pos, term)
+            for qid, text in BM25_QUERIES
+            for pos, term in enumerate(text.split(" "))
+        ],
+        "query_id int, pos int, term string",
+    ).select("query_id", "term").distinct()
+    term_set = sorted({t for _, q in BM25_QUERIES for t in q.split(" ")})
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    # Corpus stats: N and W over ALL docs (dl likewise), df per query
+    # term only — the rest of the vocabulary never aggregates.
+    totals = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("w_total"),
+    )
+    qtoks = toks.filter(F.col("term").isin(term_set))
+    df_t = qtoks.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    tf = qtoks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl")
+    )
+    parts = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_t), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                "(cast(1000000 AS decimal(38,0))"
+                " * (2 * n_docs - 2 * df + 1) * 22 * w_total * tf)"
+                " div ((2 * df + 1)"
+                "      * (10 * w_total * tf + 3 * w_total"
+                "         + 9 * dl * n_docs))"
+            ).alias("score_ppm"),
+        )
+    )
+    scores = parts.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.sum("score_ppm").alias("score_ppm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_ppm"), F.asc("doc_id")
+    )
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BM25_TOPK)
+        .select("query_id", "rk", "doc_id", "n_terms_hit", "score_ppm")
+        .orderBy("query_id", "rk")
+    )
+
+
+# DSIR: hashed word-bigram features, add-1 smoothing. Target domain =
+# the English slice (the "high-quality target" stand-in; a real run
+# feeds a curated target corpus through the identical plan).
+DSIR_BUCKETS = 4096
+DSIR_TAG = "dsir_v1"
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance score for every document: how much more
+    likely the document's hashed-bigram features are under the TARGET
+    domain's feature distribution than under the raw corpus — the
+    data-selection signal of Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling".
+
+    Feature map: word bigrams hashed to {DSIR_BUCKETS} buckets via the
+    md5 hex prefix (mod BUCKETS), the cross-engine-deterministic hash
+    the sampling suite already uses. Per-bucket weight is the smoothed
+    probability ratio in SIGNED ppm,
+
+        weight_ppm = 1e6 * (t_cnt+1) * (R+B) div ((r_cnt+1) * (T+B))
+                     - 1e6
+
+    with T/R the target/raw total feature counts and B the bucket
+    count (add-1 smoothing over B buckets) — the exact argument of
+    DSIR's per-feature ln, linearized so no libm crosses engines
+    (rank-equivalent per feature; the per-doc sum is the documented
+    rational variant of the log-importance weight). The per-doc score
+    sums weight_ppm over feature OCCURRENCES — exact integers end to
+    end.
+
+    Output: doc_id, lang, n_feats, importance_sum_ppm (exact signed
+    integer), and mean_importance_ppm — the latter deliberately NOT an
+    integer division (truncation vs floor differ across engines for
+    negative sums) but ONE IEEE double division of the two exact
+    integers (sum, n), which is correctly rounded and therefore
+    bit-identical everywhere."""
+    docs = load_rebalanced(spark, "documents", sf_dir)
+    words = F.split("text", " ")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array())
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(bigrams).alias("gram"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", F.lit(DSIR_TAG), F.col("gram"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(DSIR_BUCKETS),
+        ).alias("bucket"),
+    )
+    counts = feats.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("t_cnt"),
+        F.count(F.lit(1)).alias("r_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("t_cnt").alias("t_total"), F.sum("r_cnt").alias("r_total")
+    )
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.expr(
+            f"(cast(1000000 AS decimal(38,0)) * (t_cnt + 1)"
+            f" * (r_total + {DSIR_BUCKETS}))"
+            f" div ((r_cnt + 1) * (t_total + {DSIR_BUCKETS})) - 1000000"
+        ).alias("weight_ppm"),
+    )
+    return (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("weight_ppm").alias("importance_sum_ppm"),
+            (
+                F.sum("weight_ppm").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_importance_ppm"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_feats",
+            "importance_sum_ppm",
+            "mean_importance_ppm",
+        )
+    )
+
+
+QUERIES = {
+    "search_bm25_topk": search_bm25_topk,
+    "dsir_importance": dsir_importance,
+}
+
+_BM25_QUERY_VALUES = ", ".join(
+    f"({qid}, '{term}')"
+    for qid, text in BM25_QUERIES
+    for term in sorted(set(text.split(" ")))
+)
+
+ORACLES = {
+    "search_bm25_topk": f"""
+        WITH qterms(query_id, term) AS (VALUES {_BM25_QUERY_VALUES}),
+        totals AS (
+            SELECT cast(count(*) AS bigint) AS n_docs,
+                   cast(sum(len(string_split(text, ' '))) AS bigint)
+                       AS w_total
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        qtoks AS (
+            SELECT doc_id, term FROM toks
+            WHERE term IN (SELECT DISTINCT term FROM qterms)
+        ),
+        df_t AS (
+            SELECT term, cast(count(DISTINCT doc_id) AS bigint) AS df
+            FROM qtoks GROUP BY term
+        ),
+        tf AS (
+            SELECT doc_id, term, cast(count(*) AS bigint) AS tf
+            FROM qtoks GROUP BY doc_id, term
+        ),
+        dl AS (
+            SELECT doc_id,
+                   cast(len(string_split(text, ' ')) AS bigint) AS dl
+            FROM documents
+        ),
+        parts AS (
+            SELECT q.query_id, tf.doc_id,
+                   cast((cast(1000000 AS hugeint)
+                         * (2 * n_docs - 2 * df + 1) * 22 * w_total * tf)
+                        // ((2 * df + 1)
+                            * (10 * w_total * tf + 3 * w_total
+                               + 9 * dl.dl * n_docs)) AS bigint)
+                       AS score_ppm
+            FROM tf
+            JOIN dl USING (doc_id)
+            JOIN df_t USING (term)
+            JOIN qterms q USING (term)
+            CROSS JOIN totals
+        ),
+        scores AS (
+            SELECT query_id, doc_id,
+                   cast(count(*) AS bigint) AS n_terms_hit,
+                   cast(sum(score_ppm) AS bigint) AS score_ppm
+            FROM parts GROUP BY query_id, doc_id
+        )
+        SELECT query_id, rk, doc_id, n_terms_hit, score_ppm
+        FROM (SELECT *, cast(row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY score_ppm DESC, doc_id) AS int) AS rk
+              FROM scores)
+        WHERE rk <= {BM25_TOPK}
+        ORDER BY query_id, rk
+    """,
+    "dsir_importance": f"""
+        WITH feats AS (
+            SELECT doc_id, lang,
+                   (cast(concat('0x', substr(md5('{DSIR_TAG}' || '#' ||
+                        gram), 1, 8)) AS bigint) % {DSIR_BUCKETS})
+                       AS bucket
+            FROM (
+                -- range(1, len) is empty for single-word docs, so no
+                -- CASE guard is needed (Spark needs one: sequence()
+                -- with start > stop counts DOWN).
+                SELECT doc_id, lang,
+                       unnest([words[i] || ' ' || words[i + 1]
+                               for i in range(1, len(words))]) AS gram
+                FROM (SELECT doc_id, lang,
+                             string_split(text, ' ') AS words
+                      FROM documents)
+            )
+        ),
+        counts AS (
+            SELECT bucket,
+                   cast(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                            THEN 1 ELSE 0 END) AS bigint) AS t_cnt,
+                   cast(count(*) AS bigint) AS r_cnt
+            FROM feats GROUP BY bucket
+        ),
+        totals AS (
+            SELECT cast(sum(t_cnt) AS bigint) AS t_total,
+                   cast(sum(r_cnt) AS bigint) AS r_total
+            FROM counts
+        ),
+        weights AS (
+            SELECT bucket,
+                   cast((cast(1000000 AS hugeint) * (t_cnt + 1)
+                         * (r_total + {DSIR_BUCKETS}))
+                        // ((r_cnt + 1) * (t_total + {DSIR_BUCKETS}))
+                        - 1000000 AS bigint) AS weight_ppm
+            FROM counts CROSS JOIN totals
+        )
+        SELECT doc_id, lang,
+               cast(count(*) AS bigint) AS n_feats,
+               cast(sum(weight_ppm) AS bigint) AS importance_sum_ppm,
+               cast(sum(weight_ppm) AS double) / cast(count(*) AS double)
+                   AS mean_importance_ppm
+        FROM feats JOIN weights USING (bucket)
+        GROUP BY doc_id, lang
+    """,
+}

@@ -44,9 +44,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # event_transition_matrix, curation_funnel, dedup_quality_survivor,
 # vocab_bpe_pair_stats, dedup_lsh_calibration, sample_curriculum_order,
 # vocab_bpe_learn_merges, tokenize_with_learned_bpe,
-# sim_ann_recall_eval, mix_anneal_schedule) — ~44 entries;
-# prioritize the never-signed
-# suites, spill the remainder to r6.
+# sim_ann_recall_eval, mix_anneal_schedule, quality_classifier_eval,
+# mix_drift_chi2, search_bm25_topk, dsir_importance,
+# layout_compaction_plan, embed_outlier_scores) — ~50 entries;
+# prioritize the never-signed suites, spill the remainder to r6.
 _PRIORITY: list[str] = [
     # §2 sentinels — pinned every round.
     "w1_minute_activity",
@@ -132,6 +133,7 @@ _MODULES: list[str] = [
     "real_time_streaming_system_with_apache_kafka_spark.operators.skew",
     "real_time_streaming_system_with_apache_kafka_spark.operators.datamix",
     "real_time_streaming_system_with_apache_kafka_spark.operators.layout",
+    "real_time_streaming_system_with_apache_kafka_spark.operators.retrieval",
 ]
 
 
