@@ -116,6 +116,129 @@ def decontaminate_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontaminate_span_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level contamination audit (the exact-substring view of Lee
+    et al.'s dedup work): for every contaminated training document,
+    the length of its LONGEST CONTIGUOUS run of benchmark-hitting
+    5-grams — a doc sharing one stray 5-gram is noise, a doc sharing a
+    40-word span IS the benchmark. decontaminate_holdout counts hits;
+    this measures how long the overlaps run, which is what the
+    keep/drop policy actually keys on.
+
+    A run of k consecutive hit grams covers k + {DECON_N} - 1 shared
+    words (max_span_words). Runs are found with the gaps-and-islands
+    identity — gram_index - row_number() is constant within a
+    consecutive run — one window over the HIT rows only (the ~1%
+    contaminated slice), not the corpus.
+
+    Scale shape: one positional shingle pass over the training corpus
+    (posexplode keeps gram indexes); the benchmark gram set is
+    fixed-size and broadcasts, so tagging is map-side; the per-doc
+    totals are one O(corpus-grams) aggregation; the island window
+    shuffles only the matched grams. Same broadcast discipline as
+    decontaminate_holdout (eval sets do not grow with the corpus)."""
+    docs = load(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    grams = docs.select(
+        "doc_id",
+        (F.col("doc_id") % BENCH_MOD == 0).alias("is_bench"),
+        F.posexplode(regex_word_ngrams(F.col("text"), DECON_N)).alias(
+            "idx", "gram"
+        ),
+    )
+    bench_grams = (
+        grams.filter("is_bench")
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    tagged = grams.filter(~F.col("is_bench")).join(
+        F.broadcast(bench_grams), "gram", "left"
+    )
+    per_doc = tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("hit").alias("n_hit_grams"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    runs = (
+        tagged.filter(F.col("hit").isNotNull())
+        .withColumn("grp", F.col("idx") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.max("run_len").alias("max_span_grams"))
+    )
+    return (
+        per_doc.join(runs, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit_grams",
+            "max_span_grams",
+            (F.col("max_span_grams") + DECON_N - 1).alias("max_span_words"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def profile_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source contamination matrix: for every source
+    pair, how many bag-of-words content fingerprints they SHARE, and
+    the fingerprint-level Jaccard in ppm — the feed-provenance audit
+    that tells a curation team which upstream crawls are mirroring
+    each other (and therefore which "independent" sources
+    double-count). The fingerprint is profile_dup_rate_by_source's
+    sorted-distinct-words md5 (reordered/repeated-word copies
+    collapse; exact md5(text) would see only byte-identical mirrors).
+
+    Scale shape: the corpus collapses to distinct (digest, source)
+    pairs first (one hash aggregation); the pair join runs digest-to-
+    digest on that deduplicated table, so a digest shared by k sources
+    contributes k*(k-1)/2 pair rows — bounded by the source count (20
+    here), never corpus-quadratic. Per-source digest totals are a tiny
+    aggregate and broadcast into the final ratio."""
+    docs = load(spark, "documents", sf_dir)
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    )
+    ds = docs.select(fp.alias("digest"), "source").distinct()
+    per_source = ds.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_digests")
+    )
+    a, b = ds.alias("a"), ds.alias("b")
+    pairs = (
+        a.join(b, "digest")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = per_source.select(
+        F.col("source").alias("source_a"), F.col("n_digests").alias("n_a")
+    )
+    nb = per_source.select(
+        F.col("source").alias("source_b"), F.col("n_digests").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr(
+                "n_shared * 1000000 div (n_a + n_b - n_shared)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 distinguishing terms per document, TF-IDF shape.
 
@@ -1062,6 +1185,8 @@ def quality_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "decontaminate_holdout": decontaminate_holdout,
+    "decontaminate_span_lengths": decontaminate_span_lengths,
+    "profile_source_overlap": profile_source_overlap,
     "text_boilerplate_strip": text_boilerplate_strip,
     "profile_schema_stats": profile_schema_stats,
     "quality_gopher_gates": quality_gopher_gates,
@@ -1323,6 +1448,87 @@ ORACLES = {
             FROM embeddings
         )
         GROUP BY label, pos
+    """,
+    "decontaminate_span_lengths": f"""
+        WITH w AS (
+            SELECT doc_id, doc_id % {BENCH_MOD} = 0 AS is_bench,
+                   string_split(text, ' ') AS words
+            FROM documents
+        ),
+        x AS (
+            SELECT doc_id, is_bench, words,
+                   CASE WHEN len(words) < {DECON_N} THEN 1
+                        ELSE len(words) - {DECON_N - 1} END AS ng
+            FROM w
+        ),
+        ch AS (
+            SELECT doc_id, is_bench, words,
+                   unnest(range(ng)) AS j
+            FROM x
+        ),
+        t AS (
+            SELECT doc_id, is_bench, cast(j AS int) AS idx,
+                   CASE WHEN len(words) < {DECON_N}
+                        THEN array_to_string(words, ' ')
+                        ELSE array_to_string(
+                            words[j + 1:j + {DECON_N}], ' ')
+                   END AS gram
+            FROM ch
+        ),
+        bench AS (SELECT DISTINCT gram FROM t WHERE is_bench),
+        tagged AS (
+            SELECT t.doc_id, t.idx, b.gram IS NOT NULL AS hit
+            FROM t LEFT JOIN bench b USING (gram)
+            WHERE NOT is_bench
+        ),
+        per_doc AS (
+            SELECT doc_id, cast(count(*) AS bigint) AS n_grams,
+                   cast(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS bigint)
+                       AS n_hit_grams
+            FROM tagged GROUP BY doc_id
+        ),
+        runs AS (
+            SELECT doc_id, max(run_len) AS max_span_grams FROM (
+                SELECT doc_id, grp, cast(count(*) AS bigint) AS run_len
+                FROM (SELECT doc_id, idx,
+                             idx - row_number() OVER (
+                                 PARTITION BY doc_id ORDER BY idx) AS grp
+                      FROM tagged WHERE hit)
+                GROUP BY doc_id, grp)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_grams, n_hit_grams, max_span_grams,
+               max_span_grams + {DECON_N - 1} AS max_span_words
+        FROM per_doc JOIN runs USING (doc_id)
+        ORDER BY doc_id
+    """,
+    "profile_source_overlap": """
+        WITH ds AS (
+            SELECT DISTINCT
+                   md5(array_to_string(list_sort(list_distinct(
+                       string_split(text, ' '))), ' ')) AS digest,
+                   source
+            FROM documents
+        ),
+        per_source AS (
+            SELECT source, cast(count(*) AS bigint) AS n
+            FROM ds GROUP BY source
+        ),
+        pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   cast(count(*) AS bigint) AS n_shared
+            FROM ds a JOIN ds b USING (digest)
+            WHERE a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT source_a, source_b, n_shared,
+               na.n AS n_a, nb.n AS n_b,
+               cast(n_shared * 1000000 // (na.n + nb.n - n_shared)
+                    AS bigint) AS jaccard_ppm
+        FROM pairs
+        JOIN per_source na ON na.source = pairs.source_a
+        JOIN per_source nb ON nb.source = pairs.source_b
+        ORDER BY source_a, source_b
     """,
     "embed_outlier_scores": f"""
         WITH e AS (

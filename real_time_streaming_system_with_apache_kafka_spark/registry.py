@@ -46,7 +46,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # vocab_bpe_learn_merges, tokenize_with_learned_bpe,
 # sim_ann_recall_eval, mix_anneal_schedule, quality_classifier_eval,
 # mix_drift_chi2, search_bm25_topk, dsir_importance,
-# layout_compaction_plan, embed_outlier_scores) — ~50 entries;
+# layout_compaction_plan, embed_outlier_scores,
+# decontaminate_span_lengths, profile_source_overlap) — ~52 entries;
 # prioritize the never-signed suites, spill the remainder to r6.
 _PRIORITY: list[str] = [
     # §2 sentinels — pinned every round.

@@ -133,6 +133,58 @@ def test_dsir_feature_accounting_and_separation(spark, sf_dir):
     assert means[True] > means[False]
 
 
+def test_span_lengths_reconcile_with_holdout(spark, sf_dir):
+    """The span audit covers exactly the contaminated-doc set the hit
+    counter reports, with identical per-doc totals, and every max span
+    obeys 1 <= max_span_grams <= n_hit_grams with the word-length
+    identity span_words = span_grams + N - 1."""
+    spans = {
+        r["doc_id"]: r
+        for r in curation.decontaminate_span_lengths(spark, sf_dir).collect()
+    }
+    hold = {
+        r["doc_id"]: r
+        for r in curation.decontaminate_holdout(spark, sf_dir).collect()
+    }
+    assert set(spans) == set(hold)
+    for doc_id, r in spans.items():
+        assert r["n_hit_grams"] == hold[doc_id]["n_hit_grams"]
+        # holdout counts DISTINCT grams; the span pass counts
+        # positional grams, so totals can only be >=.
+        assert r["n_grams"] >= hold[doc_id]["n_grams"]
+        assert 1 <= r["max_span_grams"] <= r["n_hit_grams"]
+        assert r["max_span_words"] == r["max_span_grams"] + curation.DECON_N - 1
+
+
+def test_source_overlap_matrix_laws(spark, sf_dir):
+    """Pairs are ordered (a < b), shared counts never exceed either
+    side's digest total, the Jaccard matches its defining integer
+    division, and the matrix is consistent with an independent
+    per-source fingerprint recount."""
+    rows = curation.profile_source_overlap(spark, sf_dir).collect()
+    assert rows, "fixture has cross-source near-dup fingerprints"
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    )
+    per_source = {
+        r["source"]: r["n"]
+        for r in load(spark, "documents", sf_dir)
+        .select(fp.alias("d"), "source")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert r["n_a"] == per_source[r["source_a"]]
+        assert r["n_b"] == per_source[r["source_b"]]
+        assert 1 <= r["n_shared"] <= min(r["n_a"], r["n_b"])
+        assert r["jaccard_ppm"] == r["n_shared"] * 1_000_000 // (
+            r["n_a"] + r["n_b"] - r["n_shared"]
+        )
+
+
 def test_embed_outlier_scores_against_numpy(spark, sf_dir):
     """Structural laws (dense ranks per label, non-increasing scores,
     share sum bounded by 1e6) plus an independent numpy recomputation
