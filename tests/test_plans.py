@@ -632,3 +632,103 @@ def test_bpe_pair_stats_pruned_scan_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "struct<text:string>" in plan
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_bm25_broadcasts_stats_and_prunes_topk(spark, sf_dir):
+    """BM25's model-side inputs (df table, query terms, corpus totals)
+    all broadcast — the corpus-side tf stream never shuffles for them —
+    and the per-query top-k is a WindowGroupLimit (map-side prune), not
+    a global sort of all scored docs."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import retrieval
+
+    plan = _plan(retrieval.search_bm25_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # df_t and qterms
+    assert "WindowGroupLimit" in plan
+
+
+def test_dsir_weight_table_broadcasts(spark, sf_dir):
+    """The bucketed feature-weight table is fixed-size (DSIR_BUCKETS
+    rows at any corpus size): it must broadcast back onto the exploded
+    corpus, never shuffle the gram stream to meet it."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import retrieval
+
+    plan = _plan(retrieval.dsir_importance(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_classifier_eval_sweeps_histogram_not_corpus(spark, sf_dir):
+    """The threshold sweep must run over the (score,label) histogram:
+    the plan aggregates to the histogram BEFORE the threshold join, so
+    the 10-way expansion multiplies histogram rows, not corpus rows."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import curation
+
+    plan = _plan(curation.quality_classifier_eval(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # Tree prints top-down: the broadcast expansion against the
+    # threshold VALUES (BroadcastNestedLoopJoin of a 10-row local
+    # relation) must sit ABOVE the corpus score/label join — i.e. the
+    # sweep multiplies the already-aggregated histogram, not the
+    # corpus.
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" in tree and "SortMergeJoin" in tree
+    assert tree.index("BroadcastNestedLoopJoin") < tree.index(
+        "SortMergeJoin"
+    )
+
+
+def test_drift_weights_and_totals_broadcast(spark, sf_dir):
+    """Both tiny sides of the drift audit (the per-source weight table
+    on the sampling filter, the observed-count rollup on the weights
+    spine) broadcast; the only O(corpus) work is the sampled scan."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import datamix
+
+    plan = _plan(datamix.mix_drift_chi2(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_compaction_plan_no_join_metadata_window(spark, sf_dir):
+    """The planner is aggregation + window only — no join anywhere —
+    and the window partitions by day (no global sort of the file
+    list)."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import layout
+
+    plan = _plan(layout.layout_compaction_plan(spark, sf_dir))
+    assert "Join" not in plan
+    assert "partition_day" in plan
+
+
+def test_embed_outliers_moments_broadcast_topk_pruned(spark, sf_dir):
+    """The per-(label,pos) moment table (labels x dims rows at any
+    corpus size) broadcasts back onto the exploded vectors, and the
+    per-label top-k is WindowGroupLimit-pruned."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import curation
+
+    plan = _plan(curation.embed_outlier_scores(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # moments + label totals
+    assert "WindowGroupLimit" in plan
+
+
+def test_span_lengths_benchmark_side_broadcasts(spark, sf_dir):
+    """Same broadcast discipline as decontaminate_holdout: the bench
+    gram set is fixed-size; the positional corpus grams are tagged
+    map-side."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import curation
+
+    plan = _plan(curation.decontaminate_span_lengths(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_overlap_totals_broadcast_no_cartesian(spark, sf_dir):
+    """The pair join runs digest-to-digest on the deduplicated
+    (digest, source) table — an equality join, never a source-pair
+    cartesian — and the per-source totals broadcast into the ratio."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import curation
+
+    plan = _plan(curation.profile_source_overlap(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
