@@ -120,6 +120,16 @@ HEADLINE = [
     "tokenize_with_learned_bpe",
     "sample_curriculum_order",
     "mix_anneal_schedule",
+    # Round-4 continuation: the retrieval/data-selection surface
+    # (exact-integer BM25, DSIR importance weights), the classifier-
+    # vs-gates calibration curve, per-label embedding outliers,
+    # span-level contamination, and the small-file compaction planner.
+    "search_bm25_topk",
+    "dsir_importance",
+    "quality_classifier_eval",
+    "embed_outlier_scores",
+    "decontaminate_span_lengths",
+    "layout_compaction_plan",
 ]
 
 

