@@ -39,7 +39,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_streaming_system_with_apache_kafka_spark.sources.tables import (
-    load,
     load_rebalanced,
 )
 
@@ -216,11 +215,23 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(DSIR_BUCKETS),
         ).alias("bucket"),
     )
-    counts = feats.groupBy("bucket").agg(
+    # Per-doc bucket term frequencies FIRST (the lm_surprise shape):
+    # the gram stream is exploded and md5-hashed exactly ONCE, and the
+    # single corpus-sized shuffle carries the compressed (doc, bucket,
+    # c) rows; both the bucket count table and the final rollup derive
+    # from tf without a second pass. A/B at sf10: 41.5 s -> the
+    # two-pass form's explode+hash ran twice and shuffled the raw gram
+    # stream twice.
+    tf = feats.groupBy("doc_id", "lang", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    counts = tf.groupBy("bucket").agg(
         F.sum(
-            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(
+                0
+            )
         ).alias("t_cnt"),
-        F.count(F.lit(1)).alias("r_cnt"),
+        F.sum("c").alias("r_cnt"),
     )
     totals = counts.agg(
         F.sum("t_cnt").alias("t_total"), F.sum("r_cnt").alias("r_total")
@@ -234,14 +245,16 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("weight_ppm"),
     )
     return (
-        feats.join(F.broadcast(weights), "bucket")
+        tf.join(F.broadcast(weights), "bucket")
         .groupBy("doc_id", "lang")
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.sum("weight_ppm").alias("importance_sum_ppm"),
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c") * F.col("weight_ppm")).alias(
+                "importance_sum_ppm"
+            ),
             (
-                F.sum("weight_ppm").cast("double")
-                / F.count(F.lit(1)).cast("double")
+                F.sum(F.col("c") * F.col("weight_ppm")).cast("double")
+                / F.sum("c").cast("double")
             ).alias("mean_importance_ppm"),
         )
         .select(
