@@ -12,10 +12,13 @@ Clamp semantics shared with every shingle oracle: documents shorter
 than ``n`` words contribute their whole text as one gram. Assumes
 single-space word separation (the corpus contract the oracles encode).
 
-NOT used inside `_lsh_pairs`' generator: there the interaction with
-InferFiltersFromGenerate re-evaluates the regex below the repartition
-(measured 2.8x slower) — the lambda-in-generator form stays optimal
-for that one consumer.
+Used by every shingle consumer including the LSH paths since r4: the
+r3 note that kept the interpreted lambda inside `_lsh_pairs`'
+generator (an InferFiltersFromGenerate re-evaluation penalty measured
+then at sf0.1) no longer reproduces — re-measured at sf10 the regex
+form wins 2.6x end-to-end on dedup_minhash_lsh (25.5 -> 9.7 s) and is
+within noise at sf0.1. `operators/dedup._shingles` remains as the
+interpreted spec twin, equivalence-pinned in tests/test_properties.py.
 """
 
 from __future__ import annotations

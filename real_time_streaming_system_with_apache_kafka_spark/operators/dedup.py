@@ -36,6 +36,9 @@ from real_time_streaming_system_with_apache_kafka_spark.functions.arrays import 
 from real_time_streaming_system_with_apache_kafka_spark.functions.blocks import (
     salted_block_union,
 )
+from real_time_streaming_system_with_apache_kafka_spark.functions.ngrams import (
+    regex_word_ngrams,
+)
 from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
 
 N_HASHES = 8
@@ -56,7 +59,17 @@ def _shingles(words: Column) -> Column:
     """Word 3-gram shingles; degenerate docs (<3 words) contribute the
     whole text as one shingle (sequence end clamps at 0; concat_ws
     skips the nulls from try_element_at past the array end — a plain
-    element_at would THROW under Spark 4's default ANSI mode)."""
+    element_at would THROW under Spark 4's default ANSI mode).
+
+    Interpreted SPEC TWIN, kept for equivalence tests and for callers
+    whose input is an arbitrary words array. The operator hot paths
+    use ``regex_word_ngrams(text, 3)`` — proven gram-identical
+    (tests/test_properties.py) and whole-stage-codegen'd: the r4
+    re-measurement at sf10 showed the interpreted lambda dominating
+    the shingle explode (19 s vs 2.4 s standalone; full
+    dedup_minhash_lsh 25.5 -> 9.7 s), overturning the r3 note that
+    kept the lambda inside the LSH generator (at sf0.1 the two are
+    within noise — the interaction penalty no longer reproduces)."""
     return F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
         lambda i: F.concat_ws(
@@ -106,7 +119,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(_shingles(_words()))).alias("shingle")
+        "doc_id", F.explode(
+            F.array_distinct(regex_word_ngrams(F.col("text"), 3))
+        ).alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -141,7 +156,10 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, "documents", sf_dir)
         .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", F.array_distinct(_shingles(_words())).alias("sh"))
+        .select(
+            "doc_id",
+            F.array_distinct(regex_word_ngrams(F.col("text"), 3)).alias("sh"),
+        )
     )
 
 
@@ -228,7 +246,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_pairs(
         docs.select(
             "doc_id",
-            F.explode(F.array_distinct(_shingles(_words()))).alias("s"),
+            F.explode(
+                F.array_distinct(regex_word_ngrams(F.col("text"), 3))
+            ).alias("s"),
         )
     )
 
