@@ -1147,20 +1147,23 @@ def quality_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts. No driver-side model state. The rebalanced load fans
     the bigram explode past a degenerate single-rowgroup input."""
     docs = load_rebalanced(spark, "documents", sf_dir)
-    words = F.split("text", " ")
-    bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.struct(
-                F.element_at(words, i).alias("w1"),
-                F.element_at(words, i + 1).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array())
-    pairs = docs.select(
-        "doc_id", F.explode(bigrams).alias("b")
-    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    # Codegen'd regex bigram pass (the r4 dedup lesson: interpreted
+    # transform lambdas dominate n-gram explodes at scale). The
+    # size>=2 filter reproduces the lambda form's clamp exactly —
+    # single-word docs contribute no bigrams (regex_word_ngrams alone
+    # would emit its whole-text clamp gram for them).
+    pairs = (
+        docs.filter(F.size(F.split("text", " ")) >= 2)
+        .select(
+            "doc_id",
+            F.explode(regex_word_ngrams(F.col("text"), 2)).alias("g"),
+        )
+        .select(
+            "doc_id",
+            F.substring_index("g", " ", 1).alias("w1"),
+            F.substring_index("g", " ", -1).alias("w2"),
+        )
+    )
     # Per-doc bigram term frequencies FIRST: repetitive documents (the
     # very thing this score flags) collapse to one row per distinct
     # bigram, so the model join and final rollup see the compressed

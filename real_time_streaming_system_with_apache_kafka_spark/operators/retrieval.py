@@ -38,6 +38,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from real_time_streaming_system_with_apache_kafka_spark.functions.ngrams import (
+    regex_word_ngrams,
+)
 from real_time_streaming_system_with_apache_kafka_spark.sources.tables import (
     load_rebalanced,
 )
@@ -185,20 +188,13 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers (sum, n), which is correctly rounded and therefore
     bit-identical everywhere."""
     docs = load_rebalanced(spark, "documents", sf_dir)
-    words = F.split("text", " ")
-    bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1)
-            ),
-        ),
-    ).otherwise(F.array())
-    feats = docs.select(
+    # Codegen'd regex bigram pass (see dedup/ngrams.py); the size>=2
+    # filter keeps the lambda clamp: single-word docs have no bigram
+    # features.
+    feats = docs.filter(F.size(F.split("text", " ")) >= 2).select(
         "doc_id",
         "lang",
-        F.explode(bigrams).alias("gram"),
+        F.explode(regex_word_ngrams(F.col("text"), 2)).alias("gram"),
     ).select(
         "doc_id",
         "lang",
