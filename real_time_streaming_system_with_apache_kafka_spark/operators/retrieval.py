@@ -38,6 +38,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from real_time_streaming_system_with_apache_kafka_spark.functions.arrays import (
+    cosine,
+    oracle_cosine,
+)
 from real_time_streaming_system_with_apache_kafka_spark.functions.ngrams import (
     regex_word_ngrams,
 )
@@ -263,9 +267,107 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 (+) vector cosine via reciprocal-rank fusion
+
+RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+RRF_SCALE = 1_000_000_000  # contributions in parts-per-billion
+
+
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: each probe query
+    runs BOTH retrievers — BM25 over the text corpus (the
+    ``search_bm25_topk`` list) and exact cosine over the embedding
+    table, with the query vector supplied by a pinned exemplar
+    document (vec_id = query_id - 1; a production system ships a real
+    query embedding — the plan is identical). The two top-{BM25_TOPK}
+    lists fuse by RRF,
+
+        rrf_ppb = sum over lists of  {RRF_SCALE} div ({RRF_K} + rank)
+
+    — rank-only fusion, so it needs no score normalization across
+    retrievers and stays exact-integer across engines (Cormack,
+    Clarke & Buettcher 2009, the fusion every hybrid search stack
+    ships). Docs missing from a list contribute 0 and report rank 0
+    (never null: nullable ints shift pandas dtypes between engines).
+
+    Scale shape: both input lists are top-K per query — tiny however
+    large the corpus — so the fusion join and final rank window cost
+    O(queries x K). The lexical side inherits BM25's broadcast/prune
+    shape; the vector side here is the documented brute-force
+    baseline over the exemplar queries, and because RRF consumes only
+    RANKS, the production swap to the bucketed LSH/IVF candidate
+    generators (sim_lsh_topk, sim_ivf_topk) changes nothing
+    downstream."""
+    lex = search_bm25_topk(spark, sf_dir).select(
+        "query_id", F.col("rk").alias("lex_rank"), "doc_id"
+    )
+    emb = load_rebalanced(spark, "embeddings", sf_dir)
+    qvec = emb.filter(F.col("vec_id") < len(BM25_QUERIES)).select(
+        (F.col("vec_id") + 1).cast("int").alias("query_id"),
+        F.col("vec_id").alias("exemplar_id"),
+        F.col("embedding").alias("qe"),
+    )
+    cand = (
+        F.broadcast(qvec)
+        .crossJoin(
+            emb.select(
+                F.col("vec_id").alias("doc_id"),
+                F.col("embedding").alias("ne"),
+            )
+        )
+        .filter(F.col("doc_id") != F.col("exemplar_id"))
+        .withColumn("cos", cosine(F.col("qe"), F.col("ne")))
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("doc_id")
+    )
+    vec = (
+        cand.withColumn("vec_rank", F.row_number().over(wv))
+        .filter(F.col("vec_rank") <= BM25_TOPK)
+        .select("query_id", "vec_rank", "doc_id")
+    )
+    contrib = (
+        lex.join(vec, ["query_id", "doc_id"], "full")
+        .select(
+            "query_id",
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+            F.coalesce("vec_rank", F.lit(0)).alias("vec_rank"),
+            (
+                F.when(F.col("lex_rank").isNull(), F.lit(0)).otherwise(
+                    F.expr(f"{RRF_SCALE} div ({RRF_K} + lex_rank)")
+                )
+                + F.when(F.col("vec_rank").isNull(), F.lit(0)).otherwise(
+                    F.expr(f"{RRF_SCALE} div ({RRF_K} + vec_rank)")
+                )
+            )
+            .cast("bigint")
+            .alias("rrf_ppb"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_ppb"), F.asc("doc_id")
+    )
+    return (
+        contrib.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= BM25_TOPK)
+        .select(
+            "query_id",
+            "fused_rank",
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            "rrf_ppb",
+        )
+        .orderBy("query_id", "fused_rank")
+    )
+
+
 QUERIES = {
     "search_bm25_topk": search_bm25_topk,
     "dsir_importance": dsir_importance,
+    "search_hybrid_rrf": search_hybrid_rrf,
 }
 
 _BM25_QUERY_VALUES = ", ".join(
@@ -274,9 +376,11 @@ _BM25_QUERY_VALUES = ", ".join(
     for term in sorted(set(text.split(" ")))
 )
 
-ORACLES = {
-    "search_bm25_topk": f"""
-        WITH qterms(query_id, term) AS (VALUES {_BM25_QUERY_VALUES}),
+# Shared CTE chain: everything through the per-(query, doc) BM25
+# scores — reused verbatim by the hybrid-fusion oracle so the two
+# twins cannot drift.
+_BM25_SCORE_CTES = f"""
+        qterms(query_id, term) AS (VALUES {_BM25_QUERY_VALUES}),
         totals AS (
             SELECT cast(count(*) AS bigint) AS n_docs,
                    cast(sum(len(string_split(text, ' '))) AS bigint)
@@ -323,14 +427,69 @@ ORACLES = {
                    cast(count(*) AS bigint) AS n_terms_hit,
                    cast(sum(score_ppm) AS bigint) AS score_ppm
             FROM parts GROUP BY query_id, doc_id
-        )
+        ),
+        ranked AS (
+            SELECT query_id, rk, doc_id, n_terms_hit, score_ppm
+            FROM (SELECT *, cast(row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY score_ppm DESC, doc_id) AS int) AS rk
+                  FROM scores)
+            WHERE rk <= {BM25_TOPK}
+        )"""
+
+ORACLES = {
+    "search_bm25_topk": f"""
+        WITH {_BM25_SCORE_CTES}
         SELECT query_id, rk, doc_id, n_terms_hit, score_ppm
+        FROM ranked
+        ORDER BY query_id, rk
+    """,
+    "search_hybrid_rrf": f"""
+        WITH {_BM25_SCORE_CTES},
+        lex AS (
+            SELECT query_id, rk AS lex_rank, doc_id FROM ranked
+        ),
+        qvec AS (
+            SELECT cast(vec_id + 1 AS int) AS query_id,
+                   vec_id AS exemplar_id, embedding AS qe
+            FROM embeddings WHERE vec_id < {len(BM25_QUERIES)}
+        ),
+        cand AS (
+            SELECT q.query_id, e.vec_id AS doc_id,
+                   {oracle_cosine('q.qe', 'e.embedding')} AS cos
+            FROM qvec q, embeddings e
+            WHERE e.vec_id <> q.exemplar_id
+        ),
+        vec AS (
+            SELECT query_id, rk AS vec_rank, doc_id
+            FROM (SELECT *, cast(row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY cos DESC, doc_id) AS int) AS rk
+                  FROM cand)
+            WHERE rk <= {BM25_TOPK}
+        ),
+        fused AS (
+            SELECT coalesce(l.query_id, v.query_id) AS query_id,
+                   coalesce(l.doc_id, v.doc_id) AS doc_id,
+                   cast(coalesce(l.lex_rank, 0) AS int) AS lex_rank,
+                   cast(coalesce(v.vec_rank, 0) AS int) AS vec_rank,
+                   cast(CASE WHEN l.lex_rank IS NULL THEN 0
+                             ELSE {RRF_SCALE} // ({RRF_K} + l.lex_rank)
+                        END
+                      + CASE WHEN v.vec_rank IS NULL THEN 0
+                             ELSE {RRF_SCALE} // ({RRF_K} + v.vec_rank)
+                        END AS bigint) AS rrf_ppb
+            FROM lex l
+            FULL JOIN vec v
+              ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+        )
+        SELECT query_id, fused_rank, doc_id, lex_rank, vec_rank, rrf_ppb
         FROM (SELECT *, cast(row_number() OVER (
                     PARTITION BY query_id
-                    ORDER BY score_ppm DESC, doc_id) AS int) AS rk
-              FROM scores)
-        WHERE rk <= {BM25_TOPK}
-        ORDER BY query_id, rk
+                    ORDER BY rrf_ppb DESC, doc_id) AS int) AS fused_rank
+              FROM fused)
+        WHERE fused_rank <= {BM25_TOPK}
+        ORDER BY query_id, fused_rank
     """,
     "dsir_importance": f"""
         WITH feats AS (

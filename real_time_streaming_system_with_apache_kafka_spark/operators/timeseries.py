@@ -269,6 +269,44 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_vwap_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly VWAP bars per event_type — the volume-weighted average
+    price every execution-quality dashboard plots next to the OHLC
+    candles (the reference's dashboard keeps per-minute mean price,
+    dashboard.py:236-243; VWAP is the size-aware version). Price is
+    ``value`` quantized to exact integer cents (the proven
+    ``anomaly_zscore`` 2dp shape); size is the ``props`` JSON ``k``
+    field (the proven ``f_json_extract`` pairing). Every output is an
+    exact integer: the notional/size sums accumulate in decimal(38,0)
+    (hugeint in the oracle) and vwap_cents is one truncating integer
+    division, guarded with greatest(size, 1) because k = 0 rows exist
+    and an all-zero-size bar would divide by zero (null in Spark,
+    error in DuckDB).
+
+    Scale shape: one hash aggregation with map-side partial combine —
+    the same single-shuffle plan as ``ts_ohlc_bars``; group count is
+    bounded by event_types x hours, not row count."""
+    ev = load(spark, "events", sf_dir).select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bar_hour"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("decimal(19,0)")
+        .alias("px"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("sz"),
+    )
+    return ev.groupBy("event_type", "bar_hour").agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum("sz").cast("bigint").alias("total_size"),
+        F.expr(
+            "cast(cast(sum(px * sz) AS decimal(38,0))"
+            " div greatest(cast(sum(sz) AS decimal(38,0)), 1) AS bigint)"
+        ).alias("vwap_cents"),
+        F.expr(
+            "cast(cast(sum(px * sz) AS decimal(38,0)) div 100 AS bigint)"
+        ).alias("notional_whole"),
+    )
+
+
 QUERIES = {
     "ts_resample_locf": ts_resample_locf,
     "wf_range_frame": wf_range_frame,
@@ -277,6 +315,7 @@ QUERIES = {
     "anomaly_zscore": anomaly_zscore,
     "ts_ewma_exact": ts_ewma_exact,
     "scd2_user_state": scd2_user_state,
+    "ts_vwap_bars": ts_vwap_bars,
 }
 
 ORACLES = {
@@ -391,6 +430,23 @@ ORACLES = {
             JOIN src n ON n.user_id = r.user_id AND n.rn = r.rn + 1
         )
         SELECT user_id, event_id, s AS ewma_cents FROM rec
+    """,
+    "ts_vwap_bars": """
+        WITH q AS (
+            SELECT event_type, date_trunc('hour', ts) AS bar_hour,
+                   cast(cast(value AS decimal(18,2)) * 100 AS hugeint)
+                       AS px,
+                   cast(json_extract_string(props, '$.k') AS hugeint)
+                       AS sz
+            FROM events
+        )
+        SELECT event_type, bar_hour,
+               cast(count(*) AS bigint) AS n_trades,
+               cast(sum(sz) AS bigint) AS total_size,
+               cast(sum(px * sz) // greatest(sum(sz), 1) AS bigint)
+                   AS vwap_cents,
+               cast(sum(px * sz) // 100 AS bigint) AS notional_whole
+        FROM q GROUP BY 1, 2
     """,
     "scd2_user_state": """
         WITH ordered AS (

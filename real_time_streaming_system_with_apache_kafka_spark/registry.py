@@ -135,6 +135,7 @@ _MODULES: list[str] = [
     "real_time_streaming_system_with_apache_kafka_spark.operators.datamix",
     "real_time_streaming_system_with_apache_kafka_spark.operators.layout",
     "real_time_streaming_system_with_apache_kafka_spark.operators.retrieval",
+    "real_time_streaming_system_with_apache_kafka_spark.operators.sketches",
 ]
 
 
