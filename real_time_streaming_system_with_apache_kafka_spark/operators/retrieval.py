@@ -364,10 +364,133 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# MMR diversification of retrieval results
+
+MMR_SELECT = 5  # picks per query
+# λ = 0.7, applied as integer coefficients on the 9dp-rounded cosines:
+# score = 7*rel - 3*maxsim (the x10-scaled MMR objective — monotone
+# identical). Small-integer multiples and one subtraction of
+# bit-identical doubles are single correctly-rounded IEEE ops, so the
+# greedy argmax picks the same doc in both engines; no 0.7-vs-7/10
+# representation gap ever crosses engines.
+MMR_REL_COEF = 7
+MMR_DIV_COEF = 3
+
+
+def search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) of the vector top-{BM25_TOPK} candidates: greedily pick
+    {MMR_SELECT} docs per query maximizing
+    relevance-minus-max-similarity-to-already-picked — the diverse
+    exemplar selection every few-shot/mining pipeline runs after ANN
+    retrieval so the k exemplars aren't k near-duplicates (SemDeDup's
+    argument, applied at query time).
+
+    Greedy rounds are UNROLLED into the plan ({MMR_SELECT - 1} joins
+    after the relevance-only first pick) — no driver loop over data.
+    The candidate list and its pairwise-similarity matrix are
+    localCheckpointed once (O(queries x K) and O(queries x K^2) rows —
+    bounded by the retrieval fan-out, NOT the corpus), because each
+    unrolled round re-reads both; without the checkpoint the cosine
+    kernel subtree would re-execute per round ({MMR_SELECT}x plan
+    blowup). Candidate generation itself is the brute-force baseline
+    over exemplar queries, swappable for the bucketed LSH/IVF paths —
+    MMR consumes only (rel, pairwise sims), both retriever-agnostic.
+
+    Output mmr_score is the x10-scaled objective (see MMR_REL_COEF);
+    the first pick's max-sim term is 0 by definition."""
+    emb = load_rebalanced(spark, "embeddings", sf_dir)
+    qvec = emb.filter(F.col("vec_id") < len(BM25_QUERIES)).select(
+        (F.col("vec_id") + 1).cast("int").alias("query_id"),
+        F.col("vec_id").alias("exemplar_id"),
+        F.col("embedding").alias("qe"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("doc_id")
+    )
+    cand_full = (
+        F.broadcast(qvec)
+        .crossJoin(
+            emb.select(
+                F.col("vec_id").alias("doc_id"),
+                F.col("embedding").alias("ne"),
+            )
+        )
+        .filter(F.col("doc_id") != F.col("exemplar_id"))
+        .withColumn("rel", cosine(F.col("qe"), F.col("ne")))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= BM25_TOPK)
+        .select("query_id", "doc_id", "rel", "ne")
+        .localCheckpoint(eager=True)
+    )
+    cand = cand_full.select("query_id", "doc_id", "rel")
+    a = cand_full.select(
+        "query_id", F.col("doc_id").alias("a"), F.col("ne").alias("ea")
+    )
+    b = cand_full.select(
+        "query_id", F.col("doc_id").alias("b"), F.col("ne").alias("eb")
+    )
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .withColumn("sim", cosine(F.col("ea"), F.col("eb")))
+        .select("query_id", "a", "b", "sim")
+        .localCheckpoint(eager=True)
+    )
+    first = (
+        cand.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            F.lit(1).alias("sel_rank"),
+            "doc_id",
+            "rel",
+            (F.lit(MMR_REL_COEF) * F.col("rel")).alias("mmr_score"),
+        )
+    )
+    selected = first
+    for r in range(2, MMR_SELECT + 1):
+        prev = selected.select("query_id", "doc_id")
+        remaining = cand.join(prev, ["query_id", "doc_id"], "left_anti")
+        scored = (
+            remaining.join(
+                sims.withColumnRenamed("a", "doc_id"), ["query_id", "doc_id"]
+            )
+            .join(
+                prev.withColumnRenamed("doc_id", "b"), ["query_id", "b"]
+            )
+            .groupBy("query_id", "doc_id", "rel")
+            .agg(F.max("sim").alias("maxsim"))
+            .withColumn(
+                "mmr_score",
+                F.lit(MMR_REL_COEF) * F.col("rel")
+                - F.lit(MMR_DIV_COEF) * F.col("maxsim"),
+            )
+        )
+        wp = Window.partitionBy("query_id").orderBy(
+            F.desc("mmr_score"), F.asc("doc_id")
+        )
+        pick = (
+            scored.withColumn("rk", F.row_number().over(wp))
+            .filter(F.col("rk") == 1)
+            .select(
+                "query_id",
+                F.lit(r).alias("sel_rank"),
+                "doc_id",
+                "rel",
+                "mmr_score",
+            )
+        )
+        selected = selected.unionByName(pick)
+    return selected.orderBy("query_id", "sel_rank")
+
+
 QUERIES = {
     "search_bm25_topk": search_bm25_topk,
     "dsir_importance": dsir_importance,
     "search_hybrid_rrf": search_hybrid_rrf,
+    "search_mmr_diversify": search_mmr_diversify,
 }
 
 _BM25_QUERY_VALUES = ", ".join(
@@ -375,6 +498,88 @@ _BM25_QUERY_VALUES = ", ".join(
     for qid, text in BM25_QUERIES
     for term in sorted(set(text.split(" ")))
 )
+
+def _mmr_oracle_sql() -> str:
+    """Unrolled-greedy MMR twin: one scored/pick/sel CTE triple per
+    round, mirroring the engine's unrolled joins (the chained-CTE
+    pattern embed_pca_power and vocab_bpe_learn_merges established)."""
+    obj = f"{MMR_REL_COEF}*rel - {MMR_DIV_COEF}*maxsim"
+    parts = [
+        f"""
+        qvec AS (
+            SELECT cast(vec_id + 1 AS int) AS query_id,
+                   vec_id AS exemplar_id, embedding AS qe
+            FROM embeddings WHERE vec_id < {len(BM25_QUERIES)}
+        ),
+        cand0 AS (
+            SELECT q.query_id, e.vec_id AS doc_id,
+                   {oracle_cosine('q.qe', 'e.embedding')} AS rel,
+                   e.embedding AS ne
+            FROM qvec q, embeddings e
+            WHERE e.vec_id <> q.exemplar_id
+        ),
+        cand AS (
+            SELECT query_id, doc_id, rel, ne
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY rel DESC, doc_id) AS rk
+                  FROM cand0)
+            WHERE rk <= {BM25_TOPK}
+        ),
+        sims AS (
+            SELECT c1.query_id, c1.doc_id AS a, c2.doc_id AS b,
+                   {oracle_cosine('c1.ne', 'c2.ne')} AS sim
+            FROM cand c1
+            JOIN cand c2 ON c1.query_id = c2.query_id
+                        AND c1.doc_id <> c2.doc_id
+        ),
+        sel1 AS (
+            SELECT query_id, cast(1 AS int) AS sel_rank, doc_id, rel,
+                   {MMR_REL_COEF}*rel AS mmr_score
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY rel DESC, doc_id) AS rk
+                  FROM cand)
+            WHERE rk = 1
+        )"""
+    ]
+    for r in range(2, MMR_SELECT + 1):
+        parts.append(
+            f"""
+        scored{r} AS (
+            SELECT c.query_id, c.doc_id, c.rel, max(s.sim) AS maxsim
+            FROM cand c
+            JOIN sel{r - 1} p ON p.query_id = c.query_id
+            JOIN sims s ON s.query_id = c.query_id
+                       AND s.a = c.doc_id AND s.b = p.doc_id
+            LEFT JOIN sel{r - 1} x ON x.query_id = c.query_id
+                                  AND x.doc_id = c.doc_id
+            WHERE x.doc_id IS NULL
+            GROUP BY 1, 2, 3
+        ),
+        pick{r} AS (
+            SELECT query_id, cast({r} AS int) AS sel_rank, doc_id, rel,
+                   {obj} AS mmr_score
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY {obj} DESC, doc_id) AS rk
+                  FROM scored{r})
+            WHERE rk = 1
+        ),
+        sel{r} AS (
+            SELECT * FROM sel{r - 1}
+            UNION ALL
+            SELECT query_id, sel_rank, doc_id, rel, mmr_score
+            FROM pick{r}
+        )"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+        SELECT query_id, sel_rank, doc_id, rel, mmr_score
+        FROM sel{MMR_SELECT}
+        ORDER BY query_id, sel_rank
+    """
+    )
+
 
 # Shared CTE chain: everything through the per-(query, doc) BM25
 # scores — reused verbatim by the hybrid-fusion oracle so the two
@@ -491,6 +696,7 @@ ORACLES = {
         WHERE fused_rank <= {BM25_TOPK}
         ORDER BY query_id, fused_rank
     """,
+    "search_mmr_diversify": _mmr_oracle_sql(),
     "dsir_importance": f"""
         WITH feats AS (
             SELECT doc_id, lang,

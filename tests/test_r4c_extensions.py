@@ -1,12 +1,19 @@
 """Invariant tests for the late round-4 continuation additions:
-reciprocal-rank-fusion accounting for hybrid retrieval.
+reciprocal-rank-fusion accounting for hybrid retrieval, and an
+independent python-greedy recomputation of the MMR selection.
 """
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
+from real_time_streaming_system_with_apache_kafka_spark.functions.arrays import (
+    cosine,
+)
 from real_time_streaming_system_with_apache_kafka_spark.operators import (
     retrieval,
 )
+from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
 
 
 def test_hybrid_rrf_fusion_laws(spark, sf_dir):
@@ -50,3 +57,88 @@ def test_hybrid_rrf_fusion_laws(spark, sf_dir):
             prev = r
     assert any(r["lex_rank"] > 0 for r in rows)
     assert any(r["vec_rank"] > 0 for r in rows)
+
+
+def test_mmr_matches_python_greedy(spark, sf_dir):
+    """Re-run the greedy MMR selection in plain python over the same
+    candidate relevances and pairwise similarities (collected from one
+    tiny cosine job) and require pick-for-pick identity — doc ids,
+    sel_ranks, and exact mmr_score doubles (the engine's arithmetic is
+    integer-coefficient double math python reproduces bit-for-bit)."""
+    emb = load(spark, "embeddings", sf_dir)
+    n_q = len(retrieval.BM25_QUERIES)
+    qvec = emb.filter(F.col("vec_id") < n_q).select(
+        (F.col("vec_id") + 1).alias("query_id"),
+        F.col("vec_id").alias("exemplar_id"),
+        F.col("embedding").alias("qe"),
+    )
+    pairs = (
+        F.broadcast(qvec)
+        .crossJoin(
+            emb.select(
+                F.col("vec_id").alias("doc_id"),
+                F.col("embedding").alias("ne"),
+            )
+        )
+        .filter(F.col("doc_id") != F.col("exemplar_id"))
+        .select("query_id", "doc_id", cosine("qe", "ne").alias("rel"))
+        .collect()
+    )
+    cands: dict[int, list] = {}
+    for r in pairs:
+        cands.setdefault(r["query_id"], []).append((r["doc_id"], r["rel"]))
+    top: dict[int, list] = {
+        q: sorted(v, key=lambda t: (-t[1], t[0]))[: retrieval.BM25_TOPK]
+        for q, v in cands.items()
+    }
+    # Pairwise sims among each query's candidates, one small job.
+    ids = sorted({d for v in top.values() for d, _ in v})
+    sub = emb.filter(F.col("vec_id").isin(ids))
+    sims = {
+        (r["a"], r["b"]): r["sim"]
+        for r in sub.alias("x")
+        .select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+        .join(
+            sub.select(
+                F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
+            ),
+            F.col("a") < F.col("b"),
+        )
+        .select("a", "b", cosine("ea", "eb").alias("sim"))
+        .collect()
+    }
+
+    def sim(x, y):
+        return sims[(min(x, y), max(x, y))]
+
+    expected = []
+    for q in sorted(top):
+        pool = dict(top[q])
+        first = min(pool, key=lambda d: (-pool[d], d))
+        picked = [(q, 1, first, pool[first], 7 * pool[first])]
+        chosen = [first]
+        del pool[first]
+        for rank in range(2, retrieval.MMR_SELECT + 1):
+            scored = {
+                d: 7 * rel - 3 * max(sim(d, c) for c in chosen)
+                for d, rel in pool.items()
+            }
+            best = min(scored, key=lambda d: (-scored[d], d))
+            picked.append((q, rank, best, pool[best], scored[best]))
+            chosen.append(best)
+            del pool[best]
+        expected.extend(picked)
+    got = [
+        (r["query_id"], r["sel_rank"], r["doc_id"], r["rel"], r["mmr_score"])
+        for r in retrieval.search_mmr_diversify(spark, sf_dir).collect()
+    ]
+    assert got == expected
+    # Diversity does real work on this corpus: at least one query's
+    # MMR set differs from its pure-relevance top-MMR_SELECT.
+    rel_top = {
+        q: {d for d, _ in v[: retrieval.MMR_SELECT]} for q, v in top.items()
+    }
+    mmr_sets: dict[int, set] = {}
+    for q, _, d, _, _ in got:
+        mmr_sets.setdefault(q, set()).add(d)
+    assert any(mmr_sets[q] != rel_top[q] for q in mmr_sets)
