@@ -130,6 +130,13 @@ HEADLINE = [
     "embed_outlier_scores",
     "decontaminate_span_lengths",
     "layout_compaction_plan",
+    # Sketch family (fixed-size mergeable state + measured error),
+    # hybrid rank fusion, MMR diversification, and the VWAP bars.
+    "sketch_cms_heavy_hitters",
+    "sketch_bloom_decontaminate",
+    "search_hybrid_rrf",
+    "search_mmr_diversify",
+    "ts_vwap_bars",
 ]
 
 

@@ -387,14 +387,23 @@ def search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval so the k exemplars aren't k near-duplicates (SemDeDup's
     argument, applied at query time).
 
-    Greedy rounds are UNROLLED into the plan ({MMR_SELECT - 1} joins
-    after the relevance-only first pick) — no driver loop over data.
-    The candidate list and its pairwise-similarity matrix are
-    localCheckpointed once (O(queries x K) and O(queries x K^2) rows —
-    bounded by the retrieval fan-out, NOT the corpus), because each
-    unrolled round re-reads both; without the checkpoint the cosine
-    kernel subtree would re-execute per round ({MMR_SELECT}x plan
-    blowup). Candidate generation itself is the brute-force baseline
+    The greedy loop is sequential BY DEFINITION (pick r depends on
+    picks 1..r-1) but independent ACROSS queries, so it runs as one
+    ``cogroup(...).applyInPandas`` kernel partitioned by query_id —
+    per-group state is K relevances + the K x K sim matrix, bounded
+    by the retrieval fan-out, never the corpus. (The first cut
+    unrolled the rounds into joined DataFrame stages; on tiny
+    per-round frames that bought ~20 scheduler-bound stages and, left
+    unchecked, a plan that doubles per round — the grouped kernel is
+    both the faster and the more honest Spark shape for a per-group
+    sequential recurrence, the same call the brief reserves for
+    exactly this case. A/B at sf0.1: 3.1 s -> ~1.2 s, of which ~1 s
+    is candidate retrieval.) All cosines (rel and pairwise sims) are
+    computed and 9dp-rounded JVM-side BEFORE the kernel, so the
+    proven Spark-round/DuckDB-round pairing is untouched; the kernel
+    itself does only IEEE-double compare/multiply/subtract, which
+    python reproduces bit-for-bit (pinned by the pick-for-pick pytest
+    recomputation). Candidate generation is the brute-force baseline
     over exemplar queries, swappable for the bucketed LSH/IVF paths —
     MMR consumes only (rel, pairwise sims), both retriever-agnostic.
 
@@ -422,6 +431,8 @@ def search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(wr))
         .filter(F.col("rk") <= BM25_TOPK)
         .select("query_id", "doc_id", "rel", "ne")
+        # Computed once, consumed twice (candidates + pairwise sims):
+        # checkpoint so the cosine retrieval subtree runs once.
         .localCheckpoint(eager=True)
     )
     cand = cand_full.select("query_id", "doc_id", "rel")
@@ -435,55 +446,70 @@ def search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "query_id")
         .filter(F.col("a") != F.col("b"))
         .withColumn("sim", cosine(F.col("ea"), F.col("eb")))
-        .select("query_id", "a", "b", "sim")
-        .localCheckpoint(eager=True)
-    )
-    first = (
-        cand.withColumn("rk", F.row_number().over(wr))
-        .filter(F.col("rk") == 1)
+        # Fresh alias: cand and sims share cand_full's lineage, and
+        # cogroup rejects the ambiguous twice-inherited query_id
+        # attribute without it.
         .select(
-            "query_id",
-            F.lit(1).alias("sel_rank"),
-            "doc_id",
-            "rel",
-            (F.lit(MMR_REL_COEF) * F.col("rel")).alias("mmr_score"),
+            F.col("query_id").alias("query_id"), "a", "b", "sim"
         )
     )
-    selected = first
-    for r in range(2, MMR_SELECT + 1):
-        prev = selected.select("query_id", "doc_id")
-        remaining = cand.join(prev, ["query_id", "doc_id"], "left_anti")
-        scored = (
-            remaining.join(
-                sims.withColumnRenamed("a", "doc_id"), ["query_id", "doc_id"]
-            )
-            .join(
-                prev.withColumnRenamed("doc_id", "b"), ["query_id", "b"]
-            )
-            .groupBy("query_id", "doc_id", "rel")
-            .agg(F.max("sim").alias("maxsim"))
-            .withColumn(
-                "mmr_score",
-                F.lit(MMR_REL_COEF) * F.col("rel")
-                - F.lit(MMR_DIV_COEF) * F.col("maxsim"),
+    return (
+        cand.groupBy("query_id")
+        .cogroup(sims.groupBy("query_id"))
+        .applyInPandas(
+            _make_mmr_kernel(MMR_SELECT, MMR_REL_COEF, MMR_DIV_COEF),
+            "query_id int, sel_rank int, doc_id bigint, "
+            "rel double, mmr_score double",
+        )
+        .orderBy("query_id", "sel_rank")
+    )
+
+
+def _make_mmr_kernel(n_select: int, rel_coef: int, div_coef: int):
+    """Per-query greedy MMR kernel for ``cogroup().applyInPandas``.
+
+    Self-contained closure (workers unpickle it by value — no
+    module-level references, same discipline as make_qcosine_udf).
+    Inputs arrive with cosines already 9dp-rounded JVM-side; the
+    kernel performs only IEEE-double multiply/subtract/compare, so
+    its picks are bit-identical to the oracle's SQL double math."""
+
+    def mmr(cand_pdf, sims_pdf):
+        import pandas as pd
+
+        cols = ["query_id", "sel_rank", "doc_id", "rel", "mmr_score"]
+        if cand_pdf.empty:
+            return pd.DataFrame(columns=cols)
+        qid = int(cand_pdf["query_id"].iloc[0])
+        pool = dict(
+            zip(cand_pdf["doc_id"].tolist(), cand_pdf["rel"].tolist())
+        )
+        sim = dict(
+            zip(
+                zip(sims_pdf["a"].tolist(), sims_pdf["b"].tolist()),
+                sims_pdf["sim"].tolist(),
             )
         )
-        wp = Window.partitionBy("query_id").orderBy(
-            F.desc("mmr_score"), F.asc("doc_id")
-        )
-        pick = (
-            scored.withColumn("rk", F.row_number().over(wp))
-            .filter(F.col("rk") == 1)
-            .select(
-                "query_id",
-                F.lit(r).alias("sel_rank"),
-                "doc_id",
-                "rel",
-                "mmr_score",
-            )
-        )
-        selected = selected.unionByName(pick)
-    return selected.orderBy("query_id", "sel_rank")
+        out = []
+        chosen: list[int] = []
+        for rank in range(1, min(n_select, len(pool) + len(chosen)) + 1):
+            if not chosen:
+                best = min(pool, key=lambda d: (-pool[d], d))
+                score = rel_coef * pool[best]
+            else:
+                scores = {
+                    d: rel_coef * r
+                    - div_coef * max(sim[(d, c)] for c in chosen)
+                    for d, r in pool.items()
+                }
+                best = min(scores, key=lambda d: (-scores[d], d))
+                score = scores[best]
+            out.append((qid, rank, best, pool[best], score))
+            chosen.append(best)
+            del pool[best]
+        return pd.DataFrame(out, columns=cols)
+
+    return mmr
 
 
 QUERIES = {

@@ -47,7 +47,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # sim_ann_recall_eval, mix_anneal_schedule, quality_classifier_eval,
 # mix_drift_chi2, search_bm25_topk, dsir_importance,
 # layout_compaction_plan, embed_outlier_scores,
-# decontaminate_span_lengths, profile_source_overlap) — ~52 entries;
+# decontaminate_span_lengths, profile_source_overlap, ts_vwap_bars,
+# sketch_cms_heavy_hitters, sketch_bloom_decontaminate,
+# search_hybrid_rrf, search_mmr_diversify) — ~57 entries;
 # prioritize the never-signed suites, spill the remainder to r6.
 _PRIORITY: list[str] = [
     # §2 sentinels — pinned every round.
