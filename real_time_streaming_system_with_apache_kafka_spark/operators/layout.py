@@ -334,14 +334,166 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Zone-map (min/max footer stats) data-skipping effectiveness audit
+
+ZONE_FILE_ROWS = 500  # ingest-order micro-batch file model
+# Fixed probe predicates, half-open [lo, hi): two time windows (the
+# clustered column — ingest order IS time order, so footer ranges are
+# disjoint and skipping bites) and two price bands (unclustered —
+# every file spans nearly the full price range, so zone maps skip
+# ~nothing; that contrast is the point, and layout_zorder_events is
+# the fix this audit motivates). Times are epoch micros, prices exact
+# integer cents.
+_US = 86_400_000_000  # one day of microseconds
+_T0 = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+ZONE_PROBES: list[tuple[int, str, int, int]] = [
+    (1, "ts_us", _T0 + 4 * _US, _T0 + 6 * _US),  # Jan 05-07
+    (2, "ts_us", _T0 + 19 * _US, _T0 + 27 * _US),  # Jan 20-28
+    (3, "px", 10_000, 12_000),  # $100.00-$119.99
+    (4, "px", 45_000, 1 << 61),  # top price tail
+]
+
+
+def layout_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured data-skipping effectiveness of per-file min/max zone
+    maps (parquet footer stats / Delta-Iceberg file stats): model
+    ingest-order micro-batch files ({ZONE_FILE_ROWS} rows each),
+    collect each file's min/max per column, and for every probe
+    predicate report how many files the zone maps PROVE empty
+    (skipped), how many rows the scanned remainder reads, how many
+    actually match, and the wasted-scan fraction in ppm. The
+    "measure, don't guess" audit for the claim behind
+    ``layout_zorder_events`` and every time-partitioned table: on the
+    clustered column skipping is near-total, on an unclustered column
+    it is near-zero — numbers, not intuition, before anyone relies on
+    pruning at 100 TB.
+
+    Plan shape: ONE scan builds the per-file stats table (min/max per
+    column + per-probe exact match counts folded into the same hash
+    aggregate, metadata-sized output); the per-probe rollups are
+    aggregates over that localCheckpointed metadata — a 100 TB table
+    is ~a million metadata rows. Zone-map soundness (a skipped file
+    contains no matching row) is pinned in tests by construction:
+    match counts sum identically over scanned files only."""
+    ev = load(spark, "events", sf_dir).select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("px"),
+    )
+    aggs = [
+        F.min("ts_us").alias("mn_ts_us"),
+        F.max("ts_us").alias("mx_ts_us"),
+        F.min("px").alias("mn_px"),
+        F.max("px").alias("mx_px"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ] + [
+        F.count_if(
+            (F.col(col) >= F.lit(lo)) & (F.col(col) < F.lit(hi))
+        ).alias(f"match_{pid}")
+        for pid, col, lo, hi in ZONE_PROBES
+    ]
+    files = (
+        ev.groupBy(F.expr(f"event_id div {ZONE_FILE_ROWS}").alias("file_id"))
+        .agg(*aggs)
+        .localCheckpoint(eager=True)
+    )
+    per_probe = []
+    for pid, col, lo, hi in ZONE_PROBES:
+        skipped = (F.col(f"mx_{col}") < F.lit(lo)) | (
+            F.col(f"mn_{col}") >= F.lit(hi)
+        )
+        per_probe.append(
+            files.agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.count_if(skipped).alias("n_skipped_files"),
+                F.count_if(~skipped).alias("n_scanned_files"),
+                F.sum(
+                    F.when(~skipped, F.col("n_rows")).otherwise(0)
+                ).cast("bigint").alias("rows_scanned"),
+                F.sum(f"match_{pid}").cast("bigint").alias("rows_matched"),
+            ).select(
+                F.lit(pid).alias("probe_id"),
+                F.lit(f"{col} in [{lo},{hi})").alias("predicate"),
+                "n_files",
+                "n_skipped_files",
+                "n_scanned_files",
+                "rows_scanned",
+                "rows_matched",
+                F.expr(
+                    "cast(1000000 AS bigint) * (rows_scanned - rows_matched)"
+                    " div greatest(rows_scanned, 1)"
+                ).alias("scan_waste_ppm"),
+            )
+        )
+    out = per_probe[0]
+    for df in per_probe[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("probe_id")
+
+
+def _zonemap_oracle_sql() -> str:
+    match_cols = ",\n                   ".join(
+        f"cast(count(*) FILTER (WHERE {col} >= {lo} AND {col} < {hi})"
+        f" AS bigint) AS match_{pid}"
+        for pid, col, lo, hi in ZONE_PROBES
+    )
+    probes = "\n        UNION ALL\n".join(
+        f"""        SELECT {pid} AS probe_id,
+               '{col} in [{lo},{hi})' AS predicate,
+               cast(count(*) AS bigint) AS n_files,
+               cast(count(*) FILTER (WHERE mx_{col} < {lo}
+                                        OR mn_{col} >= {hi}) AS bigint)
+                   AS n_skipped_files,
+               cast(count(*) FILTER (WHERE NOT (mx_{col} < {lo}
+                                             OR mn_{col} >= {hi}))
+                    AS bigint) AS n_scanned_files,
+               cast(coalesce(sum(n_rows) FILTER (WHERE NOT (mx_{col} < {lo}
+                                             OR mn_{col} >= {hi})), 0)
+                    AS bigint) AS rows_scanned,
+               cast(sum(match_{pid}) AS bigint) AS rows_matched,
+               cast(1000000 * (coalesce(sum(n_rows) FILTER (
+                        WHERE NOT (mx_{col} < {lo} OR mn_{col} >= {hi})), 0)
+                        - sum(match_{pid}))
+                    // greatest(coalesce(sum(n_rows) FILTER (
+                        WHERE NOT (mx_{col} < {lo} OR mn_{col} >= {hi})), 0),
+                        1) AS bigint) AS scan_waste_ppm
+        FROM files"""
+        for pid, col, lo, hi in ZONE_PROBES
+    )
+    return f"""
+        WITH files AS (
+            SELECT event_id // {ZONE_FILE_ROWS} AS file_id,
+                   min(ts_us) AS mn_ts_us,
+                   max(ts_us) AS mx_ts_us,
+                   min(px) AS mn_px,
+                   max(px) AS mx_px,
+                   cast(count(*) AS bigint) AS n_rows,
+                   {match_cols}
+            FROM (SELECT event_id,
+                         cast(cast(value AS decimal(18,2)) * 100 AS bigint)
+                             AS px,
+                         epoch_us(ts) AS ts_us
+                  FROM events)
+            GROUP BY 1
+        )
+{probes}
+        ORDER BY probe_id
+    """
+
+
 QUERIES = {
     "layout_zorder_events": layout_zorder_events,
     "j8_bucketed_join": j8_bucketed_join,
     "layout_compaction_plan": layout_compaction_plan,
+    "layout_zonemap_skipping": layout_zonemap_skipping,
 }
 
 ORACLES = {
     "layout_zorder_events": _zorder_oracle_sql(),
+    "layout_zonemap_skipping": _zonemap_oracle_sql(),
     # The oracle joins the UNBUCKETED tables: the layout change must
     # be invisible in the result.
     "j8_bucketed_join": f"""

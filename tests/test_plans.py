@@ -732,3 +732,68 @@ def test_source_overlap_totals_broadcast_no_cartesian(spark, sf_dir):
     plan = _plan(curation.profile_source_overlap(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_vwap_single_hash_aggregate(spark, sf_dir):
+    """VWAP is one hash aggregation with map-side partial combine —
+    exactly one exchange, no join, no sort in the aggregation path."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import timeseries
+
+    plan = _plan(timeseries.ts_vwap_bars(spark, sf_dir))
+    # Node names appear once in the tree and once in the detail
+    # section; "Name (" counts tree nodes only.
+    assert plan.count("Exchange (") == 1
+    assert "Join" not in plan
+    assert plan.count("HashAggregate (") == 2  # partial + final
+
+
+def test_cms_take_ordered_and_broadcast_cells(spark, sf_dir):
+    """Heavy hitters come from distributed TakeOrderedAndProject (no
+    global single-partition window over the vocabulary) and the
+    WIDTHxDEPTH cell table broadcasts into the probe join."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import sketches
+
+    plan = _plan(sketches.sketch_cms_heavy_hitters(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_set_bits_broadcast(spark, sf_dir):
+    """The bloom's set-bit table and the exact bench-gram table are
+    both fixed-size broadcasts; the training gram stream is tagged
+    map-side, never shuffled for the membership join."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import sketches
+
+    plan = _plan(sketches.sketch_bloom_decontaminate(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hybrid_rrf_topk_lists_prune_before_fusion(spark, sf_dir):
+    """Both retriever lists prune to top-K per query BEFORE the fusion
+    join (WindowGroupLimit pushes the rank filter map-side), so the
+    full-outer fusion join touches O(queries x K) rows; the exemplar
+    query vectors broadcast against the embedding table."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import retrieval
+
+    plan = _plan(retrieval.search_hybrid_rrf(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    # The only nested-loop join is BM25's documented 1-row corpus
+    # totals broadcast; a true cartesian never appears.
+    assert "CartesianProduct" not in plan
+
+
+def test_zonemap_stats_single_scan(spark, sf_dir):
+    """The per-file stats table (min/max + all probe match counts)
+    builds from ONE scan of events — one exchange on file_id — and the
+    per-probe rollups aggregate checkpointed metadata, so the corpus
+    is never re-read per probe."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import layout
+
+    df = layout.layout_zonemap_skipping(spark, sf_dir)
+    plan = _plan(df)
+    assert "Scan parquet" not in plan  # inputs are the checkpointed stats
+    assert "Join" not in plan

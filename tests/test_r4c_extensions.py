@@ -142,3 +142,27 @@ def test_mmr_matches_python_greedy(spark, sf_dir):
     for q, _, d, _, _ in got:
         mmr_sets.setdefault(q, set()).add(d)
     assert any(mmr_sets[q] != rel_top[q] for q in mmr_sets)
+
+
+def test_zonemap_skipping_soundness_and_contrast(spark, sf_dir):
+    """Per-probe accounting closes (skipped + scanned = files, matches
+    never exceed scanned rows, waste is its defining division), and
+    the layout story holds on this ingest-ordered fixture: time
+    probes skip files (ingest order = time order), the mid-range
+    price probe skips none (unclustered column)."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import layout
+
+    rows = {
+        r["probe_id"]: r
+        for r in layout.layout_zonemap_skipping(spark, sf_dir).collect()
+    }
+    assert set(rows) == {pid for pid, *_ in layout.ZONE_PROBES}
+    for r in rows.values():
+        assert r["n_skipped_files"] + r["n_scanned_files"] == r["n_files"]
+        assert 0 <= r["rows_matched"] <= r["rows_scanned"]
+        assert r["scan_waste_ppm"] == 1_000_000 * (
+            r["rows_scanned"] - r["rows_matched"]
+        ) // max(r["rows_scanned"], 1)
+    assert rows[1]["n_skipped_files"] > 0
+    assert rows[2]["n_skipped_files"] > 0
+    assert rows[3]["n_skipped_files"] == 0
