@@ -141,61 +141,6 @@ def session_window_stream(
     )
 
 
-def ohlc_bars_stream(
-    trades: DataFrame,
-    bar: str = "1 hour",
-    watermark: str | None = "2 minutes",
-) -> DataFrame:
-    """Streaming twin of ``operators/timeseries.py::ts_ohlc_bars``:
-    incremental OHLC candlesticks per (instrument, bar window).
-
-    Open/close use the same total-order key as the batch operator
-    (epoch micros | trade_id, fixed width) so once a window closes
-    past the watermark, the emitted bar is byte-identical to the batch
-    recompute — min_by/max_by state merges associatively, so arrival
-    order across micro-batches cannot change the result.
-    """
-    if watermark is not None:
-        trades = trades.withWatermark("timestamp", watermark)
-    # Timestamp is bias-shifted by 2^62 before lpad (shared convention
-    # with the batch _ordkey) so the lexicographic order is correct for
-    # pre-1970 timestamps too; trade_id is an opaque STRING id, where
-    # plain fixed-width lpad is already a total order.
-    ordkey = F.concat(
-        F.lpad(
-            (F.unix_micros("timestamp") + 2**62).cast("string"), 20, "0"
-        ),
-        F.lit("|"),
-        F.lpad(F.col("trade_id"), 20, "0"),
-    )
-    return (
-        trades.groupBy(
-            F.window(F.col("timestamp"), bar).alias("w"),
-            F.col("instrument"),
-        )
-        .agg(
-            F.min_by("notional_value", ordkey).alias("open"),
-            F.max("notional_value").alias("high"),
-            F.min("notional_value").alias("low"),
-            F.max_by("notional_value", ordkey).alias("close"),
-            F.count(F.lit(1)).alias("n_trades"),
-            F.sum(F.col("notional_value").cast("decimal(38,6)"))
-            .cast("double")
-            .alias("volume"),
-        )
-        .select(
-            F.col("w.start").alias("bar_start"),
-            "instrument",
-            "open",
-            "high",
-            "low",
-            "close",
-            "n_trades",
-            "volume",
-        )
-    )
-
-
 def venue_distribution_stream(
     trades: DataFrame, watermark: str | None = "2 minutes"
 ) -> DataFrame:
@@ -271,5 +216,43 @@ def ohlc_bars_stream(
             "close",
             "n_trades",
             "volume",
+        )
+    )
+
+
+def vwap_bars_stream(
+    trades: DataFrame, watermark: str | None = "2 minutes"
+) -> DataFrame:
+    """Per-minute VWAP per instrument — the streaming twin of
+    ``operators/timeseries.py::ts_vwap_bars`` on the trade wire
+    schema: volume-weighted average price from two exact decimal sums
+    (price x quantity, quantity), converted to double once at
+    emission. Pure commutative sums, so the bar is independent of
+    arrival order and micro-batch boundaries (the stream/batch
+    equivalence test drains it both ways); watermark-bounded state per
+    (instrument, window) — the execution-quality number every trading
+    dashboard refreshes, maintained incrementally instead of the
+    reference's full pandas recompute per poll (dashboard.py:236-303).
+    """
+    if watermark is not None:
+        trades = trades.withWatermark("timestamp", watermark)
+    pq = (F.col("price") * F.col("quantity")).cast("decimal(38,8)")
+    return (
+        trades.groupBy(
+            "instrument", F.window(F.col("timestamp"), "1 minute").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_trades"),
+            F.sum(F.col("quantity").cast("decimal(38,2)")).alias("sum_qty"),
+            F.sum(pq).alias("sum_pq"),
+        )
+        .select(
+            "instrument",
+            F.col("w.start").alias("window_start"),
+            "n_trades",
+            F.col("sum_qty").cast("double").alias("total_qty"),
+            (F.col("sum_pq") / F.col("sum_qty"))
+            .cast("double")
+            .alias("vwap"),
         )
     )

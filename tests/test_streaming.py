@@ -554,3 +554,39 @@ def test_ohlc_stream_matches_batch(spark, wire_dir):
     for r in got:
         lo, hi = r[4], r[3]
         assert lo <= r[2] <= hi and lo <= r[5] <= hi  # open/close within [low, high]
+
+
+def test_stream_batch_vwap_equivalence(spark, wire_dir):
+    """The VWAP stream twin emits exactly the bars the same function
+    computes in batch over the same rows (pure commutative sums —
+    arrival order and micro-batch boundaries cannot matter), and each
+    bar's VWAP lies inside the OHLC twin's [low, high] for the same
+    (instrument, window)."""
+    path, n_base, n_dup = wire_dir
+    stream = ingest.read_trade_stream_from_json_dir(spark, path)
+    got = _drain(
+        windowed.vwap_bars_stream(stream, watermark=None),
+        "vwap_stream",
+        mode="complete",
+    ).collect()
+    batch = ingest.parse_wire(spark.read.text(path))
+    want = windowed.vwap_bars_stream(batch, watermark=None).collect()
+    assert sorted(map(tuple, got), key=str) == sorted(
+        map(tuple, want), key=str
+    )
+    assert len(got) > 1
+    bars = {
+        (r["instrument"], r["window_start"]): r
+        for r in windowed.ohlc_bars_stream(batch, watermark=None).collect()
+    }
+    for r in got:
+        o = bars[(r["instrument"], r["window_start"])]
+        assert r["n_trades"] == o["n_trades"]
+        if r["total_qty"] > 0:
+            # OHLC emits exact decimals, VWAP one double conversion:
+            # compare in float with a 1-ulp-scale tolerance.
+            assert (
+                float(o["low"]) - 1e-9
+                <= r["vwap"]
+                <= float(o["high"]) + 1e-9
+            )
