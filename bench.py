@@ -137,6 +137,9 @@ HEADLINE = [
     "search_hybrid_rrf",
     "search_mmr_diversify",
     "ts_vwap_bars",
+    # Two-stage PRF retrieval and the zone-map skipping audit.
+    "search_prf_expand",
+    "layout_zonemap_skipping",
 ]
 
 

@@ -268,6 +268,136 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Pseudo-relevance-feedback query expansion (Rocchio-style two-stage)
+
+PRF_FEEDBACK_DOCS = 3  # top-R docs assumed relevant per query
+PRF_EXPAND_TERMS = 2  # expansion terms mined per query
+
+# The exact-integer per-(query, doc, term) BM25 partial — the single
+# source both scoring passes (and search_bm25_topk) compile.
+_SCORE_PPM_EXPR = (
+    "(cast(1000000 AS decimal(38,0))"
+    " * (2 * n_docs - 2 * df + 1) * 22 * w_total * tf)"
+    " div ((2 * df + 1)"
+    "      * (10 * w_total * tf + 3 * w_total"
+    "         + 9 * dl * n_docs))"
+)
+
+
+def _bm25_scores(
+    toks: DataFrame, totals: DataFrame, qterms: DataFrame
+) -> DataFrame:
+    """Per-(query_id, doc_id) exact BM25 scores for an arbitrary
+    (query_id, term) table: the reusable second half of
+    ``search_bm25_topk``, with the corpus token stream pruned to query
+    terms via a broadcast semi-prune (data-dependent term sets can't
+    use the static isin the fixture pass compiles)."""
+    qtoks = toks.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
+    df_t = qtoks.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    tf = qtoks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    parts = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(_SCORE_PPM_EXPR).alias("score_ppm"),
+        )
+    )
+    return parts.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.sum("score_ppm").alias("score_ppm"),
+    )
+
+
+def search_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval with pseudo-relevance feedback (the Rocchio
+    shape every classic IR stack ships): pass 1 runs BM25 for the probe
+    queries; the top {PRF_FEEDBACK_DOCS} docs per query are ASSUMED
+    relevant, and the {PRF_EXPAND_TERMS} most distinctive new terms in
+    them (exact-integer tf x (N - df) rarity weighting — the same
+    score ``text_tfidf_terms`` uses, no cross-engine log) join the
+    query; pass 2 re-runs BM25 with the expanded term sets and emits
+    the final top-{BM25_TOPK}.
+
+    Scale shape: both passes inherit BM25's broadcast/prune plan (the
+    expanded term table is still tiny — it just arrives from data via
+    a broadcast semi-prune instead of a compile-time isin). Term
+    mining touches only the feedback docs (queries x R rows joined
+    against the token stream) plus the vocabulary-sized df table. The
+    corpus is scanned, not shuffled wide, in every stage."""
+    docs = load_rebalanced(spark, "documents", sf_dir)
+    qterms = spark.createDataFrame(
+        [
+            (qid, term)
+            for qid, text in BM25_QUERIES
+            for term in sorted(set(text.split(" ")))
+        ],
+        "query_id int, term string",
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("dl"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    totals = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("w_total"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_ppm"), F.asc("doc_id")
+    )
+    fb = (
+        _bm25_scores(toks, totals, qterms)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= PRF_FEEDBACK_DOCS)
+        .select("query_id", "doc_id")
+    )
+    # Mine expansion terms from the feedback docs: new terms only,
+    # rarity-weighted exactly.
+    df_all = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    cand = (
+        F.broadcast(fb)
+        .join(toks.select("doc_id", "term"), "doc_id")
+        .join(qterms, ["query_id", "term"], "left_anti")
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(df_all, "term")
+        .crossJoin(F.broadcast(totals.select("n_docs")))
+        .select(
+            "query_id",
+            "term",
+            (F.col("tf") * (F.col("n_docs") - F.col("df"))).alias("score"),
+        )
+    )
+    wm = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    mined = (
+        cand.withColumn("mrk", F.row_number().over(wm))
+        .filter(F.col("mrk") <= PRF_EXPAND_TERMS)
+        .select("query_id", "term")
+    )
+    qterms2 = qterms.unionByName(mined).distinct()
+    return (
+        _bm25_scores(toks, totals, qterms2)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BM25_TOPK)
+        .select("query_id", "rk", "doc_id", "n_terms_hit", "score_ppm")
+        .orderBy("query_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Hybrid retrieval: BM25 (+) vector cosine via reciprocal-rank fusion
 
 RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
@@ -517,6 +647,7 @@ QUERIES = {
     "dsir_importance": dsir_importance,
     "search_hybrid_rrf": search_hybrid_rrf,
     "search_mmr_diversify": search_mmr_diversify,
+    "search_prf_expand": search_prf_expand,
 }
 
 _BM25_QUERY_VALUES = ", ".join(
@@ -524,6 +655,106 @@ _BM25_QUERY_VALUES = ", ".join(
     for qid, text in BM25_QUERIES
     for term in sorted(set(text.split(" ")))
 )
+
+def _bm25_chain_sql(p: str, qterms_name: str) -> str:
+    """One BM25 scoring chain (qtoks -> df -> tf -> parts -> scores)
+    against an arbitrary (query_id, term) CTE, CTE names prefixed so
+    the PRF oracle can run the chain twice; shares toks/dl/totals."""
+    return f"""
+        {p}qtoks AS (
+            SELECT doc_id, term FROM toks
+            WHERE term IN (SELECT DISTINCT term FROM {qterms_name})
+        ),
+        {p}df_t AS (
+            SELECT term, cast(count(DISTINCT doc_id) AS bigint) AS df
+            FROM {p}qtoks GROUP BY term
+        ),
+        {p}tf AS (
+            SELECT doc_id, term, cast(count(*) AS bigint) AS tf
+            FROM {p}qtoks GROUP BY doc_id, term
+        ),
+        {p}parts AS (
+            SELECT q.query_id, tf.doc_id,
+                   cast((cast(1000000 AS hugeint)
+                         * (2 * n_docs - 2 * df + 1) * 22 * w_total * tf)
+                        // ((2 * df + 1)
+                            * (10 * w_total * tf + 3 * w_total
+                               + 9 * dl.dl * n_docs)) AS bigint)
+                       AS score_ppm
+            FROM {p}tf tf
+            JOIN dl USING (doc_id)
+            JOIN {p}df_t USING (term)
+            JOIN {qterms_name} q USING (term)
+            CROSS JOIN totals
+        ),
+        {p}scores AS (
+            SELECT query_id, doc_id,
+                   cast(count(*) AS bigint) AS n_terms_hit,
+                   cast(sum(score_ppm) AS bigint) AS score_ppm
+            FROM {p}parts GROUP BY query_id, doc_id
+        )"""
+
+
+def _prf_oracle_sql() -> str:
+    return f"""
+        WITH qterms(query_id, term) AS (VALUES {_BM25_QUERY_VALUES}),
+        totals AS (
+            SELECT cast(count(*) AS bigint) AS n_docs,
+                   cast(sum(len(string_split(text, ' '))) AS bigint)
+                       AS w_total
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        dl AS (
+            SELECT doc_id,
+                   cast(len(string_split(text, ' ')) AS bigint) AS dl
+            FROM documents
+        ),{_bm25_chain_sql('p1', 'qterms')},
+        fb AS (
+            SELECT query_id, doc_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score_ppm DESC, doc_id) AS rk
+                  FROM p1scores)
+            WHERE rk <= {PRF_FEEDBACK_DOCS}
+        ),
+        df_all AS (
+            SELECT term, cast(count(DISTINCT doc_id) AS bigint) AS df
+            FROM toks GROUP BY term
+        ),
+        cand AS (
+            SELECT f.query_id, t.term, cast(count(*) AS bigint) AS tf
+            FROM fb f
+            JOIN toks t USING (doc_id)
+            LEFT JOIN qterms q
+              ON q.query_id = f.query_id AND q.term = t.term
+            WHERE q.term IS NULL
+            GROUP BY 1, 2
+        ),
+        mined AS (
+            SELECT query_id, term
+            FROM (SELECT query_id, term,
+                         row_number() OVER (PARTITION BY query_id
+                             ORDER BY tf * (n_docs - df) DESC, term)
+                             AS mrk
+                  FROM cand JOIN df_all USING (term) CROSS JOIN totals)
+            WHERE mrk <= {PRF_EXPAND_TERMS}
+        ),
+        qterms2 AS (
+            SELECT query_id, term FROM qterms
+            UNION
+            SELECT query_id, term FROM mined
+        ),{_bm25_chain_sql('p2', 'qterms2')}
+        SELECT query_id, rk, doc_id, n_terms_hit, score_ppm
+        FROM (SELECT *, cast(row_number() OVER (PARTITION BY query_id
+                    ORDER BY score_ppm DESC, doc_id) AS int) AS rk
+              FROM p2scores)
+        WHERE rk <= {BM25_TOPK}
+        ORDER BY query_id, rk
+    """
+
 
 def _mmr_oracle_sql() -> str:
     """Unrolled-greedy MMR twin: one scored/pick/sel CTE triple per
@@ -723,6 +954,7 @@ ORACLES = {
         ORDER BY query_id, fused_rank
     """,
     "search_mmr_diversify": _mmr_oracle_sql(),
+    "search_prf_expand": _prf_oracle_sql(),
     "dsir_importance": f"""
         WITH feats AS (
             SELECT doc_id, lang,

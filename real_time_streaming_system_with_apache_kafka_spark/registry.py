@@ -49,8 +49,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # layout_compaction_plan, embed_outlier_scores,
 # decontaminate_span_lengths, profile_source_overlap, ts_vwap_bars,
 # sketch_cms_heavy_hitters, sketch_bloom_decontaminate,
-# search_hybrid_rrf, search_mmr_diversify, layout_zonemap_skipping)
-# — ~58 entries;
+# search_hybrid_rrf, search_mmr_diversify, layout_zonemap_skipping,
+# search_prf_expand) — ~59 entries;
 # prioritize the never-signed suites, spill the remainder to r6.
 _PRIORITY: list[str] = [
     # §2 sentinels — pinned every round.

@@ -166,3 +166,88 @@ def test_zonemap_skipping_soundness_and_contrast(spark, sf_dir):
     assert rows[1]["n_skipped_files"] > 0
     assert rows[2]["n_skipped_files"] > 0
     assert rows[3]["n_skipped_files"] == 0
+
+
+def test_prf_expand_matches_python_reimplementation(spark, sf_dir):
+    """Recompute the ENTIRE two-stage PRF pipeline in plain python —
+    exact-integer BM25 pass 1, feedback-doc term mining with the
+    tf x (N - df) weight, expanded-set BM25 pass 2 — and require the
+    operator's final ranking to match row for row (ids, ranks, hit
+    counts, exact score_ppm integers)."""
+    from collections import Counter
+
+    from real_time_streaming_system_with_apache_kafka_spark.operators import (
+        retrieval as R,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .collect()
+    }
+    n_docs = len(docs)
+    w_total = sum(len(w) for w in docs.values())
+    vocab_df = Counter()
+    for w in docs.values():
+        vocab_df.update(set(w))
+
+    def bm25(qtermsets):
+        out = {}
+        for qid, terms in qtermsets.items():
+            scored = []
+            for doc_id, w in docs.items():
+                tfc = Counter(w)
+                hits = [t for t in terms if tfc[t] > 0]
+                if not hits:
+                    continue
+                s = 0
+                for t in hits:
+                    tf, df = tfc[t], vocab_df[t]
+                    s += (
+                        10**6 * (2 * n_docs - 2 * df + 1) * 22 * w_total * tf
+                    ) // (
+                        (2 * df + 1)
+                        * (10 * w_total * tf + 3 * w_total + 9 * len(w) * n_docs)
+                    )
+                scored.append((doc_id, len(hits), s))
+            scored.sort(key=lambda x: (-x[2], x[0]))
+            out[qid] = scored
+        return out
+
+    q1 = {
+        qid: sorted(set(text.split(" ")))
+        for qid, text in R.BM25_QUERIES
+    }
+    pass1 = bm25(q1)
+    q2 = {}
+    for qid, ranked in pass1.items():
+        fb = [d for d, _, _ in ranked[: R.PRF_FEEDBACK_DOCS]]
+        tf = Counter()
+        for d in fb:
+            tf.update(docs[d])
+        cand = {
+            t: c * (n_docs - vocab_df[t])
+            for t, c in tf.items()
+            if t not in q1[qid]
+        }
+        mined = sorted(cand, key=lambda t: (-cand[t], t))[
+            : R.PRF_EXPAND_TERMS
+        ]
+        q2[qid] = sorted(set(q1[qid]) | set(mined))
+    expected = [
+        (qid, rk + 1, d, h, s)
+        for qid in sorted(q2)
+        for rk, (d, h, s) in enumerate(bm25(q2)[qid][: R.BM25_TOPK])
+    ]
+    got = [
+        (r["query_id"], r["rk"], r["doc_id"], r["n_terms_hit"], r["score_ppm"])
+        for r in R.search_prf_expand(spark, sf_dir).collect()
+    ]
+    assert got == expected
+    # Expansion changes at least one query's result set vs plain BM25.
+    plain = {
+        (r["query_id"], r["rk"], r["doc_id"])
+        for r in R.search_bm25_topk(spark, sf_dir).collect()
+    }
+    assert {(q, rk, d) for q, rk, d, _, _ in got} != plain
