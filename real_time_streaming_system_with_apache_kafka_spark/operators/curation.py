@@ -1186,6 +1186,89 @@ def quality_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Context-length grid for the padding/truncation audit.
+CTX_GRID = [64, 128, 256, 512]
+
+
+def tokens_context_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length planning audit: for each candidate max_len,
+    the exact cost of the two naive batching policies against the
+    packing lower bound — documents truncated and tokens lost (train
+    one doc per sequence, truncate at max_len), padding tokens wasted
+    (same policy, pad to max_len), and the minimum sequence count
+    packing could reach (ceil(total/L)). The numbers behind choosing
+    a context length and justifying ``pack_sequences``: measured
+    waste per candidate L, not intuition.
+
+    Plan shape: the corpus collapses to a (doc_length, count)
+    histogram first (one hash aggregate — the length support is tiny
+    compared to the corpus), and the L-grid sweep runs on the
+    broadcast histogram, so auditing 4 or 40 candidate lengths costs
+    histogram-size work (the ``quality_classifier_eval`` shape).
+    Token counts are whitespace words — the same documented real-
+    tokenizer column swap as ``pack_sequences``."""
+    docs = load_rebalanced(spark, "documents", sf_dir)
+    hist = (
+        docs.select(F.size(F.split("text", " ")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    grid = spark.createDataFrame(
+        [(length,) for length in CTX_GRID], "max_len int"
+    )
+    return (
+        F.broadcast(grid)
+        .crossJoin(hist)
+        .groupBy("max_len")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_docs"),
+            F.sum(F.col("n") * F.col("cnt")).cast("bigint").alias(
+                "total_tokens"
+            ),
+            F.sum(F.when(F.col("n") > F.col("max_len"), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("docs_truncated"),
+            F.sum(
+                F.greatest(F.col("n") - F.col("max_len"), F.lit(0))
+                * F.col("cnt")
+            )
+            .cast("bigint")
+            .alias("tokens_lost_trunc"),
+            F.sum(
+                F.greatest(F.col("max_len") - F.col("n"), F.lit(0))
+                * F.col("cnt")
+            )
+            .cast("bigint")
+            .alias("padding_tokens"),
+        )
+        .select(
+            "max_len",
+            "n_docs",
+            "total_tokens",
+            "docs_truncated",
+            F.expr(
+                "cast(1000000 * tokens_lost_trunc"
+                " div greatest(total_tokens, 1) AS bigint)"
+            ).alias("trunc_loss_ppm"),
+            F.expr(
+                "cast(1000000 * padding_tokens"
+                " div greatest(n_docs * max_len, 1) AS bigint)"
+            ).alias("pad_waste_ppm"),
+            F.expr(
+                "cast((total_tokens + max_len - 1) div max_len AS bigint)"
+            ).alias("packed_sequences_lb"),
+            # Ratio (not difference) keeps every operand non-negative:
+            # signed integer division truncates in Spark but floors in
+            # DuckDB, so negatives may not cross an integer div.
+            F.expr(
+                "cast(1000000 * ((total_tokens + max_len - 1)"
+                " div max_len) div greatest(n_docs, 1) AS bigint)"
+            ).alias("packed_vs_padded_ppm"),
+        )
+        .orderBy("max_len")
+    )
+
+
 QUERIES = {
     "decontaminate_holdout": decontaminate_holdout,
     "decontaminate_span_lengths": decontaminate_span_lengths,
@@ -1194,6 +1277,7 @@ QUERIES = {
     "profile_schema_stats": profile_schema_stats,
     "quality_gopher_gates": quality_gopher_gates,
     "pack_sequences": pack_sequences,
+    "tokens_context_audit": tokens_context_audit,
     "text_tfidf_terms": text_tfidf_terms,
     "text_pii_redact": text_pii_redact,
     "embed_centroid_stats": embed_centroid_stats,
@@ -1367,6 +1451,41 @@ ORACLES = {
         FROM df JOIN heads USING (term)
         WHERE df >= {MIN_DF}
         ORDER BY term
+    """,
+    "tokens_context_audit": f"""
+        WITH hist AS (
+            SELECT len(string_split(text, ' ')) AS n,
+                   cast(count(*) AS bigint) AS cnt
+            FROM documents GROUP BY 1
+        ),
+        grid(max_len) AS (VALUES {", ".join(f"({L})" for L in CTX_GRID)}),
+        agg AS (
+            SELECT max_len,
+                   cast(sum(cnt) AS bigint) AS n_docs,
+                   cast(sum(n * cnt) AS bigint) AS total_tokens,
+                   cast(sum(CASE WHEN n > max_len THEN cnt ELSE 0 END)
+                        AS bigint) AS docs_truncated,
+                   cast(sum(greatest(n - max_len, 0) * cnt) AS bigint)
+                       AS tokens_lost_trunc,
+                   cast(sum(greatest(max_len - n, 0) * cnt) AS bigint)
+                       AS padding_tokens
+            FROM grid CROSS JOIN hist
+            GROUP BY max_len
+        )
+        SELECT max_len, n_docs, total_tokens, docs_truncated,
+               cast(1000000 * tokens_lost_trunc
+                    // greatest(total_tokens, 1) AS bigint)
+                   AS trunc_loss_ppm,
+               cast(1000000 * padding_tokens
+                    // greatest(n_docs * max_len, 1) AS bigint)
+                   AS pad_waste_ppm,
+               cast((total_tokens + max_len - 1) // max_len AS bigint)
+                   AS packed_sequences_lb,
+               cast(1000000 * ((total_tokens + max_len - 1) // max_len)
+                    // greatest(n_docs, 1) AS bigint)
+                   AS packed_vs_padded_ppm
+        FROM agg
+        ORDER BY max_len
     """,
     "pack_sequences": f"""
         WITH toks AS (

@@ -251,3 +251,42 @@ def test_prf_expand_matches_python_reimplementation(spark, sf_dir):
         for r in R.search_bm25_topk(spark, sf_dir).collect()
     }
     assert {(q, rk, d) for q, rk, d, _, _ in got} != plain
+
+
+def test_context_audit_recompute_and_monotonicity(spark, sf_dir):
+    """Recompute every grid row exactly from raw doc lengths in
+    python; across the grid, truncation loss is non-increasing in
+    max_len and padding waste non-decreasing (the tradeoff the audit
+    exists to expose), and the packing lower bound is ceil(total/L)."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import (
+        curation,
+    )
+
+    lens = [
+        r["n"]
+        for r in load(spark, "documents", sf_dir)
+        .select(F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    ]
+    total = sum(lens)
+    rows = curation.tokens_context_audit(spark, sf_dir).collect()
+    assert [r["max_len"] for r in rows] == curation.CTX_GRID
+    prev = None
+    for r in rows:
+        L = r["max_len"]
+        lost = sum(max(n - L, 0) for n in lens)
+        pad = sum(max(L - n, 0) for n in lens)
+        assert r["n_docs"] == len(lens)
+        assert r["total_tokens"] == total
+        assert r["docs_truncated"] == sum(1 for n in lens if n > L)
+        assert r["trunc_loss_ppm"] == 1_000_000 * lost // max(total, 1)
+        assert r["pad_waste_ppm"] == 1_000_000 * pad // (len(lens) * L)
+        assert r["packed_sequences_lb"] == (total + L - 1) // L
+        assert (
+            r["packed_vs_padded_ppm"]
+            == 1_000_000 * ((total + L - 1) // L) // len(lens)
+        )
+        if prev is not None:
+            assert r["trunc_loss_ppm"] <= prev["trunc_loss_ppm"]
+            assert r["pad_waste_ppm"] >= prev["pad_waste_ppm"]
+        prev = r
