@@ -270,8 +270,125 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("bucket") < F.col("weight_pct"))
 
 
+K_CENTERS = 6  # coreset size (Gonzalez greedy rounds)
+
+
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embedding table (Gonzalez
+    1985, the 2-approximation): seed with the lowest vec_id, then
+    {K_CENTERS - 1} times add the vector FARTHEST from its nearest
+    chosen center — the maximally-spread exemplar subset data-pruning
+    and eval-set construction use when near-duplicate exemplars waste
+    the budget (the corpus-level cousin of ``search_mmr_diversify``).
+    Distance is 1 - cosine on the 9dp-rounded quantized kernel; each
+    pick emits the max-min distance at its selection round — the
+    covering radius the remaining corpus would have WITHOUT that
+    center, so the emitted column traces exactly how coverage improves
+    per center.
+
+    Scale/state shape: the algorithm is round-sequential BY DEFINITION
+    (pick r needs the argmax against centers 1..r-1), so each round is
+    one corpus scan computing cosines against the chosen centers as
+    broadcast literals and one TakeOrdered(1); driver state is the
+    O(k x dim) chosen-center list — the same model-state round-trip
+    the k-means/PQ training operators document
+    (similarity.py:180-197). k scans of a 100 TB table are the honest
+    cost of exact greedy k-center; the sublinear alternative is
+    sampling first (split/sample operators compose in front)."""
+    from real_time_streaming_system_with_apache_kafka_spark.functions.arrays import (
+        cosine,
+    )
+
+    emb = load(spark, "embeddings", sf_dir)
+    seed = emb.orderBy("vec_id").limit(1).collect()[0]
+    chosen = [(int(seed["vec_id"]), list(seed["embedding"]))]
+    out_rows = [(1, chosen[0][0], 0.0)]
+    for rank in range(2, K_CENTERS + 1):
+        max_cos = F.greatest(
+            *[
+                cosine(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(v)) for v in vec]),
+                )
+                for _, vec in chosen
+            ]
+        ) if len(chosen) > 1 else cosine(
+            F.col("embedding"),
+            F.array(*[F.lit(float(v)) for v in chosen[0][1]]),
+        )
+        pick = (
+            emb.filter(
+                ~F.col("vec_id").isin([vid for vid, _ in chosen])
+            )
+            .select("vec_id", "embedding", max_cos.alias("mx"))
+            .orderBy(F.asc("mx"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((int(pick["vec_id"]), list(pick["embedding"])))
+        out_rows.append((rank, int(pick["vec_id"]), 1.0 - pick["mx"]))
+    return spark.createDataFrame(
+        out_rows, "sel_rank int, vec_id bigint, dist_to_nearest double"
+    ).orderBy("sel_rank")
+
+
+def _kcenter_oracle_sql() -> str:
+    """Chained-CTE unrolled Gonzalez rounds (the MMR/PCA oracle
+    pattern): each round joins the remaining vectors against the
+    selected set, takes max cosine per vector, and picks the minimum
+    (= farthest) with vec_id tie-break."""
+    from real_time_streaming_system_with_apache_kafka_spark.functions.arrays import (
+        oracle_cosine,
+    )
+
+    parts = [
+        """
+        sel1 AS (
+            SELECT 1 AS sel_rank, vec_id, cast(0.0 AS double) AS dist
+            FROM embeddings
+            WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+        )"""
+    ]
+    for r in range(2, K_CENTERS + 1):
+        parts.append(
+            f"""
+        d{r} AS (
+            SELECT e.vec_id,
+                   max({oracle_cosine('e.embedding', 'c.embedding')})
+                       AS mx
+            FROM embeddings e, embeddings c
+            WHERE c.vec_id IN (SELECT vec_id FROM sel{r - 1})
+              AND e.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+            GROUP BY e.vec_id
+        ),
+        pick{r} AS (
+            SELECT {r} AS sel_rank, vec_id, 1.0 - mx AS dist
+            FROM (SELECT *, row_number() OVER (ORDER BY mx, vec_id)
+                      AS rk FROM d{r})
+            WHERE rk = 1
+        ),
+        sel{r} AS (
+            SELECT * FROM sel{r - 1}
+            UNION ALL
+            SELECT sel_rank, vec_id, dist FROM pick{r}
+        )"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+        SELECT cast(sel_rank AS int) AS sel_rank,
+               cast(vec_id AS bigint) AS vec_id,
+               cast(dist AS double) AS dist_to_nearest
+        FROM sel{K_CENTERS}
+        ORDER BY sel_rank
+    """
+    )
+
+
 QUERIES = {
     "split_train_holdout": split_train_holdout,
+    "sample_kcenter_coreset": sample_kcenter_coreset,
     "sample_importance_weighted": sample_importance_weighted,
     "sample_domain_cap": sample_domain_cap,
     "sample_events_deterministic": sample_events_deterministic,
@@ -373,3 +490,4 @@ def _curriculum_oracle() -> str:
 
 
 ORACLES["sample_curriculum_order"] = _curriculum_oracle()
+ORACLES["sample_kcenter_coreset"] = _kcenter_oracle_sql()

@@ -290,3 +290,46 @@ def test_context_audit_recompute_and_monotonicity(spark, sf_dir):
             assert r["trunc_loss_ppm"] <= prev["trunc_loss_ppm"]
             assert r["pad_waste_ppm"] >= prev["pad_waste_ppm"]
         prev = r
+
+
+def test_kcenter_greedy_recheck(spark, sf_dir):
+    """Recheck every Gonzalez round against independently collected
+    cosines: the seed is the lowest vec_id, each later pick is exactly
+    the argmax of min-distance-to-chosen (ties by vec_id), emitted
+    distances match 1 - max_cos bit-for-bit, and the covering radius
+    is non-increasing (the greedy k-center law)."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import (
+        sampling,
+    )
+
+    out = sampling.sample_kcenter_coreset(spark, sf_dir).collect()
+    assert [r["sel_rank"] for r in out] == list(
+        range(1, sampling.K_CENTERS + 1)
+    )
+    centers = [r["vec_id"] for r in out]
+    emb = load(spark, "embeddings", sf_dir)
+    assert centers[0] == emb.agg(F.min("vec_id")).collect()[0][0]
+    assert out[0]["dist_to_nearest"] == 0.0
+    cent = emb.filter(F.col("vec_id").isin(centers)).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce")
+    )
+    cosmap = {
+        (r["vec_id"], r["c_id"]): r["cos"]
+        for r in emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "c_id", cosine("embedding", "ce").alias("cos"))
+        .collect()
+    }
+    all_ids = sorted({v for v, _ in cosmap})
+    prev_dist = None
+    for rank in range(2, sampling.K_CENTERS + 1):
+        chosen = centers[: rank - 1]
+        best = min(
+            (v for v in all_ids if v not in chosen),
+            key=lambda v: (max(cosmap[(v, c)] for c in chosen), v),
+        )
+        assert best == centers[rank - 1]
+        dist = 1.0 - max(cosmap[(best, c)] for c in chosen)
+        assert out[rank - 1]["dist_to_nearest"] == dist
+        if prev_dist is not None:
+            assert dist <= prev_dist
+        prev_dist = dist
