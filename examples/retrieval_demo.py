@@ -11,6 +11,12 @@ and trust-but-verify layer added in the continuation session.
   -> source overlap matrix               (profile_source_overlap)
   -> embedding outliers per label        (embed_outlier_scores)
   -> small-file compaction plan          (layout_compaction_plan)
+  -> hybrid RRF fusion                   (search_hybrid_rrf)
+  -> PRF query expansion                 (search_prf_expand)
+  -> MMR diversification                 (search_mmr_diversify)
+  -> k-center coreset                    (sample_kcenter_coreset)
+  -> count-min heavy-hitter audit        (sketch_cms_heavy_hitters)
+  -> Bloom decontamination pre-filter    (sketch_bloom_decontaminate)
 
 Every stage is the registered operator itself (no demo-only logic);
 each is exactly DuckDB-oracled in the parity suite.
@@ -122,6 +128,71 @@ def main() -> None:
         f"[8] compaction plan: {stats['files']} micro-batch files -> "
         f"{stats['bins']} target files "
         f"(~{layout.COMPACT_TARGET_BYTES} B each)"
+    )
+
+    fused = retrieval.search_hybrid_rrf(spark, sf_dir)
+    both = fused.filter(
+        (F.col("lex_rank") > 0) & (F.col("vec_rank") > 0)
+    ).count()
+    print(
+        f"[9] hybrid rrf: fused top-{retrieval.BM25_TOPK} per query; "
+        f"{both} fused rows ranked by BOTH retrievers"
+    )
+
+    prf = retrieval.search_prf_expand(spark, sf_dir)
+    moved = (
+        prf.join(
+            hits.select("query_id", "doc_id").withColumn("was", F.lit(1)),
+            ["query_id", "doc_id"],
+            "left",
+        )
+        .filter(F.col("was").isNull())
+        .count()
+    )
+    print(
+        f"[10] prf expansion: {moved} result slots changed vs plain "
+        f"BM25 after mining {retrieval.PRF_EXPAND_TERMS} feedback "
+        "terms/query"
+    )
+
+    mmr = retrieval.search_mmr_diversify(spark, sf_dir)
+    print(
+        f"[11] mmr diversify: {retrieval.MMR_SELECT} spread exemplars "
+        f"per query -> "
+        f"{[r['doc_id'] for r in mmr.filter(F.col('query_id') == 1).collect()]}"
+        " (query 1)"
+    )
+
+    from real_time_streaming_system_with_apache_kafka_spark.operators import (
+        sampling,
+        sketches,
+    )
+
+    core = sampling.sample_kcenter_coreset(spark, sf_dir).collect()
+    print(
+        f"[12] k-center coreset: centers "
+        f"{[r['vec_id'] for r in core]}, covering radius trace "
+        f"{[round(r['dist_to_nearest'], 3) for r in core]}"
+    )
+
+    cms = sketches.sketch_cms_heavy_hitters(spark, sf_dir)
+    worst = cms.orderBy(F.desc("overcount")).limit(1).collect()[0]
+    print(
+        f"[13] cms audit: worst heavy-hitter overcount "
+        f"'{worst['term']}' exact={worst['exact_cnt']} "
+        f"est={worst['est_cnt']} (width {sketches.CMS_WIDTH})"
+    )
+
+    bl = sketches.sketch_bloom_decontaminate(spark, sf_dir)
+    tot = bl.agg(
+        F.count(F.lit(1)).alias("flagged"),
+        F.sum("n_false_pos_grams").alias("fp"),
+        F.sum("n_true_hit_grams").alias("hits"),
+    ).collect()[0]
+    print(
+        f"[14] bloom decon prefilter: {tot['flagged']} docs flagged "
+        f"({tot['hits']} true contaminated grams, {tot['fp']} "
+        "collision false positives pay the exact join)"
     )
 
 
