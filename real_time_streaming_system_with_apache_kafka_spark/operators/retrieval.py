@@ -386,6 +386,14 @@ def search_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("mrk", F.row_number().over(wm))
         .filter(F.col("mrk") <= PRF_EXPAND_TERMS)
         .select("query_id", "term")
+        # Queries x E rows, but its lineage is ALL of pass 1 + mining;
+        # pass 2 references the expanded term table twice (semi-prune
+        # + scoring join), so without this checkpoint the pass-1
+        # corpus scans execute twice more inside pass 2's plan. At
+        # sf0.1 the saving is within jitter (stage scheduling
+        # dominates three tiny corpus passes); at scale each avoided
+        # re-execution is a full corpus scan.
+        .localCheckpoint(eager=True)
     )
     qterms2 = qterms.unionByName(mined).distinct()
     return (
