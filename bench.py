@@ -140,6 +140,12 @@ HEADLINE = [
     # Two-stage PRF retrieval and the zone-map skipping audit.
     "search_prf_expand",
     "layout_zonemap_skipping",
+    # Distinct-count + overlap estimation sketches (HLL merge law,
+    # KMV pair matrix) audited against their exact twins, and the
+    # embedding-space decontamination pass.
+    "sketch_hll_distinct",
+    "sketch_kmv_overlap",
+    "decontaminate_semantic",
 ]
 
 

@@ -666,6 +666,95 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Semantic decontamination: embedding-space twin of curation.py's
+# decontaminate_holdout (exact 5-gram matching catches verbatim leaks;
+# paraphrased benchmark items only show up in embedding space). Same
+# holdout convention (id % MOD == 0 is the benchmark slice); the flag
+# threshold reuses the dedup suite's embedding-pair calibration
+# (dedup.COSINE_THRESHOLD — not imported to keep the module graph
+# acyclic; the equality is pinned in tests/test_similarity.py).
+SEM_DECON_MOD = 10
+SEM_DECON_THRESHOLD = 0.35
+
+
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) decontamination: flag every TRAINING
+    vector whose cosine to some BENCHMARK vector (vec_id %
+    {SEM_DECON_MOD} == 0) reaches {SEM_DECON_THRESHOLD} — the
+    paraphrase-leak complement of the exact n-gram decontamination
+    pass. Candidates come from the SAME multi-probe hyperplane LSH as
+    sim_lsh_topk; production gets exactly this recall (the LSH miss
+    rate is measured by sim_ann_recall_eval, and the exact-containment
+    law vs a brute-force scan is pinned in tests).
+
+    Emits, per flagged training vector: the number of distinct bench
+    candidates its buckets produced, the closest bench vector, and
+    that cosine.
+
+    Scale shape: the benchmark suite is the SMALL side — it carries
+    the multi-probe fan-out ({N_TABLES}x{N_PLANES + 1} bucket keys per
+    vector) and broadcasts; the training corpus emits one plain bucket
+    key per table and never shuffles (map-side broadcast join, then a
+    per-training-vector window over its own candidates). The corpus-
+    sized LSH signature pass is one Arrow batch matmul."""
+    emb = load(spark, "embeddings", sf_dir).filter(
+        F.size("embedding") == EMBEDDING_DIM
+    )
+    sig = emb.withColumn("sigs", make_signature_udf()(F.col("embedding")))
+    train = sig.filter(F.col("vec_id") % SEM_DECON_MOD != 0).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("te"),
+        F.explode(
+            F.transform(
+                "sigs", lambda s, i: F.concat(i.cast("string"), F.lit(":"), s)
+            )
+        ).alias("bucket"),
+    )
+    bench = sig.filter(F.col("vec_id") % SEM_DECON_MOD == 0).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("embedding").alias("be"),
+        F.explode(
+            F.array(
+                *[
+                    p
+                    for t in range(N_TABLES)
+                    for p in _hamming1_probes(F.element_at("sigs", t + 1), t)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    candidates = (
+        train.join(F.broadcast(bench), "bucket")
+        .groupBy("train_id", "bench_id")
+        .agg(F.first("te").alias("te"), F.first("be").alias("be"))
+    )
+    w = Window.partitionBy("train_id")
+    ranked = (
+        candidates.withColumn("cos", cosine(F.col("te"), F.col("be")))
+        .withColumn("n_bench_candidates", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                w.orderBy(F.col("cos").desc(), F.col("bench_id"))
+            ),
+        )
+    )
+    return (
+        ranked.filter(
+            (F.col("rk") == 1) & (F.col("cos") >= SEM_DECON_THRESHOLD)
+        )
+        .select(
+            F.col("train_id").alias("vec_id"),
+            F.col("n_bench_candidates").cast("bigint").alias(
+                "n_bench_candidates"
+            ),
+            F.col("bench_id").alias("best_bench_id"),
+            "cos",
+        )
+        .orderBy("vec_id")
+    )
+
+
 def _unrounded_cos(a: str, b: str) -> str:
     """The assignment kernel's cosine WITHOUT the final 9dp round —
     bit-identical to make_assign_udf's quantized doubles, so argmax
@@ -775,16 +864,14 @@ def _kmeans_oracle_sql() -> str:
     return "WITH " + ",".join(stages) + "," + tail
 
 
-def _lsh_oracle_sql(label_negatives: bool = False) -> str:
-    """DuckDB twin of sim_lsh_topk, possible because the signature
-    kernel is quantized-integer: the seeded hyperplanes are
-    regenerated here (same PCG64 streams), quantized at 6dp to exact
-    integers, and inlined as SQL literals; sign(sum(qx * w)) over the
-    7dp-quantized embedding is then exact decimal arithmetic in DuckDB
-    and exact integer-in-float64 arithmetic in numpy — identical
-    buckets by construction, not by luck. The probe fan-out
-    (per-table bucket + Hamming-1 flips), candidate dedup, and exact
-    cosine rank mirror the DataFrame plan."""
+def _lsh_sql_parts() -> tuple[str, str, str]:
+    """The three SQL fragments every LSH oracle twin is built from:
+    per-table signature columns (seeded hyperplanes regenerated with
+    the same PCG64 streams as make_signature_udf, quantized at 6dp to
+    exact integer literals), plain per-table bucket keys, and the
+    multi-probe (Hamming-1 flip) bucket keys. Shared by
+    sim_lsh_topk / sim_hard_negatives / decontaminate_semantic so the
+    candidate generator can never drift between oracles."""
     import numpy as np
 
     planes = np.concatenate(
@@ -827,6 +914,20 @@ def _lsh_oracle_sql(label_negatives: bool = False) -> str:
         return out
 
     probe_buckets = ", ".join(p for t in range(N_TABLES) for p in flips(t))
+    return sig_cols, corpus_buckets, probe_buckets
+
+
+def _lsh_oracle_sql(label_negatives: bool = False) -> str:
+    """DuckDB twin of sim_lsh_topk, possible because the signature
+    kernel is quantized-integer: the seeded hyperplanes are
+    regenerated here (same PCG64 streams), quantized at 6dp to exact
+    integers, and inlined as SQL literals; sign(sum(qx * w)) over the
+    7dp-quantized embedding is then exact decimal arithmetic in DuckDB
+    and exact integer-in-float64 arithmetic in numpy — identical
+    buckets by construction, not by luck. The probe fan-out
+    (per-table bucket + Hamming-1 flips), candidate dedup, and exact
+    cosine rank mirror the DataFrame plan."""
+    sig_cols, corpus_buckets, probe_buckets = _lsh_sql_parts()
 
     return f"""
         WITH sigs AS (
@@ -1527,7 +1628,60 @@ QUERIES = {
     "sim_hard_negatives": sim_hard_negatives,
     "sim_ann_recall_eval": sim_ann_recall_eval,
     "embed_pca_power": embed_pca_power,
+    "decontaminate_semantic": decontaminate_semantic,
 }
+
+
+def _semantic_decon_oracle_sql() -> str:
+    """DuckDB twin of decontaminate_semantic: the shared LSH fragments
+    (_lsh_sql_parts) regenerate identical signatures; the train side
+    takes plain per-table buckets, the bench side the multi-probe
+    fan-out, then exact rounded cosine, per-train-vector candidate
+    count + best neighbor, threshold filter."""
+    sig_cols, corpus_buckets, probe_buckets = _lsh_sql_parts()
+    return f"""
+        WITH sigs AS (
+            SELECT vec_id, embedding, {sig_cols}
+            FROM embeddings
+            WHERE len(embedding) = {EMBEDDING_DIM}
+        ),
+        train AS (
+            SELECT vec_id AS train_id,
+                   unnest([{corpus_buckets}]) AS bucket
+            FROM sigs WHERE vec_id % {SEM_DECON_MOD} <> 0
+        ),
+        bench AS (
+            SELECT vec_id AS bench_id,
+                   unnest([{probe_buckets}]) AS bucket
+            FROM sigs WHERE vec_id % {SEM_DECON_MOD} = 0
+        ),
+        pairs AS (
+            SELECT DISTINCT t.train_id, b.bench_id
+            FROM train t JOIN bench b USING (bucket)
+        ),
+        scored AS (
+            SELECT pr.train_id, pr.bench_id,
+                   {oracle_cosine('q.embedding', 'n.embedding')} AS cos
+            FROM pairs pr
+            JOIN embeddings q ON q.vec_id = pr.train_id
+            JOIN embeddings n ON n.vec_id = pr.bench_id
+        ),
+        ranked AS (
+            SELECT train_id, bench_id, cos,
+                   cast(count(*) OVER (PARTITION BY train_id)
+                        AS bigint) AS n_bench_candidates,
+                   row_number() OVER (PARTITION BY train_id
+                                      ORDER BY cos DESC, bench_id)
+                       AS rk
+            FROM scored
+        )
+        SELECT train_id AS vec_id, n_bench_candidates,
+               bench_id AS best_bench_id, cos
+        FROM ranked
+        WHERE rk = 1 AND cos >= {SEM_DECON_THRESHOLD}
+        ORDER BY vec_id
+    """
+
 
 def _bf_oracle_sql() -> str:
     return f"""
@@ -1591,6 +1745,7 @@ ORACLES = {
         ORDER BY bf.query_id
     """,
     "sim_hard_negatives": _lsh_oracle_sql(label_negatives=True),
+    "decontaminate_semantic": _semantic_decon_oracle_sql(),
     # Full learned-k-means twin (upgraded from rows-only in r3):
     # Lloyd's loop unrolled as chained CTE stages — see
     # _kmeans_oracle_sql.

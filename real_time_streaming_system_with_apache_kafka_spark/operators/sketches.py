@@ -234,9 +234,282 @@ def sketch_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch (from-scratch, exact-oracle twin of the
+# built-in Datasketches path in analytics.approx_hll_partials — that
+# one is rows-only because the JVM sketch bytes have no DuckDB twin;
+# this one is hash-certified because every register is derived from
+# the repo's cross-engine md5 hash in exact integer arithmetic).
+
+HLL_M = 64  # registers (demo-sized; production uses 2**12+ — same plan)
+HLL_W_BITS = 26  # rho-space bits left of the 32-bit hash after bucketing
+HLL_RHO_MAX = HLL_W_BITS + 1  # all-zero suffix convention
+HLL_TAG = "hll_v1"
+# alpha_64 = 0.709 (Flajolet et al. 2007) as an exact rational so the
+# estimate is integer-identical on both engines.
+HLL_ALPHA_NUM = 709
+HLL_ALPHA_DEN = 1000
+# est = alpha * m^2 / sum(2^-M_j); registers scaled by 2^RHO_MAX keeps
+# everything integral: est = _HLL_EST_NUM div (ALPHA_DEN * S_scaled).
+_HLL_EST_NUM = HLL_ALPHA_NUM * HLL_M * HLL_M * (1 << HLL_RHO_MAX)
+
+# Content fingerprint shared with profile_source_overlap /
+# profile_dup_rate_by_source (sorted-distinct-words md5) so the sketch
+# estimates the SAME distinct-count those exact audits report.
+_FP_SPARK = "md5(concat_ws(' ', array_sort(array_distinct(split(text, ' ')))))"
+_FP_ORACLE = (
+    "md5(array_to_string(list_sort(list_distinct("
+    "string_split(text, ' '))), ' '))"
+)
+
+
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-fingerprint audit: per-source HLL
+    registers over document content fingerprints, plus the 'ALL' row
+    whose registers are (by grouping-sets construction, and pinned in
+    tests) the element-wise MAX of the per-source registers — the
+    union-merge law that makes HLL the way a 1000-executor job counts
+    distincts without a corpus-wide shuffle: each partition keeps
+    {HLL_M} integers, merge is max, only registers cross the wire.
+
+    Published next to the sketch answer, per the repo's audit shape:
+    the EXACT distinct count and the signed error in ppm. Raw
+    Flajolet estimator only (no small-range linear-counting branch —
+    it needs ln(); the n_zero_regs column publishes the ingredient so
+    a consumer can apply it); the audit MEASURES what raw HLL gets
+    wrong at this cardinality instead of assuming.
+
+    Exactness: bucket = md5-32bit % {HLL_M}; rho = leading zeros of
+    the remaining {HLL_W_BITS} bits + 1, computed via length(bin(w))
+    — both engines print minimal binary strings, so rho is exact
+    integer cross-engine (no libm log2, which can misround at power-
+    of-two boundaries). Estimate is one integer division of exact
+    scaled sums.
+
+    Scale shape: ONE corpus-sized hash aggregate (grouping sets over
+    (source,bucket)+(bucket), map-side combinable max); everything
+    after is register-table-sized (sources x {HLL_M} rows)."""
+    docs = load(spark, "documents", sf_dir)
+    h = F.expr(
+        f"cast(conv(substr(md5(concat('{HLL_TAG}#', {_FP_SPARK})), 1, 8),"
+        " 16, 10) as bigint)"
+    )
+    hashed = (
+        docs.select("source", h.alias("h"))
+        .select(
+            "source",
+            (F.col("h") % HLL_M).cast("int").alias("bucket"),
+            F.expr(f"h div {HLL_M}").alias("w"),
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("w") == 0, F.lit(HLL_RHO_MAX)).otherwise(
+                F.lit(HLL_RHO_MAX) - F.length(F.expr("bin(w)"))
+            ),
+        )
+    )
+    regs = (
+        hashed.groupingSets(
+            [["source", "bucket"], ["bucket"]], "source", "bucket"
+        )
+        .agg(F.max("rho").alias("m"))
+        .select(F.coalesce("source", F.lit("ALL")).alias("src"), "bucket", "m")
+    )
+    summary = regs.groupBy("src").agg(
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {HLL_RHO_MAX} - m)")
+        ).alias("s_occ"),
+        F.count(F.lit(1)).alias("n_occ"),
+        F.max("m").alias("max_rho"),
+    )
+    exact = (
+        docs.select("source", F.expr(_FP_SPARK).alias("digest"))
+        .groupingSets([["source"], []], "source")
+        .agg(F.count_distinct("digest").alias("exact_distinct"))
+        .select(F.coalesce("source", F.lit("ALL")).alias("src"), "exact_distinct")
+    )
+    return (
+        summary.join(exact, "src")
+        .withColumn("n_zero_regs", F.lit(HLL_M) - F.col("n_occ"))
+        .withColumn(
+            "s_scaled",
+            F.col("s_occ")
+            + F.col("n_zero_regs") * F.lit(1 << HLL_RHO_MAX).cast("bigint"),
+        )
+        .withColumn(
+            "est_hll",
+            F.expr(
+                f"cast({_HLL_EST_NUM} as bigint)"
+                f" div ({HLL_ALPHA_DEN} * s_scaled)"
+            ),
+        )
+        .select(
+            "src",
+            "exact_distinct",
+            "est_hll",
+            F.expr(
+                "(est_hll - exact_distinct) * 1000000 div exact_distinct"
+            ).alias("err_ppm"),
+            F.col("n_zero_regs").cast("bigint").alias("n_zero_regs"),
+            F.col("max_rho").cast("int").alias("max_rho"),
+        )
+        .orderBy("src")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch: estimated source-overlap matrix —
+# the sketch twin of profile_source_overlap's EXACT pairwise Jaccard.
+
+KMV_K = 32
+KMV_TAG = "kmv_v1"
+
+
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV-estimated pairwise source overlap, audited against the
+    exact Jaccard: each source keeps only its {KMV_K} smallest
+    fingerprint hashes; a pair's Jaccard is estimated from the
+    {KMV_K} smallest hashes of the sketch UNION (matches present in
+    both sketches / k — Beyer et al. 2007). Published next to
+    profile_source_overlap's exact jaccard_ppm with the signed error.
+
+    Why it matters at 100 TB: the exact matrix pays a digest-level
+    pair join over the whole corpus; the KMV matrix pays ONE corpus
+    pass to build {KMV_K}-row sketches, then a 190-pair join over
+    sketch rows only — at 1000 sources that is the difference between
+    a corpus-squared shuffle and half a million 64-row unions.
+
+    Exactness: hashes are the md5-32bit integers used repo-wide; the
+    k-smallest sets, match counts, and ppm ratios are exact integers
+    on both engines (set semantics on hash VALUES, so a 32-bit
+    collision degrades the estimate, not the determinism — that is
+    the real KMV failure mode and the audit would show it)."""
+    docs = load(spark, "documents", sf_dir)
+    h = F.expr(
+        f"cast(conv(substr(md5(concat('{KMV_TAG}#', {_FP_SPARK})), 1, 8),"
+        " 16, 10) as bigint)"
+    )
+    sh = docs.select("source", h.alias("h")).distinct()
+    # The sketch is sources x K rows — model-state-sized, same class
+    # as the k-means centroid round-trips (similarity.py). Without
+    # materialization Spark would re-evaluate the corpus scan + md5
+    # chain once per reuse below (~10x); localCheckpoint pays the one
+    # corpus pass the sketch is supposed to cost and every pair
+    # operation after runs over sketch rows only.
+    sketch = (
+        sh.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("h")
+            ),
+        )
+        .filter(F.col("rk") <= KMV_K)
+        .select("source", "h")
+        .localCheckpoint()
+    )
+    pairs = (
+        sketch.select(F.col("source").alias("source_a"))
+        .distinct()
+        .join(
+            sketch.select(F.col("source").alias("source_b")).distinct(),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    sa = sketch.select(
+        F.col("source").alias("source_a"), "h", F.lit(1).alias("in_a")
+    )
+    sb = sketch.select(
+        F.col("source").alias("source_b"), "h", F.lit(1).alias("in_b")
+    )
+    # Per-pair sketch union: every sketch row tagged with the pairs
+    # it belongs to, then per-(pair, h) membership flags.
+    u = (
+        pairs.join(sa, "source_a")
+        .select("source_a", "source_b", "h", "in_a", F.lit(None).alias("in_b"))
+        .unionByName(
+            pairs.join(sb, "source_b").select(
+                "source_a", "source_b", "h", F.lit(None).alias("in_a"), "in_b"
+            )
+        )
+        .groupBy("source_a", "source_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    topk = u.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("source_a", "source_b").orderBy("h")
+        ),
+    ).filter(F.col("rk") <= KMV_K)
+    est = topk.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("ku"),
+        F.count_if(
+            F.col("in_a").isNotNull() & F.col("in_b").isNotNull()
+        ).alias("matches"),
+    )
+    ds = docs.select(F.expr(_FP_SPARK).alias("digest"), "source").distinct()
+    per_source = ds.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ds.alias("a"), ds.alias("b")
+    shared = (
+        a.join(b, "digest")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    exact = (
+        est.select("source_a", "source_b")
+        .join(shared, ["source_a", "source_b"], "left")
+        .join(
+            F.broadcast(
+                per_source.select(
+                    F.col("source").alias("source_a"),
+                    F.col("n").alias("n_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                per_source.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n").alias("n_b"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.expr(
+                "coalesce(n_shared, 0) * 1000000"
+                " div (n_a + n_b - coalesce(n_shared, 0))"
+            ).alias("jaccard_exact_ppm"),
+        )
+    )
+    return (
+        est.join(exact, ["source_a", "source_b"])
+        .select(
+            "source_a",
+            "source_b",
+            F.col("ku").cast("bigint").alias("ku"),
+            F.col("matches").cast("bigint").alias("matches"),
+            F.expr("matches * 1000000 div ku").alias("jaccard_est_ppm"),
+            "jaccard_exact_ppm",
+            F.expr(
+                "matches * 1000000 div ku - jaccard_exact_ppm"
+            ).alias("err_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 QUERIES = {
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     "sketch_bloom_decontaminate": sketch_bloom_decontaminate,
+    "sketch_hll_distinct": sketch_hll_distinct,
+    "sketch_kmv_overlap": sketch_kmv_overlap,
 }
 
 ORACLES = {
@@ -319,5 +592,143 @@ ORACLES = {
         FROM flagged GROUP BY doc_id
         HAVING count(*) FILTER (WHERE bloom_pos) > 0
         ORDER BY doc_id
+    """,
+    "sketch_hll_distinct": f"""
+        WITH hashed AS (
+            SELECT source,
+                   cast(h % {HLL_M} AS int) AS bucket,
+                   h // {HLL_M} AS w
+            FROM (SELECT source,
+                         cast(concat('0x', substr(md5(
+                              '{HLL_TAG}#' || {_FP_ORACLE}), 1, 8))
+                              AS bigint) AS h
+                  FROM documents)
+        ),
+        rho AS (
+            SELECT source, bucket,
+                   CASE WHEN w = 0 THEN {HLL_RHO_MAX}
+                        ELSE {HLL_RHO_MAX} - length(bin(w)) END AS rho
+            FROM hashed
+        ),
+        regs AS (
+            SELECT coalesce(source, 'ALL') AS src, bucket,
+                   max(rho) AS m
+            FROM rho GROUP BY GROUPING SETS ((source, bucket), (bucket))
+        ),
+        summary AS (
+            SELECT src,
+                   cast(sum(cast(1 AS bigint) << ({HLL_RHO_MAX} - m))
+                        AS bigint) AS s_occ,
+                   cast(count(*) AS bigint) AS n_occ,
+                   cast(max(m) AS int) AS max_rho
+            FROM regs GROUP BY src
+        ),
+        exact AS (
+            SELECT coalesce(source, 'ALL') AS src,
+                   cast(count(DISTINCT digest) AS bigint)
+                       AS exact_distinct
+            FROM (SELECT source, {_FP_ORACLE} AS digest FROM documents)
+            GROUP BY GROUPING SETS ((source), ())
+        ),
+        est AS (
+            SELECT src, exact_distinct,
+                   cast({_HLL_EST_NUM} // ({HLL_ALPHA_DEN} *
+                        (s_occ + ({HLL_M} - n_occ)
+                         * cast({1 << HLL_RHO_MAX} AS bigint)))
+                        AS bigint) AS est_hll,
+                   cast({HLL_M} - n_occ AS bigint) AS n_zero_regs,
+                   max_rho
+            FROM summary JOIN exact USING (src)
+        )
+        SELECT src, exact_distinct, est_hll,
+               cast((est_hll - exact_distinct) * 1000000
+                    // exact_distinct AS bigint) AS err_ppm,
+               n_zero_regs, max_rho
+        FROM est ORDER BY src
+    """,
+    "sketch_kmv_overlap": f"""
+        WITH sh AS (
+            SELECT DISTINCT source,
+                   cast(concat('0x', substr(md5(
+                        '{KMV_TAG}#' || {_FP_ORACLE}), 1, 8))
+                        AS bigint) AS h
+            FROM documents
+        ),
+        sketch AS (
+            SELECT source, h FROM (
+                SELECT source, h,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY h) AS rk
+                FROM sh)
+            WHERE rk <= {KMV_K}
+        ),
+        prs AS (
+            SELECT a.source AS source_a, b.source AS source_b
+            FROM (SELECT DISTINCT source FROM sketch) a
+            JOIN (SELECT DISTINCT source FROM sketch) b
+              ON a.source < b.source
+        ),
+        u AS (
+            SELECT source_a, source_b, h,
+                   max(in_a) AS in_a, max(in_b) AS in_b
+            FROM (
+                SELECT p.source_a, p.source_b, s.h,
+                       1 AS in_a, NULL AS in_b
+                FROM prs p JOIN sketch s ON s.source = p.source_a
+                UNION ALL
+                SELECT p.source_a, p.source_b, s.h,
+                       NULL AS in_a, 1 AS in_b
+                FROM prs p JOIN sketch s ON s.source = p.source_b)
+            GROUP BY source_a, source_b, h
+        ),
+        topk AS (
+            SELECT * FROM (
+                SELECT u.*,
+                       row_number() OVER (PARTITION BY source_a, source_b
+                                          ORDER BY h) AS rk
+                FROM u)
+            WHERE rk <= {KMV_K}
+        ),
+        est AS (
+            SELECT source_a, source_b,
+                   cast(count(*) AS bigint) AS ku,
+                   cast(count(*) FILTER (WHERE in_a IS NOT NULL
+                                           AND in_b IS NOT NULL)
+                        AS bigint) AS matches
+            FROM topk GROUP BY source_a, source_b
+        ),
+        ds AS (
+            SELECT DISTINCT {_FP_ORACLE} AS digest, source
+            FROM documents
+        ),
+        per_source AS (
+            SELECT source, cast(count(*) AS bigint) AS n
+            FROM ds GROUP BY source
+        ),
+        shared AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   cast(count(*) AS bigint) AS n_shared
+            FROM ds a JOIN ds b USING (digest)
+            WHERE a.source < b.source
+            GROUP BY 1, 2
+        ),
+        exact AS (
+            SELECT e.source_a, e.source_b,
+                   cast(coalesce(sh2.n_shared, 0) * 1000000
+                        // (na.n + nb.n - coalesce(sh2.n_shared, 0))
+                        AS bigint) AS jaccard_exact_ppm
+            FROM est e
+            LEFT JOIN shared sh2 USING (source_a, source_b)
+            JOIN per_source na ON na.source = e.source_a
+            JOIN per_source nb ON nb.source = e.source_b
+        )
+        SELECT est.source_a, est.source_b, ku, matches,
+               cast(matches * 1000000 // ku AS bigint)
+                   AS jaccard_est_ppm,
+               jaccard_exact_ppm,
+               cast(matches * 1000000 // ku - jaccard_exact_ppm
+                    AS bigint) AS err_ppm
+        FROM est JOIN exact USING (source_a, source_b)
+        ORDER BY source_a, source_b
     """,
 }

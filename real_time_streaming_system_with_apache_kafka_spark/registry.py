@@ -50,8 +50,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # decontaminate_span_lengths, profile_source_overlap, ts_vwap_bars,
 # sketch_cms_heavy_hitters, sketch_bloom_decontaminate,
 # search_hybrid_rrf, search_mmr_diversify, layout_zonemap_skipping,
-# search_prf_expand, tokens_context_audit, sample_kcenter_coreset)
-# — ~61 entries;
+# search_prf_expand, tokens_context_audit, sample_kcenter_coreset,
+# sketch_hll_distinct, sketch_kmv_overlap, decontaminate_semantic)
+# — ~64 entries;
 # prioritize the never-signed suites, spill the remainder to r6.
 _PRIORITY: list[str] = [
     # §2 sentinels — pinned every round.

@@ -797,3 +797,49 @@ def test_zonemap_stats_single_scan(spark, sf_dir):
     plan = _plan(df)
     assert "Scan parquet" not in plan  # inputs are the checkpointed stats
     assert "Join" not in plan
+
+
+def test_hll_one_corpus_aggregate_registers_broadcast(spark, sf_dir):
+    """The HLL register build is ONE grouping-sets hash aggregate over
+    the corpus (Expand + partial/final max — map-side combinable);
+    the register summary joins the exact-distinct side via broadcast;
+    no join ever touches corpus-sized rows."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import sketches
+
+    plan = _plan(sketches.sketch_hll_distinct(spark, sf_dir))
+    assert "Expand" in plan  # grouping sets, not a union of two aggs
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # Register build + exact-distinct side: two corpus scans total.
+    assert plan.count("Scan parquet  (") <= 2
+
+
+def test_kmv_sketch_materialized_once_pairs_sketch_sized(spark, sf_dir):
+    """The KMV sketch is materialized ONCE (localCheckpoint — every
+    pair operation reads sketch rows, not the corpus); per-pair
+    top-K runs through WindowGroupLimit; the only corpus-sized scans
+    are the exact-Jaccard audit side (profile_source_overlap's
+    accepted shape)."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import sketches
+
+    plan = _plan(sketches.sketch_kmv_overlap(spark, sf_dir))
+    assert "Scan ExistingRDD" in plan  # checkpointed sketch reuse
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    # Exact audit side only: shared(a,b) + per-source totals.
+    assert plan.count("Scan parquet  (") <= 4
+
+
+def test_semantic_decon_bench_broadcasts_probe_fanout(spark, sf_dir):
+    """The benchmark slice carries the multi-probe fan-out and
+    broadcasts; the training corpus emits one bucket key per table and
+    joins map-side — no shuffle of training rows for the candidate
+    join, no all-pairs fallback."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import similarity
+
+    plan = _plan(similarity.decontaminate_semantic(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan

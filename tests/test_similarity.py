@@ -304,3 +304,56 @@ def test_filtered_topk_exact_over_eligible_set(spark, sf_dir):
     for (q, n), _ in bf.items():
         if labels[n] >= similarity.FILTER_MIN_LABEL:
             assert (q, n) in filt
+
+
+def test_semantic_decon_containment_and_recall(spark, sf_dir):
+    """decontaminate_semantic's flags are a SUBSET of the exact
+    brute-force cross-split flags (LSH can miss, never invent), each
+    flagged cosine equals the exact pair cosine, recall clears the
+    production bar, the split discipline holds, and the threshold is
+    the dedup suite's embedding-pair calibration."""
+    from pyspark.sql import functions as F
+
+    from real_time_streaming_system_with_apache_kafka_spark.functions.arrays import (
+        cosine,
+    )
+    from real_time_streaming_system_with_apache_kafka_spark.operators import dedup
+    from real_time_streaming_system_with_apache_kafka_spark.sources.tables import (
+        load,
+    )
+
+    assert similarity.SEM_DECON_THRESHOLD == dedup.COSINE_THRESHOLD
+
+    got = {
+        r["vec_id"]: r
+        for r in similarity.decontaminate_semantic(spark, sf_dir).collect()
+    }
+    emb = load(spark, "embeddings", sf_dir).filter(
+        F.size("embedding") == similarity.EMBEDDING_DIM
+    )
+    bench = emb.filter(
+        F.col("vec_id") % similarity.SEM_DECON_MOD == 0
+    ).select(F.col("vec_id").alias("bench_id"), F.col("embedding").alias("be"))
+    train = emb.filter(
+        F.col("vec_id") % similarity.SEM_DECON_MOD != 0
+    ).select(F.col("vec_id").alias("train_id"), F.col("embedding").alias("te"))
+    exact = {
+        (r["train_id"], r["bench_id"]): r["cos"]
+        for r in train.crossJoin(F.broadcast(bench))
+        .withColumn("cos", cosine(F.col("te"), F.col("be")))
+        .filter(F.col("cos") >= similarity.SEM_DECON_THRESHOLD)
+        .collect()
+    }
+    exact_flagged = {t for t, _ in exact}
+    bench_ids = {
+        r["bench_id"] for r in bench.select("bench_id").collect()
+    }
+    assert set(got) <= exact_flagged  # no invented flags
+    recall = len(got) / len(exact_flagged)
+    assert recall >= 0.7, f"semantic decon recall below contract: {recall}"
+    for vec_id, row in got.items():
+        assert vec_id not in bench_ids  # split discipline
+        assert row["best_bench_id"] in bench_ids
+        # flagged cosine is the exact pair cosine, not an estimate
+        assert row["cos"] == exact[(vec_id, row["best_bench_id"])]
+        assert row["n_bench_candidates"] >= 1

@@ -127,3 +127,125 @@ def test_vwap_weighted_mean_laws(spark, sf_dir):
     assert v["total_size"] == size
     assert v["vwap_cents"] == notional // max(size, 1)
     assert v["notional_whole"] == notional // 100
+
+
+def _fingerprints(spark, sf_dir):
+    """(source, fingerprint-digest) python twin of the operators'
+    sorted-distinct-words md5 (profile_source_overlap's shape)."""
+    import hashlib
+
+    rows = (
+        load(spark, "documents", sf_dir)
+        .select("source", "text")
+        .collect()
+    )
+    out = []
+    for r in rows:
+        fp = " ".join(sorted(set(r["text"].split(" "))))
+        out.append(
+            (r["source"], hashlib.md5(fp.encode()).hexdigest())
+        )
+    return out
+
+
+def test_hll_python_reimpl_and_merge_law(spark, sf_dir):
+    """Full python reimplementation of the HLL audit — registers,
+    scaled harmonic sum, integer estimate, error ppm — matches every
+    row, and the ALL row's registers equal the element-wise MAX of
+    the per-source registers (the union-merge law that makes the
+    sketch distributable)."""
+    import hashlib
+
+    M, RMAX = sketches.HLL_M, sketches.HLL_RHO_MAX
+    regs: dict[str, dict[int, int]] = {}
+    exact: dict[str, set] = {}
+    for source, digest in _fingerprints(spark, sf_dir):
+        h = int(
+            hashlib.md5(
+                f"{sketches.HLL_TAG}#{digest}".encode()
+            ).hexdigest()[:8],
+            16,
+        )
+        bucket, w = h % M, h // M
+        rho = RMAX - w.bit_length() if w else RMAX
+        for key in (source, "ALL"):
+            regs.setdefault(key, {})
+            regs[key][bucket] = max(regs[key].get(bucket, 0), rho)
+            exact.setdefault(key, set()).add(digest)
+
+    def est(r: dict[int, int]) -> int:
+        s = sum(1 << (RMAX - m) for m in r.values())
+        s += (M - len(r)) * (1 << RMAX)
+        return sketches._HLL_EST_NUM // (sketches.HLL_ALPHA_DEN * s)
+
+    got = {
+        r["src"]: r
+        for r in sketches.sketch_hll_distinct(spark, sf_dir).collect()
+    }
+    assert set(got) == set(regs)
+    for src, r in regs.items():
+        row = got[src]
+        e, n = est(r), len(exact[src])
+        assert row["exact_distinct"] == n
+        assert row["est_hll"] == e
+        d = (e - n) * 1000000
+        assert row["err_ppm"] == (
+            d // n if d >= 0 else -((-d) // n)
+        )
+        assert row["n_zero_regs"] == M - len(r)
+        assert row["max_rho"] == max(r.values())
+    # Merge law: ALL registers == element-wise max of source registers.
+    merged: dict[int, int] = {}
+    for src, r in regs.items():
+        if src == "ALL":
+            continue
+        for b, m in r.items():
+            merged[b] = max(merged.get(b, 0), m)
+    assert merged == regs["ALL"]
+    assert got["ALL"]["est_hll"] == est(merged)
+
+
+def test_kmv_python_reimpl_and_bounds(spark, sf_dir):
+    """Full python reimplementation of the KMV overlap matrix: every
+    pair's union-sketch size, match count, estimated and exact
+    Jaccard ppm, and signed error agree; matches <= ku <= K; every
+    source pair is present."""
+    import hashlib
+    from itertools import combinations
+
+    K = sketches.KMV_K
+    hashes: dict[str, set] = {}
+    digests: dict[str, set] = {}
+    for source, digest in _fingerprints(spark, sf_dir):
+        h = int(
+            hashlib.md5(
+                f"{sketches.KMV_TAG}#{digest}".encode()
+            ).hexdigest()[:8],
+            16,
+        )
+        hashes.setdefault(source, set()).add(h)
+        digests.setdefault(source, set()).add(digest)
+    sketch = {s: set(sorted(v)[:K]) for s, v in hashes.items()}
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in sketches.sketch_kmv_overlap(spark, sf_dir).collect()
+    }
+    expected_pairs = set(combinations(sorted(sketch), 2))
+    assert set(got) == expected_pairs
+    for a, b in expected_pairs:
+        row = got[(a, b)]
+        union_k = sorted(sketch[a] | sketch[b])[:K]
+        ku = len(union_k)
+        matches = sum(
+            1 for h in union_k if h in sketch[a] and h in sketch[b]
+        )
+        inter = len(digests[a] & digests[b])
+        exact_ppm = (
+            inter * 1000000 // (len(digests[a]) + len(digests[b]) - inter)
+        )
+        assert row["ku"] == ku
+        assert row["matches"] == matches
+        assert 0 <= matches <= ku <= K
+        assert row["jaccard_est_ppm"] == matches * 1000000 // ku
+        assert row["jaccard_exact_ppm"] == exact_ppm
+        assert row["err_ppm"] == row["jaccard_est_ppm"] - exact_ppm
