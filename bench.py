@@ -146,6 +146,7 @@ HEADLINE = [
     "sketch_hll_distinct",
     "sketch_kmv_overlap",
     "decontaminate_semantic",
+    "sim_sq8_topk",
 ]
 
 

@@ -1450,12 +1450,106 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adc_shortlist_rerank(emb, scored, PQ_IVF_SHORTLIST)
 
 
-def _pq_codes_ctes() -> str:
-    """Shared CTE block: normalize-then-quantize vectors, subvector
-    slices, codebook, integer subdistances, argmin code assignment
-    (ties to lowest code id), and the per-query LUT. Used by both the
-    flat-scan PQ oracle and the IVF-composed one."""
-    return f"""idx AS (SELECT unnest(range({M_SUB})) AS m),
+# ---------------------------------------------------------------------------
+# SQ8 (int8 scalar quantization) — the standard first memory-reduction
+# step in production vector stores (4x over float32, per-dimension
+# min/max affine codes), sitting between full-precision and PQ in the
+# accuracy/compression trade. Completes the quantization family
+# (PQ, IVF+PQ, Matryoshka prefix dims).
+
+SQ_SHORTLIST = 50  # same rerank budget as the flat PQ scan
+# Spark SQL twin of _pq_quant_rows / the oracle's q1t+qn CTEs:
+# 7dp-quantize, L2-normalize (IEEE sqrt/divide are correctly rounded,
+# so doubles agree bit-for-bit with numpy and DuckDB), re-quantize to
+# integer-valued bigints. Pure codegen — the SQ8 path needs no Python
+# UDF at all, unlike PQ's argmin encode.
+_NORM_QUANT_EXPR = (
+    "transform("
+    " transform({col}, x -> cast(cast(cast(x as double) as decimal(9,7))"
+    "                           * 10000000 as bigint)),"
+    " x -> cast(floor(abs(cast(x as double) / greatest(sqrt(cast("
+    "   aggregate(transform({col}, x2 -> cast(cast(cast(x2 as double)"
+    "     as decimal(9,7)) * 10000000 as bigint)),"
+    "     cast(0 as bigint), (a, v) -> a + v * v) as double)), 1d))"
+    "   * 10000000 + 0.5) as bigint)"
+    "   * (case when x < 0 then -1 else 1 end))"
+)
+
+
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN: every vector stores one uint8 code
+    per dimension (affine per-dimension min/max grid learned from the
+    corpus), queries score candidates by an exact-integer asymmetric
+    dot against the RECONSTRUCTED codes, the best {SQ_SHORTLIST} per
+    query re-rank with the exact cosine kernel — output rows carry
+    true cosines (hits value-identical to sim_bruteforce_topk; recall
+    contract in tests/test_similarity.py).
+
+    Exactness: vectors normalize-then-quantize to integer grids (the
+    PQ kernel's convention), per-dim minima/ranges are exact integer
+    aggregates, codes are one floor division, and the asymmetric
+    score Σ q_d·(min_d·255 + code_d·range_d) is an exact bigint — so
+    the whole index carries a DuckDB twin, and unlike PQ the entire
+    INDEX path (encode + scoring) is JVM codegen; the only Python
+    stage is the shared exact-cosine rerank kernel on shortlist rows.
+
+    Scale shape: the stats pass is one posexplode aggregate collected
+    as O(dim) model state (the k-means-centroid precedent); encode is
+    a map-only pass over the corpus (in production the codes column
+    is written once — 4x smaller than the floats — and reused);
+    scoring is a {N_QUERIES}-row broadcast against the codes column;
+    exact math touches shortlist rows only."""
+    emb = load(spark, "embeddings", sf_dir).filter(
+        F.size("embedding") == EMBEDDING_DIM
+    )
+    nq = _NORM_QUANT_EXPR.format(col="embedding")
+    quant = emb.select("vec_id", F.expr(nq).alias("q2"))
+    stats = (
+        quant.select(F.posexplode("q2").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("minq"), F.max("v").alias("maxq"))
+        .collect()
+    )
+    minq = [0] * EMBEDDING_DIM
+    rng = [0] * EMBEDDING_DIM
+    for r in stats:
+        minq[r["pos"]] = int(r["minq"])
+        rng[r["pos"]] = max(int(r["maxq"]) - int(r["minq"]), 1)
+    minq_lit = "array(" + ", ".join(f"{v}L" for v in minq) + ")"
+    rng_lit = "array(" + ", ".join(f"{v}L" for v in rng) + ")"
+    coded = quant.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(
+            f"transform(q2, (x, i) -> ((x - element_at({minq_lit}, i + 1))"
+            f" * 255) div element_at({rng_lit}, i + 1))"
+        ).alias("codes"),
+    )
+    q = quant.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q2").alias("q2q")
+    )
+    # recon_d = min_d*255 + code_d*range_d needs the per-dim constants;
+    # fold them via a positional transform (zip_with cannot see the
+    # dimension index).
+    score = (
+        f"aggregate(transform(sequence(0, {EMBEDDING_DIM - 1}),"
+        f" i -> element_at(q2q, i + 1)"
+        f"      * (element_at({minq_lit}, i + 1) * 255"
+        f"         + element_at(codes, i + 1)"
+        f"           * element_at({rng_lit}, i + 1))),"
+        f" cast(0 as bigint), (a, x) -> a + x)"
+    )
+    scored = (
+        coded.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adist", -F.expr(score))
+    )
+    return _adc_shortlist_rerank(emb, scored, SQ_SHORTLIST)
+
+
+# Shared normalize-then-quantize CTE block (q1t + qn): the SQL twin
+# of _pq_quant_rows, used by every quantization oracle (PQ, IVF+PQ,
+# SQ8) so the vector grid can never drift between twins.
+_NORM_QUANT_CTES = """\
         q1t AS (
             SELECT vec_id,
                    list_transform(embedding,
@@ -1479,7 +1573,16 @@ def _pq_codes_ctes() -> str:
                                      AS double)), 1) AS n
                 FROM q1t
             )
-        ),
+        )"""
+
+
+def _pq_codes_ctes() -> str:
+    """Shared CTE block: normalize-then-quantize vectors, subvector
+    slices, codebook, integer subdistances, argmin code assignment
+    (ties to lowest code id), and the per-query LUT. Used by both the
+    flat-scan PQ oracle and the IVF-composed one."""
+    return f"""idx AS (SELECT unnest(range({M_SUB})) AS m),
+{_NORM_QUANT_CTES},
         qv AS (
             SELECT vec_id, m,
                    list_slice(q2, m * {D_SUB} + 1, (m + 1) * {D_SUB}) AS sub
@@ -1629,7 +1732,44 @@ QUERIES = {
     "sim_ann_recall_eval": sim_ann_recall_eval,
     "embed_pca_power": embed_pca_power,
     "decontaminate_semantic": decontaminate_semantic,
+    "sim_sq8_topk": sim_sq8_topk,
 }
+
+
+def _sq8_oracle_sql() -> str:
+    """DuckDB twin of sim_sq8_topk: the shared normalize-quantize
+    grid, per-dimension integer min/range stats, one-floor-division
+    codes, exact-integer asymmetric reconstruction dot, then the
+    shared shortlist + exact-cosine rerank tail."""
+    return f"""
+        WITH {_NORM_QUANT_CTES},
+        vals AS (
+            SELECT vec_id,
+                   cast(unnest(generate_series(1, len(q2))) - 1
+                        AS integer) AS pos,
+                   unnest(q2) AS v
+            FROM qn WHERE len(q2) = {EMBEDDING_DIM}
+        ),
+        stats AS (
+            SELECT pos, min(v) AS minq,
+                   greatest(max(v) - min(v), 1) AS rng
+            FROM vals GROUP BY pos
+        ),
+        codes AS (
+            SELECT vec_id, vals.pos,
+                   ((v - minq) * 255) // rng AS code
+            FROM vals JOIN stats USING (pos)
+        ),
+        scores AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   -cast(sum(q.v * (s.minq * 255 + c.code * s.rng))
+                         AS bigint) AS adist
+            FROM (SELECT * FROM vals WHERE vec_id < {N_QUERIES}) q
+            JOIN codes c ON q.vec_id <> c.vec_id AND q.pos = c.pos
+            JOIN stats s ON s.pos = c.pos
+            GROUP BY 1, 2
+        ){_pq_rerank_tail(SQ_SHORTLIST)}
+    """
 
 
 def _semantic_decon_oracle_sql() -> str:
@@ -1746,6 +1886,7 @@ ORACLES = {
     """,
     "sim_hard_negatives": _lsh_oracle_sql(label_negatives=True),
     "decontaminate_semantic": _semantic_decon_oracle_sql(),
+    "sim_sq8_topk": _sq8_oracle_sql(),
     # Full learned-k-means twin (upgraded from rows-only in r3):
     # Lloyd's loop unrolled as chained CTE stages — see
     # _kmeans_oracle_sql.

@@ -51,8 +51,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # sketch_cms_heavy_hitters, sketch_bloom_decontaminate,
 # search_hybrid_rrf, search_mmr_diversify, layout_zonemap_skipping,
 # search_prf_expand, tokens_context_audit, sample_kcenter_coreset,
-# sketch_hll_distinct, sketch_kmv_overlap, decontaminate_semantic)
-# — ~64 entries;
+# sketch_hll_distinct, sketch_kmv_overlap, decontaminate_semantic,
+# sim_sq8_topk)
+# — ~65 entries;
 # prioritize the never-signed suites, spill the remainder to r6.
 _PRIORITY: list[str] = [
     # §2 sentinels — pinned every round.

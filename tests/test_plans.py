@@ -843,3 +843,22 @@ def test_semantic_decon_bench_broadcasts_probe_fanout(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sq8_index_path_pure_codegen(spark, sf_dir):
+    """Unlike PQ's argmin encode, the SQ8 INDEX path (normalize,
+    quantize, encode, asymmetric score) is JVM codegen — the only
+    Python stage in the whole plan is the shared exact-cosine rerank
+    kernel on shortlist rows (one distinct ArrowEvalPython node);
+    the query side broadcasts; no all-pairs fallback beyond the
+    5-query broadcast."""
+    import re
+
+    from real_time_streaming_system_with_apache_kafka_spark.operators import similarity
+
+    plan = _plan(similarity.sim_sq8_topk(spark, sf_dir))
+    arrow_ids = set(re.findall(r"ArrowEvalPython \((\d+)\)", plan))
+    assert len(arrow_ids) <= 1  # exact rerank kernel only
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

