@@ -147,6 +147,10 @@ HEADLINE = [
     "sketch_kmv_overlap",
     "decontaminate_semantic",
     "sim_sq8_topk",
+    # Product-analytics pair over the event stream: ordered funnel and
+    # cohort retention.
+    "events_funnel_steps",
+    "events_retention_cohorts",
 ]
 
 

@@ -271,8 +271,122 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: how many users
+    signed up, then viewed AFTER signing up, then clicked after that
+    view, then purchased after that click — each step's timestamp must
+    strictly follow the previous step's first completion (the classic
+    product-analytics funnel, which a bare per-type count gets wrong
+    because it ignores ordering).
+
+    Plan shape: ONE shuffle on user_id; the four chained "first time
+    of step k after step k-1" columns are conditional window minima
+    over the SAME partition — Spark stacks four Window operators on a
+    single Exchange, no self-joins, no per-user arrays (the
+    chained-join formulation would pay one join per step; the
+    collect_list formulation would buffer a power user's whole
+    history). Microsecond epochs keep the strict-after comparisons
+    integer-exact on both engines."""
+    ev = load(spark, "events", sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id")
+    steps = ev
+    prev: F.Column | None = None
+    for i, step in enumerate(FUNNEL_STEPS, start=1):
+        cond = F.col("event_type") == step
+        if prev is not None:
+            cond = cond & prev.isNotNull() & (F.col("us") > prev)
+        steps = steps.withColumn(
+            f"s{i}", F.min(F.when(cond, F.col("us"))).over(w)
+        )
+        prev = F.col(f"s{i}")
+    per_user = steps.groupBy("user_id").agg(
+        *[F.max(f"s{i}").alias(f"s{i}") for i in range(1, 5)]
+    )
+    totals = per_user.agg(
+        F.count(F.lit(1)).alias("u0"),
+        *[F.count(f"s{i}").alias(f"u{i}") for i in range(1, 5)],
+    )
+    rows = ", ".join(
+        f"struct({i} AS step, '{s}' AS step_name, u{i} AS users,"
+        f" u{i - 1} AS prev_users)"
+        for i, s in enumerate(FUNNEL_STEPS, start=1)
+    )
+    return (
+        totals.select(F.expr(f"explode(array({rows})) AS z"), "u1")
+        .select(
+            F.col("z.step").cast("int").alias("step"),
+            F.col("z.step_name").alias("step_name"),
+            F.col("z.users").alias("users"),
+            F.expr(
+                "cast(z.users * 1000000"
+                " div greatest(z.prev_users, 1) as bigint)"
+            ).alias("conv_from_prev_ppm"),
+            F.expr(
+                "cast(z.users * 1000000 div greatest(u1, 1) as bigint)"
+            ).alias("conv_from_start_ppm"),
+        )
+        .orderBy("step")
+    )
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST active
+    day (the cohort), then for every later day offset the share of
+    that cohort still active — the standard growth-analytics view of
+    an event stream. Offset 0 is the cohort size by construction, so
+    retention_ppm reads 1e6 on the diagonal and decays right.
+
+    Plan shape: one shuffle on user_id for the first-day window, one
+    hash aggregate to distinct (user, cohort, day), one to the
+    (cohort, offset) cell counts; the per-cohort size denominator
+    comes from a window over the already-tiny cell table, not a
+    second scan. Day arithmetic is exact integer date subtraction."""
+    ev = load(spark, "events", sf_dir).select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    w = Window.partitionBy("user_id")
+    cohorted = ev.withColumn("cohort_day", F.min("d").over(w))
+    cells = (
+        cohorted.select(
+            "user_id",
+            "cohort_day",
+            F.datediff("d", F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    cw = Window.partitionBy("cohort_day")
+    return (
+        cells.withColumn(
+            "cohort_size",
+            F.max(
+                F.when(F.col("day_offset") == 0, F.col("active_users"))
+            ).over(cw),
+        )
+        .select(
+            "cohort_day",
+            F.col("day_offset").cast("int").alias("day_offset"),
+            "active_users",
+            "cohort_size",
+            F.expr(
+                "cast(active_users * 1000000 div greatest(cohort_size, 1)"
+                " as bigint)"
+            ).alias("retention_ppm"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "events_funnel_steps": events_funnel_steps,
+    "events_retention_cohorts": events_retention_cohorts,
     "approx_hll_partials": approx_hll_partials,
     "agg_bitmap_distinct": agg_bitmap_distinct,
     "pivot_status_by_day": pivot_status_by_day,
@@ -284,6 +398,93 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_funnel_steps": """
+        WITH ev AS (
+            SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        ),
+        st1 AS (
+            SELECT *, min(CASE WHEN event_type = 'signup' THEN us END)
+                          OVER (PARTITION BY user_id) AS s1
+            FROM ev
+        ),
+        st2 AS (
+            SELECT *, min(CASE WHEN event_type = 'view'
+                                 AND s1 IS NOT NULL AND us > s1
+                               THEN us END)
+                          OVER (PARTITION BY user_id) AS s2
+            FROM st1
+        ),
+        st3 AS (
+            SELECT *, min(CASE WHEN event_type = 'click'
+                                 AND s2 IS NOT NULL AND us > s2
+                               THEN us END)
+                          OVER (PARTITION BY user_id) AS s3
+            FROM st2
+        ),
+        st4 AS (
+            SELECT *, min(CASE WHEN event_type = 'purchase'
+                                 AND s3 IS NOT NULL AND us > s3
+                               THEN us END)
+                          OVER (PARTITION BY user_id) AS s4
+            FROM st3
+        ),
+        per_user AS (
+            SELECT user_id, max(s1) AS s1, max(s2) AS s2,
+                   max(s3) AS s3, max(s4) AS s4
+            FROM st4 GROUP BY user_id
+        ),
+        totals AS (
+            SELECT cast(count(*) AS bigint) AS u0,
+                   cast(count(s1) AS bigint) AS u1,
+                   cast(count(s2) AS bigint) AS u2,
+                   cast(count(s3) AS bigint) AS u3,
+                   cast(count(s4) AS bigint) AS u4
+            FROM per_user
+        )
+        SELECT step, step_name, users,
+               cast(users * 1000000 // greatest(prev_users, 1)
+                    AS bigint) AS conv_from_prev_ppm,
+               cast(users * 1000000 // greatest(u1b, 1)
+                    AS bigint) AS conv_from_start_ppm
+        FROM (
+            SELECT cast(1 AS int) AS step, 'signup' AS step_name,
+                   u1 AS users, u0 AS prev_users, u1 AS u1b FROM totals
+            UNION ALL SELECT 2, 'view', u2, u1, u1 FROM totals
+            UNION ALL SELECT 3, 'click', u3, u2, u1 FROM totals
+            UNION ALL SELECT 4, 'purchase', u4, u3, u1 FROM totals
+        )
+        ORDER BY step
+    """,
+    "events_retention_cohorts": """
+        WITH ev AS (
+            SELECT user_id, cast(ts AS date) AS d FROM events
+        ),
+        cohorted AS (
+            SELECT user_id, d,
+                   min(d) OVER (PARTITION BY user_id) AS cohort_day
+            FROM ev
+        ),
+        cells AS (
+            SELECT cohort_day, day_offset,
+                   cast(count(*) AS bigint) AS active_users
+            FROM (SELECT DISTINCT user_id, cohort_day,
+                         d - cohort_day AS day_offset
+                  FROM cohorted)
+            GROUP BY cohort_day, day_offset
+        )
+        SELECT cohort_day, cast(day_offset AS int) AS day_offset,
+               active_users,
+               cohort_size,
+               cast(active_users * 1000000 // greatest(cohort_size, 1)
+                    AS bigint) AS retention_ppm
+        FROM (
+            SELECT *, max(CASE WHEN day_offset = 0
+                               THEN active_users END)
+                          OVER (PARTITION BY cohort_day) AS cohort_size
+            FROM cells
+        )
+        ORDER BY cohort_day, day_offset
+    """,
     # The bitmap rollup must be EXACTLY the plain distinct count.
     "agg_bitmap_distinct": """
         SELECT event_type,

@@ -862,3 +862,26 @@ def test_sq8_index_path_pure_codegen(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_single_user_exchange_stacked_windows(spark, sf_dir):
+    """The four chained step columns ride ONE hashpartitioning
+    exchange on user_id (stacked Window operators), not one join or
+    shuffle per step; no self-joins of the event stream."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import analytics
+
+    plan = _plan(analytics.events_funnel_steps(spark, sf_dir))
+    assert plan.count("hashpartitioning(user_id") <= 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_retention_single_scan_window_denominator(spark, sf_dir):
+    """One events scan: the cohort-size denominator comes from a
+    window over the tiny cell table, never a second scan or a join
+    back to the corpus."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import analytics
+
+    plan = _plan(analytics.events_retention_cohorts(spark, sf_dir))
+    assert plan.count("Scan parquet  (") == 1
+    assert "Join" not in plan

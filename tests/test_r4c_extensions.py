@@ -333,3 +333,97 @@ def test_kcenter_greedy_recheck(spark, sf_dir):
         if prev_dist is not None:
             assert dist <= prev_dist
         prev_dist = dist
+
+
+def test_funnel_monotone_and_python_recompute(spark, sf_dir):
+    """Funnel user counts are monotone non-increasing down the steps,
+    ppm ratios recompute exactly, and a full python replay of the
+    chained first-after-previous-step semantics over the raw events
+    agrees with every step count."""
+    from collections import defaultdict
+
+    from real_time_streaming_system_with_apache_kafka_spark.operators.analytics import (
+        FUNNEL_STEPS,
+        events_funnel_steps,
+    )
+    from real_time_streaming_system_with_apache_kafka_spark.sources.tables import (
+        load,
+    )
+
+    rows = events_funnel_steps(spark, sf_dir).collect()
+    assert [r["step"] for r in rows] == [1, 2, 3, 4]
+    assert [r["step_name"] for r in rows] == FUNNEL_STEPS
+    users = [r["users"] for r in rows]
+    assert users == sorted(users, reverse=True)
+
+    ev = defaultdict(list)
+    for r in (
+        load(spark, "events", sf_dir)
+        .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
+        .collect()
+    ):
+        ev[r["user_id"]].append((r["us"], r["event_type"]))
+    counts = [0, 0, 0, 0]
+    n_users = len(ev)
+    for events in ev.values():
+        prev = None
+        for i, step in enumerate(FUNNEL_STEPS):
+            cand = [
+                us
+                for us, et in events
+                if et == step and (prev is None or us > prev)
+            ]
+            if not cand:
+                break
+            prev = min(cand)
+            counts[i] += 1
+    assert users == counts
+    prevs = [n_users] + counts[:3]
+    for r, c, p in zip(rows, counts, prevs):
+        assert r["conv_from_prev_ppm"] == c * 1000000 // max(p, 1)
+        assert r["conv_from_start_ppm"] == c * 1000000 // max(counts[0], 1)
+
+
+def test_retention_diagonal_and_python_recompute(spark, sf_dir):
+    """Offset-0 cells equal the cohort size (retention 1e6 on the
+    diagonal), every cell count matches a python replay of distinct
+    (user, day) activity keyed by first-seen day, and ppm ratios
+    recompute exactly."""
+    from collections import defaultdict
+
+    from real_time_streaming_system_with_apache_kafka_spark.operators.analytics import (
+        events_retention_cohorts,
+    )
+    from real_time_streaming_system_with_apache_kafka_spark.sources.tables import (
+        load,
+    )
+
+    rows = events_retention_cohorts(spark, sf_dir).collect()
+    first_day = {}
+    activity = defaultdict(set)
+    for r in (
+        load(spark, "events", sf_dir)
+        .selectExpr("user_id", "to_date(ts) AS d")
+        .collect()
+    ):
+        u, d = r["user_id"], r["d"]
+        if u not in first_day or d < first_day[u]:
+            first_day[u] = d
+        activity[u].add(d)
+    cells = defaultdict(int)
+    for u, days in activity.items():
+        for d in days:
+            cells[(first_day[u], (d - first_day[u]).days)] += 1
+    assert {
+        (r["cohort_day"], r["day_offset"]): r["active_users"] for r in rows
+    } == dict(cells)
+    sizes = {r["cohort_day"]: r["cohort_size"] for r in rows}
+    for r in rows:
+        if r["day_offset"] == 0:
+            assert r["active_users"] == r["cohort_size"]
+            assert r["retention_ppm"] == 1000000
+        assert r["cohort_size"] == sizes[r["cohort_day"]]
+        assert (
+            r["retention_ppm"]
+            == r["active_users"] * 1000000 // max(r["cohort_size"], 1)
+        )
