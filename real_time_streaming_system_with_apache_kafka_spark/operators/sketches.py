@@ -263,6 +263,26 @@ _FP_ORACLE = (
 )
 
 
+def hll_register_cols(item_sql: str) -> tuple[F.Column, F.Column]:
+    """(bucket, rho) register columns for an arbitrary item
+    expression — the SAME hash/bucket/rho math as
+    sketch_hll_distinct (equality pinned against the python reference
+    in tests). Used by the streaming twin
+    (streaming/windowed.py::hll_distinct_stream) so incremental and
+    batch registers can never drift. Repeated subexpressions collapse
+    in codegen (common-subexpression elimination)."""
+    h = (
+        f"cast(conv(substr(md5(concat('{HLL_TAG}#', {item_sql})), 1, 8),"
+        " 16, 10) as bigint)"
+    )
+    bucket = F.expr(f"cast(({h}) % {HLL_M} as int)").alias("bucket")
+    rho = F.expr(
+        f"case when ({h}) div {HLL_M} = 0 then {HLL_RHO_MAX}"
+        f" else {HLL_RHO_MAX} - length(bin(({h}) div {HLL_M})) end"
+    ).alias("rho")
+    return bucket, rho
+
+
 def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-fingerprint audit: per-source HLL
     registers over document content fingerprints, plus the 'ALL' row

@@ -256,3 +256,31 @@ def vwap_bars_stream(
             .alias("vwap"),
         )
     )
+
+
+def hll_distinct_stream(trades: DataFrame) -> DataFrame:
+    """Bounded-state distinct-trade estimator: HyperLogLog registers
+    over ``trade_id`` maintained incrementally — the streaming twin of
+    ``operators/sketches.py::sketch_hll_distinct``'s register build
+    (same hash/bucket/rho math via ``hll_register_cols``; equality
+    pinned in tests/test_streaming.py).
+
+    The point at cluster scale: W4's exact dedup
+    (``dropDuplicatesWithinWatermark``) keeps one state row PER
+    DISTINCT ID inside the watermark (the streaming soak measured
+    ~118k rows); these registers answer "how many distinct trades so
+    far" with HLL_M integer rows FOREVER, because the register update
+    (max) is exactly the merge Spark's incremental aggregation applies
+    across micro-batches — arrival order and batch boundaries cannot
+    change a max. No watermark needed: state is O(HLL_M) by
+    construction, not by eviction."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators.sketches import (
+        hll_register_cols,
+    )
+
+    bucket, rho = hll_register_cols("trade_id")
+    return (
+        trades.select(bucket, rho)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m"))
+    )

@@ -590,3 +590,54 @@ def test_stream_batch_vwap_equivalence(spark, wire_dir):
                 <= r["vwap"]
                 <= float(o["high"]) + 1e-9
             )
+
+
+def test_stream_batch_hll_registers_equivalence(spark, wire_dir):
+    """The streaming HLL register table equals the batch register
+    table over the same rows (max-merge is order/batch independent),
+    matches a python HLL reference over the distinct trade_ids
+    (including the redelivered duplicates, which must not move any
+    register), and the state is bounded by HLL_M rows by
+    construction."""
+    import hashlib
+
+    from real_time_streaming_system_with_apache_kafka_spark.operators import (
+        sketches,
+    )
+
+    path, n_base, n_dup = wire_dir
+    stream = ingest.read_trade_stream_from_json_dir(spark, path)
+    got = sorted(
+        map(
+            tuple,
+            _drain(
+                windowed.hll_distinct_stream(stream),
+                "hll_stream",
+                mode="complete",
+            ).collect(),
+        )
+    )
+    batch = ingest.parse_wire(spark.read.text(path))
+    want = sorted(
+        map(tuple, windowed.hll_distinct_stream(batch).collect())
+    )
+    assert got == want
+    assert len(got) <= sketches.HLL_M  # bounded state, forever
+    # Python reference over distinct ids (dups must be absorbed).
+    ids = {
+        r["trade_id"] for r in batch.select("trade_id").collect()
+    }
+    assert len(ids) == n_base  # fixture redelivers, never invents
+    M, RMAX = sketches.HLL_M, sketches.HLL_RHO_MAX
+    regs: dict[int, int] = {}
+    for i in ids:
+        h = int(
+            hashlib.md5(
+                f"{sketches.HLL_TAG}#{i}".encode()
+            ).hexdigest()[:8],
+            16,
+        )
+        b, w = h % M, h // M
+        rho = RMAX - w.bit_length() if w else RMAX
+        regs[b] = max(regs.get(b, 0), rho)
+    assert got == sorted(regs.items())
