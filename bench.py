@@ -151,6 +151,7 @@ HEADLINE = [
     # cohort retention.
     "events_funnel_steps",
     "events_retention_cohorts",
+    "basket_pair_lift",
 ]
 
 

@@ -383,10 +383,91 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: for every brand pair that
+    co-occurs in an order, the co-occurrence count, per-brand
+    supports, pair support, and LIFT = P(ab)/(P(a)P(b)) — the classic
+    frequent-pair signal (lift > 1e6 ppm means the brands attract,
+    < 1e6 they repel). All ratios exact integer ppm; the lift
+    numerator n_ab·N·1e6 runs in decimal(38,0)/hugeint so the math
+    survives billion-order scale without overflow.
+
+    Scale shape: the quadratic danger in pair mining is generating
+    pairs corpus-wide; here pairs explode PER BASKET from the sorted
+    per-order brand set (collect_set on the already-distinct basket
+    rows — bounded by lines-per-order, ≤13 in this schema), so pair
+    volume is linear in orders. One shuffle to baskets, the same
+    partitioning reused for the per-order sets, one pair aggregate;
+    brand supports and the order total broadcast back."""
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    brands = load(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(brands), li.l_partkey == brands.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    sets = b.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("p_brand")).alias("items")
+    )
+    pairs = (
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) ->"
+                    " transform(slice(items, i + 2, size(items)),"
+                    " y -> struct(x AS brand_a, y AS brand_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.brand_a", "p.brand_b")
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sup = b.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_item"))
+    n_orders = b.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                sup.select(
+                    F.col("p_brand").alias("brand_a"),
+                    F.col("n_item").alias("n_a"),
+                )
+            ),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(
+                sup.select(
+                    F.col("p_brand").alias("brand_b"),
+                    F.col("n_item").alias("n_b"),
+                )
+            ),
+            "brand_b",
+        )
+        .join(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("n_ab * 1000000 div n_orders").alias("support_ppm"),
+            F.expr(
+                "cast(n_ab as decimal(38,0)) * n_orders * 1000000"
+                " div (cast(n_a as decimal(38,0)) * n_b)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_funnel_steps": events_funnel_steps,
     "events_retention_cohorts": events_retention_cohorts,
+    "basket_pair_lift": basket_pair_lift,
     "approx_hll_partials": approx_hll_partials,
     "agg_bitmap_distinct": agg_bitmap_distinct,
     "pivot_status_by_day": pivot_status_by_day,
@@ -398,6 +479,40 @@ QUERIES = {
 }
 
 ORACLES = {
+    "basket_pair_lift": """
+        WITH b AS (
+            SELECT DISTINCT l_orderkey, p_brand
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        n AS (
+            SELECT cast(count(DISTINCT l_orderkey) AS bigint)
+                       AS n_orders
+            FROM b
+        ),
+        sup AS (
+            SELECT p_brand, cast(count(*) AS bigint) AS n_item
+            FROM b GROUP BY p_brand
+        ),
+        pr AS (
+            SELECT a.p_brand AS brand_a, b2.p_brand AS brand_b,
+                   cast(count(*) AS bigint) AS n_ab
+            FROM b a JOIN b b2 USING (l_orderkey)
+            WHERE a.p_brand < b2.p_brand
+            GROUP BY 1, 2
+        )
+        SELECT brand_a, brand_b, n_ab,
+               sa.n_item AS n_a, sb.n_item AS n_b,
+               cast(n_ab * 1000000 // n_orders AS bigint)
+                   AS support_ppm,
+               cast((cast(n_ab AS hugeint) * n_orders * 1000000)
+                    // (cast(sa.n_item AS hugeint) * sb.n_item)
+                    AS bigint) AS lift_ppm
+        FROM pr
+        CROSS JOIN n
+        JOIN sup sa ON sa.p_brand = pr.brand_a
+        JOIN sup sb ON sb.p_brand = pr.brand_b
+        ORDER BY brand_a, brand_b
+    """,
     "events_funnel_steps": """
         WITH ev AS (
             SELECT user_id, event_type, epoch_us(ts) AS us FROM events

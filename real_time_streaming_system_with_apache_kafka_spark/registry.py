@@ -52,8 +52,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # search_hybrid_rrf, search_mmr_diversify, layout_zonemap_skipping,
 # search_prf_expand, tokens_context_audit, sample_kcenter_coreset,
 # sketch_hll_distinct, sketch_kmv_overlap, decontaminate_semantic,
-# sim_sq8_topk, events_funnel_steps, events_retention_cohorts)
-# — ~67 entries;
+# sim_sq8_topk, events_funnel_steps, events_retention_cohorts,
+# basket_pair_lift)
+# — ~68 entries;
 # prioritize the never-signed suites, spill the remainder to r6.
 _PRIORITY: list[str] = [
     # §2 sentinels — pinned every round.

@@ -885,3 +885,18 @@ def test_retention_single_scan_window_denominator(spark, sf_dir):
     plan = _plan(analytics.events_retention_cohorts(spark, sf_dir))
     assert plan.count("Scan parquet  (") == 1
     assert "Join" not in plan
+
+
+def test_basket_lift_pairs_explode_per_basket(spark, sf_dir):
+    """Pair generation is a per-basket Generate (bounded by basket
+    size), never a corpus self-join of basket rows; the brand
+    dimension, supports, and order total all broadcast."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import analytics
+
+    plan = _plan(analytics.basket_pair_lift(spark, sf_dir))
+    assert "Generate" in plan  # per-basket pair explode
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # The only nested-loop is the broadcast of the 1-row order total.
+    assert plan.count("BroadcastNestedLoopJoin") <= 2

@@ -427,3 +427,46 @@ def test_retention_diagonal_and_python_recompute(spark, sf_dir):
             r["retention_ppm"]
             == r["active_users"] * 1000000 // max(r["cohort_size"], 1)
         )
+
+
+def test_basket_lift_python_recompute(spark, sf_dir):
+    """Pair counts, supports, and lift ppm recompute exactly from a
+    python replay of the distinct (order, brand) baskets; symmetric
+    coverage (brand_a < brand_b only, no pair twice); the pair count
+    never exceeds either support."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from real_time_streaming_system_with_apache_kafka_spark.operators.analytics import (
+        basket_pair_lift,
+    )
+    from real_time_streaming_system_with_apache_kafka_spark.sources.tables import (
+        load,
+    )
+
+    rows = basket_pair_lift(spark, sf_dir).collect()
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    pt = load(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    baskets = defaultdict(set)
+    for r in li.join(pt, li.l_partkey == pt.p_partkey).collect():
+        baskets[r["l_orderkey"]].add(r["p_brand"])
+    sup = defaultdict(int)
+    pair_n = defaultdict(int)
+    for items in baskets.values():
+        for it in items:
+            sup[it] += 1
+        for a, b in combinations(sorted(items), 2):
+            pair_n[(a, b)] += 1
+    n_orders = len(baskets)
+    got = {(r["brand_a"], r["brand_b"]): r for r in rows}
+    assert set(got) == set(pair_n)
+    for (a, b), r in got.items():
+        assert a < b
+        assert r["n_ab"] == pair_n[(a, b)]
+        assert r["n_a"] == sup[a] and r["n_b"] == sup[b]
+        assert r["n_ab"] <= min(r["n_a"], r["n_b"])
+        assert r["support_ppm"] == r["n_ab"] * 1000000 // n_orders
+        assert (
+            r["lift_ppm"]
+            == r["n_ab"] * n_orders * 1000000 // (sup[a] * sup[b])
+        )
