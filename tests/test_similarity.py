@@ -386,8 +386,7 @@ def test_sq8_recall_and_exact_values(spark, sf_dir):
     emb = load(spark, "embeddings", sf_dir).filter(
         F.size("embedding") == similarity.EMBEDDING_DIM
     )
-    nq = similarity._NORM_QUANT_EXPR.format(col="embedding")
-    quant = emb.select("vec_id", F.expr(nq).alias("q2"))
+    quant = similarity.norm_quant(emb).select("vec_id", "q2")
     lo, hi = (
         quant.select(
             F.min(F.array_min("q2")).alias("lo"),
