@@ -152,6 +152,7 @@ HEADLINE = [
     "events_funnel_steps",
     "events_retention_cohorts",
     "basket_pair_lift",
+    "customer_rfm_segments",
 ]
 
 

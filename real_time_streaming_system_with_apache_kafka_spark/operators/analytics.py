@@ -463,11 +463,113 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (the classic CRM composite): per
+    customer, Recency (days since last order, vs the corpus's latest
+    order date), Frequency (order count), Monetary (exact cents);
+    each metric scored 1-5 by corpus quintile, segments profiled with
+    the standard labels (champions / loyal / at-risk / hibernating).
+
+    Exactness: quintile bounds are ORDER STATISTICS
+    (percentile_disc / quantile_disc — actual data values, identical
+    nearest-rank semantics on both engines, verified on tie-heavy
+    data), never interpolated floats; recency scores ride the same
+    strictly-greater comparison as F/M by negating the metric (lower
+    recency = better). All outputs exact integers.
+
+    Scale shape: two passes to the customer grain (the bounds pass
+    and the scoring pass — the standard two-pass quantile shape, same
+    as feature_quantile_bucketize); the reference date and the 12
+    quintile bounds are 1-row broadcasts; scoring is scan-side
+    comparisons; the segment profile is a <=125-row aggregate."""
+    orders = load(spark, "orders", sf_dir).select(
+        "o_custkey",
+        "o_orderdate",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("cents").alias("monetary_cents"),
+        )
+        .join(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff("ref_date", F.col("last_order")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary_cents",
+        )
+        .withColumn("neg_recency", -F.col("recency_days"))
+    )
+    bounds = cust.agg(
+        *[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY {m})"
+            ).alias(f"{m}_b{int(p * 100)}")
+            for m in ("neg_recency", "frequency", "monetary_cents")
+            for p in (0.2, 0.4, 0.6, 0.8)
+        ]
+    )
+
+    def score(m: str) -> F.Column:
+        return (
+            F.lit(1)
+            + sum(
+                (F.col(m) > F.col(f"{m}_b{q}")).cast("int")
+                for q in (20, 40, 60, 80)
+            )
+        ).cast("int")
+
+    scored = cust.join(F.broadcast(bounds)).select(
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        score("neg_recency").alias("r"),
+        score("frequency").alias("f"),
+        score("monetary_cents").alias("m"),
+    )
+    label = (
+        F.when((F.col("r") >= 4) & (F.col("f") >= 4) & (F.col("m") >= 4), "champions")
+        .when((F.col("r") >= 3) & (F.col("f") >= 3), "loyal")
+        .when((F.col("r") <= 2) & (F.col("f") >= 3), "at_risk")
+        .when((F.col("r") <= 2) & (F.col("f") <= 2), "hibernating")
+        .otherwise("other")
+    )
+    return (
+        scored.select(
+            (
+                F.col("r") * 100 + F.col("f") * 10 + F.col("m")
+            ).alias("segment_code"),
+            label.alias("label"),
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+        )
+        .groupBy("segment_code", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("frequency").alias("total_orders"),
+            F.sum("monetary_cents").alias("total_monetary_cents"),
+            F.min("recency_days").alias("min_recency_days"),
+            F.max("recency_days").alias("max_recency_days"),
+        )
+        .orderBy("segment_code")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_funnel_steps": events_funnel_steps,
     "events_retention_cohorts": events_retention_cohorts,
     "basket_pair_lift": basket_pair_lift,
+    "customer_rfm_segments": customer_rfm_segments,
     "approx_hll_partials": approx_hll_partials,
     "agg_bitmap_distinct": agg_bitmap_distinct,
     "pivot_status_by_day": pivot_status_by_day,
@@ -479,6 +581,69 @@ QUERIES = {
 }
 
 ORACLES = {
+    "customer_rfm_segments": """
+        WITH o AS (
+            SELECT o_custkey, o_orderdate,
+                   cast(cast(o_totalprice AS decimal(18,2)) * 100
+                        AS bigint) AS cents
+            FROM orders
+        ),
+        ref AS (SELECT max(o_orderdate) AS ref_date FROM o),
+        cust AS (
+            SELECT o_custkey,
+                   cast(date_diff('day', max(o_orderdate),
+                                  (SELECT ref_date FROM ref))
+                        AS integer) AS recency_days,
+                   cast(count(*) AS bigint) AS frequency,
+                   cast(sum(cents) AS bigint) AS monetary_cents
+            FROM o GROUP BY o_custkey
+        ),
+        c2 AS (SELECT *, -recency_days AS neg_recency FROM cust),
+        b AS (
+            SELECT
+                quantile_disc(neg_recency, 0.2) AS nr20,
+                quantile_disc(neg_recency, 0.4) AS nr40,
+                quantile_disc(neg_recency, 0.6) AS nr60,
+                quantile_disc(neg_recency, 0.8) AS nr80,
+                quantile_disc(frequency, 0.2) AS f20,
+                quantile_disc(frequency, 0.4) AS f40,
+                quantile_disc(frequency, 0.6) AS f60,
+                quantile_disc(frequency, 0.8) AS f80,
+                quantile_disc(monetary_cents, 0.2) AS m20,
+                quantile_disc(monetary_cents, 0.4) AS m40,
+                quantile_disc(monetary_cents, 0.6) AS m60,
+                quantile_disc(monetary_cents, 0.8) AS m80
+            FROM c2
+        ),
+        scored AS (
+            SELECT recency_days, frequency, monetary_cents,
+                   1 + (neg_recency > nr20)::int + (neg_recency > nr40)::int
+                     + (neg_recency > nr60)::int + (neg_recency > nr80)::int
+                       AS r,
+                   1 + (frequency > f20)::int + (frequency > f40)::int
+                     + (frequency > f60)::int + (frequency > f80)::int
+                       AS f,
+                   1 + (monetary_cents > m20)::int + (monetary_cents > m40)::int
+                     + (monetary_cents > m60)::int + (monetary_cents > m80)::int
+                       AS m
+            FROM c2 CROSS JOIN b
+        )
+        SELECT cast(r * 100 + f * 10 + m AS int) AS segment_code,
+               CASE WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champions'
+                    WHEN r >= 3 AND f >= 3 THEN 'loyal'
+                    WHEN r <= 2 AND f >= 3 THEN 'at_risk'
+                    WHEN r <= 2 AND f <= 2 THEN 'hibernating'
+                    ELSE 'other' END AS label,
+               cast(count(*) AS bigint) AS n_customers,
+               cast(sum(frequency) AS bigint) AS total_orders,
+               cast(sum(monetary_cents) AS bigint)
+                   AS total_monetary_cents,
+               cast(min(recency_days) AS integer) AS min_recency_days,
+               cast(max(recency_days) AS integer) AS max_recency_days
+        FROM scored
+        GROUP BY 1, 2
+        ORDER BY segment_code
+    """,
     "basket_pair_lift": """
         WITH b AS (
             SELECT DISTINCT l_orderkey, p_brand

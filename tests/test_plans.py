@@ -900,3 +900,19 @@ def test_basket_lift_pairs_explode_per_basket(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # The only nested-loop is the broadcast of the 1-row order total.
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_rfm_single_customer_shuffle_bounds_broadcast(spark, sf_dir):
+    """One shuffle to the customer grain; the reference date and the
+    12 quintile bounds are 1-row broadcasts; no sort-merge joins, no
+    corpus-sized cartesian (the only nested-loops are the two 1-row
+    broadcasts)."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import analytics
+
+    plan = _plan(analytics.customer_rfm_segments(spark, sf_dir))
+    # Two customer-grain passes (bounds, then scoring) — the standard
+    # two-pass quantile shape (feature_quantile_bucketize precedent).
+    assert plan.count("hashpartitioning(o_custkey") <= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 6

