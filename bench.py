@@ -153,6 +153,7 @@ HEADLINE = [
     "events_retention_cohorts",
     "basket_pair_lift",
     "customer_rfm_segments",
+    "events_active_users_rolling",
 ]
 
 

@@ -564,12 +564,75 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLLING_WINDOWS = {"wau": 7, "mau": 30}
+
+
+def events_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU: per day, the distinct users active that day,
+    in the trailing 7 days, and in the trailing 30 days, plus the
+    DAU/MAU stickiness ratio — the signature growth metrics.
+
+    Scale shape: a distinct-over-sliding-window CANNOT map-side
+    combine (distinct is not mergeable across overlapping windows),
+    so the standard distributed rewrite is used: collapse to distinct
+    (user, day) once, then each activity row CONTRIBUTES ITSELF to
+    the window days it covers (explode day..day+6 / day+29), distinct
+    again, count per day. Data volume is |active-pairs| x 37 — linear,
+    bounded, and embarrassingly parallel, vs. the naive per-day
+    "count distinct over a 30-day self-join" which rescans the corpus
+    per day. (The sketch alternative — per-day HLL registers merged
+    across the trailing window — lives in sketch_hll_distinct /
+    hll_distinct_stream; this is the exact path.)
+
+    Days with no activity emit no row (the corpus has none); trailing
+    windows at the left edge cover only the days that exist."""
+    ud = (
+        load(spark, "events", sf_dir)
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    # One date literal of model state: the corpus's last day, used to
+    # clip window contributions that would land past the data.
+    max_d = ud.agg(F.max("d")).collect()[0][0]
+    dau = ud.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    rolled = [dau]
+    for name, width in ROLLING_WINDOWS.items():
+        contrib = (
+            ud.select(
+                "user_id",
+                F.explode(
+                    F.expr(
+                        f"sequence(d, date_add(d, {width - 1}))"
+                    )
+                ).alias("day"),
+            )
+            .filter(F.col("day") <= F.lit(max_d))
+            .distinct()
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+        rolled.append(contrib)
+    out = rolled[0]
+    for r in rolled[1:]:
+        out = out.join(r, "day")
+    return out.select(
+        "day",
+        "dau",
+        "wau",
+        "mau",
+        F.expr("dau * 1000000 div mau").alias("stickiness_ppm"),
+    ).orderBy("day")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_funnel_steps": events_funnel_steps,
     "events_retention_cohorts": events_retention_cohorts,
     "basket_pair_lift": basket_pair_lift,
     "customer_rfm_segments": customer_rfm_segments,
+    "events_active_users_rolling": events_active_users_rolling,
     "approx_hll_partials": approx_hll_partials,
     "agg_bitmap_distinct": agg_bitmap_distinct,
     "pivot_status_by_day": pivot_status_by_day,
@@ -581,6 +644,34 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_active_users_rolling": """
+        WITH ud AS (
+            SELECT DISTINCT user_id, cast(ts AS date) AS d FROM events
+        ),
+        bounds AS (SELECT max(d) AS max_d FROM ud),
+        dau AS (
+            SELECT d AS day, cast(count(*) AS bigint) AS dau
+            FROM ud GROUP BY d
+        ),
+        wau AS (
+            SELECT day, cast(count(*) AS bigint) AS wau
+            FROM (SELECT DISTINCT user_id, d + cast(off AS integer) AS day
+                  FROM ud CROSS JOIN (SELECT unnest(range(7)) AS off)
+                  WHERE d + cast(off AS integer) <= (SELECT max_d FROM bounds))
+            GROUP BY day
+        ),
+        mau AS (
+            SELECT day, cast(count(*) AS bigint) AS mau
+            FROM (SELECT DISTINCT user_id, d + cast(off AS integer) AS day
+                  FROM ud CROSS JOIN (SELECT unnest(range(30)) AS off)
+                  WHERE d + cast(off AS integer) <= (SELECT max_d FROM bounds))
+            GROUP BY day
+        )
+        SELECT day, dau, wau, mau,
+               cast(dau * 1000000 // mau AS bigint) AS stickiness_ppm
+        FROM dau JOIN wau USING (day) JOIN mau USING (day)
+        ORDER BY day
+    """,
     "customer_rfm_segments": """
         WITH o AS (
             SELECT o_custkey, o_orderdate,

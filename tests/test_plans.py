@@ -916,3 +916,15 @@ def test_rfm_single_customer_shuffle_bounds_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 6
+
+
+def test_rolling_actives_contribution_explode_no_self_join(spark, sf_dir):
+    """The trailing-window distinct rewrites as contribution explode +
+    re-distinct — no per-day self-join of the corpus, no corpus
+    cartesian; the date-bound is a 1-row broadcast."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import analytics
+
+    plan = _plan(analytics.events_active_users_rolling(spark, sf_dir))
+    assert "Generate" in plan  # sequence explode
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet  (") <= 3  # dau + wau + mau passes

@@ -562,3 +562,52 @@ def test_rfm_python_recompute(spark, sf_dir):
     f_scores = [score(c[1], fb) for c in cust]
     for q in range(1, 6):
         assert f_scores.count(q) <= n  # sanity; exact balance not owed
+
+
+def test_dau_wau_mau_python_recompute(spark, sf_dir):
+    """Every row recomputes from a python replay of trailing-window
+    distinct actives; DAU <= WAU <= MAU; stickiness exact; windows at
+    the left edge cover only existing days."""
+    from collections import defaultdict
+
+    from real_time_streaming_system_with_apache_kafka_spark.operators.analytics import (
+        events_active_users_rolling,
+    )
+    from real_time_streaming_system_with_apache_kafka_spark.sources.tables import (
+        load,
+    )
+
+    rows = events_active_users_rolling(spark, sf_dir).collect()
+    by_day = defaultdict(set)
+    for r in (
+        load(spark, "events", sf_dir)
+        .selectExpr("user_id", "to_date(ts) AS d")
+        .collect()
+    ):
+        by_day[r["d"]].add(r["user_id"])
+    days = sorted(by_day)
+    assert [r["day"] for r in rows] == days
+    import datetime
+
+    for r in rows:
+        d = r["day"]
+        dau = len(by_day[d])
+        wau = len(
+            set().union(
+                *(
+                    by_day.get(d - datetime.timedelta(days=k), set())
+                    for k in range(7)
+                )
+            )
+        )
+        mau = len(
+            set().union(
+                *(
+                    by_day.get(d - datetime.timedelta(days=k), set())
+                    for k in range(30)
+                )
+            )
+        )
+        assert (r["dau"], r["wau"], r["mau"]) == (dau, wau, mau)
+        assert dau <= wau <= mau
+        assert r["stickiness_ppm"] == dau * 1000000 // mau
