@@ -154,6 +154,7 @@ HEADLINE = [
     "basket_pair_lift",
     "customer_rfm_segments",
     "events_active_users_rolling",
+    "revenue_concentration_gini",
 ]
 
 

@@ -626,6 +626,120 @@ def events_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration audit: the Lorenz table (customer deciles
+    by spend, cumulative revenue share) plus the exact Gini
+    coefficient in ppm — the "how top-heavy is this business"
+    question, and the same shape a data-curation team asks of token
+    budgets per source.
+
+    Exactness: the global spend order comes from the two-phase rank
+    (shuffle_global_order's pattern, bucketed here by percentile_disc
+    VALUE deciles instead of hash bytes — order statistics, identical
+    on both engines); Gini = (2*S1 - (n+1)*S0) / (n*S0) with
+    S1 = SUM(rank x cents) accumulated in decimal(38,0)/hugeint, so
+    the ppm value is one exact integer division. The oracle proves
+    equivalence against the naive single-sort row_number formulation.
+
+    Scale shape: one shuffle to the customer grain; the 9 decile
+    bounds, 10 bucket offsets, and the (n, S0, S1) totals are 1-row
+    or 10-row broadcasts; ranking is a 10-way-parallel within-bucket
+    window, never a single-reducer global sort."""
+    orders = load(spark, "orders", sf_dir).select(
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum("cents").alias("cents")
+    )
+    bounds = cust.agg(
+        *[
+            F.expr(
+                f"percentile_disc({p / 10}) WITHIN GROUP (ORDER BY cents)"
+            ).alias(f"b{p}")
+            for p in range(1, 10)
+        ]
+    )
+    bucket = (
+        F.lit(1)
+        + sum(
+            (F.col("cents") > F.col(f"b{p}")).cast("int")
+            for p in range(1, 10)
+        )
+    ).alias("bucket")
+    bucketed = cust.join(F.broadcast(bounds)).select(
+        "o_custkey", "cents", bucket
+    )
+    offsets = (
+        bucketed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .select(
+            "bucket",
+            F.coalesce(
+                F.sum("bn").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("offset"),
+        )
+    )
+    wb = Window.partitionBy("bucket").orderBy("cents", "o_custkey")
+    ranked = bucketed.join(F.broadcast(offsets), "bucket").select(
+        "cents",
+        (F.row_number().over(wb) + F.col("offset")).alias("rank"),
+    )
+    totals = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s0"),
+        F.sum(
+            F.col("rank") * F.col("cents").cast("decimal(38,0)")
+        ).alias("s1"),
+    )
+    deciles = (
+        ranked.join(F.broadcast(totals))
+        .select(
+            F.expr("cast((rank - 1) * 10 div n + 1 as int)").alias(
+                "decile"
+            ),
+            "cents",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+    wd = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        deciles.withColumn(
+            "cum_revenue_cents", F.sum("revenue_cents").over(wd)
+        )
+        .join(F.broadcast(totals))
+        .select(
+            "decile",
+            "n_customers",
+            "revenue_cents",
+            "cum_revenue_cents",
+            F.expr(
+                "cast(cum_revenue_cents as decimal(38,0)) * 1000000"
+                " div s0"
+            ).alias("cum_share_ppm"),
+            F.expr(
+                "(2 * s1 * 1000000 - (n + 1)"
+                " * cast(s0 as decimal(38,0)) * 1000000)"
+                " div (n * cast(s0 as decimal(38,0)))"
+            ).alias("gini_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_funnel_steps": events_funnel_steps,
@@ -633,6 +747,7 @@ QUERIES = {
     "basket_pair_lift": basket_pair_lift,
     "customer_rfm_segments": customer_rfm_segments,
     "events_active_users_rolling": events_active_users_rolling,
+    "revenue_concentration_gini": revenue_concentration_gini,
     "approx_hll_partials": approx_hll_partials,
     "agg_bitmap_distinct": agg_bitmap_distinct,
     "pivot_status_by_day": pivot_status_by_day,
@@ -644,6 +759,51 @@ QUERIES = {
 }
 
 ORACLES = {
+    "revenue_concentration_gini": """
+        WITH cust AS (
+            SELECT o_custkey,
+                   cast(sum(cast(cast(o_totalprice AS decimal(18,2))
+                                 * 100 AS bigint)) AS bigint) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            -- naive single-sort formulation: proves the two-phase
+            -- bucketed rank computes the same global order
+            SELECT cents,
+                   row_number() OVER (ORDER BY cents, o_custkey)
+                       AS rank
+            FROM cust
+        ),
+        tot AS (
+            SELECT cast(count(*) AS bigint) AS n,
+                   cast(sum(cents) AS bigint) AS s0,
+                   sum(cast(rank AS hugeint) * cents) AS s1
+            FROM ranked
+        ),
+        dec AS (
+            SELECT cast((rank - 1) * 10 // n + 1 AS int) AS decile,
+                   cast(count(*) AS bigint) AS n_customers,
+                   cast(sum(cents) AS bigint) AS revenue_cents
+            FROM ranked CROSS JOIN tot
+            GROUP BY 1
+        ),
+        cum AS (
+            SELECT *, cast(sum(revenue_cents) OVER (ORDER BY decile
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS bigint)
+                          AS cum_revenue_cents
+            FROM dec
+        )
+        SELECT decile, n_customers, revenue_cents, cum_revenue_cents,
+               cast(cast(cum_revenue_cents AS hugeint) * 1000000 // s0
+                    AS bigint) AS cum_share_ppm,
+               cast((2 * s1 * 1000000
+                     - (n + 1) * cast(s0 AS hugeint) * 1000000)
+                    // (n * cast(s0 AS hugeint)) AS bigint)
+                   AS gini_ppm
+        FROM cum CROSS JOIN tot
+        ORDER BY decile
+    """,
     "events_active_users_rolling": """
         WITH ud AS (
             SELECT DISTINCT user_id, cast(ts AS date) AS d FROM events

@@ -53,8 +53,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # search_prf_expand, tokens_context_audit, sample_kcenter_coreset,
 # sketch_hll_distinct, sketch_kmv_overlap, decontaminate_semantic,
 # sim_sq8_topk, events_funnel_steps, events_retention_cohorts,
-# basket_pair_lift, customer_rfm_segments, events_active_users_rolling)
-# — ~70 entries;
+# basket_pair_lift, customer_rfm_segments, events_active_users_rolling,
+# revenue_concentration_gini)
+# — ~71 entries;
 # prioritize the never-signed suites, spill the remainder to r6.
 _PRIORITY: list[str] = [
     # §2 sentinels — pinned every round.

@@ -928,3 +928,16 @@ def test_rolling_actives_contribution_explode_no_self_join(spark, sf_dir):
     assert "Generate" in plan  # sequence explode
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet  (") <= 3  # dau + wau + mau passes
+
+
+def test_gini_two_phase_rank_no_global_sort(spark, sf_dir):
+    """The spend ranking is the bucketed two-phase rank: within-bucket
+    windows partitioned by the value decile, never an unpartitioned
+    row_number over the whole customer table (the 10-row decile
+    cumulative window is fine — it is decile-sized, not corpus-sized)."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import analytics
+
+    plan = _plan(analytics.revenue_concentration_gini(spark, sf_dir))
+    assert "[bucket" in plan  # within-bucket rank window partitioned
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

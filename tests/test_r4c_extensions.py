@@ -611,3 +611,53 @@ def test_dau_wau_mau_python_recompute(spark, sf_dir):
         assert (r["dau"], r["wau"], r["mau"]) == (dau, wau, mau)
         assert dau <= wau <= mau
         assert r["stickiness_ppm"] == dau * 1000000 // mau
+
+
+def test_gini_python_recompute_and_laws(spark, sf_dir):
+    """Gini and the Lorenz table recompute exactly from a python
+    replay (single sort, textbook formula); deciles are balanced to
+    within one customer; cumulative share is monotone and ends at
+    1e6; gini in [0, 1e6)."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators.analytics import (
+        revenue_concentration_gini,
+    )
+    from real_time_streaming_system_with_apache_kafka_spark.sources.tables import (
+        load,
+    )
+
+    rows = revenue_concentration_gini(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    per = defaultdict(int)
+    for r in load(spark, "orders", sf_dir).selectExpr(
+        "o_custkey",
+        "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+        " as cents",
+    ).collect():
+        per[r["o_custkey"]] += r["cents"]
+    ordered = sorted(per.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(ordered)
+    s0 = sum(c for _, c in ordered)
+    s1 = sum((i + 1) * c for i, (_, c) in enumerate(ordered))
+    gini = (2 * s1 * 1000000 - (n + 1) * s0 * 1000000) // (n * s0)
+    dec = defaultdict(lambda: [0, 0])
+    for i, (_, c) in enumerate(ordered):
+        d = i * 10 // n + 1
+        dec[d][0] += 1
+        dec[d][1] += c
+    cum = 0
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    for r in rows:
+        d = r["decile"]
+        cum += dec[d][1]
+        assert r["n_customers"] == dec[d][0]
+        assert r["revenue_cents"] == dec[d][1]
+        assert r["cum_revenue_cents"] == cum
+        assert r["cum_share_ppm"] == cum * 1000000 // s0
+        assert r["gini_ppm"] == gini
+    assert 0 <= gini < 1000000
+    sizes = [r["n_customers"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert rows[-1]["cum_share_ppm"] == 1000000
+    shares = [r["cum_share_ppm"] for r in rows]
+    assert shares == sorted(shares)
