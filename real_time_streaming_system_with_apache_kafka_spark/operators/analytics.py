@@ -651,8 +651,14 @@ def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
-    cust = orders.groupBy("o_custkey").agg(
-        F.sum("cents").alias("cents")
+    # The customer aggregate feeds four consumers (bounds, bucketing,
+    # totals, deciles); materialize it once — the standard move for a
+    # multi-consumer DAG — so the orders corpus is scanned exactly
+    # once instead of per consumer.
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+        .localCheckpoint()
     )
     bounds = cust.agg(
         *[
