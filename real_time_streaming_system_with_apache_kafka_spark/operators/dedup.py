@@ -1116,6 +1116,204 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_N = 5  # word n-gram size for the cross-doc substring audit
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact-substring duplication audit (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better" shape,
+    approximated at n-gram granularity): for every document, the
+    longest contiguous run of word {SPAN_N}-grams that ALSO appear in
+    some OTHER document, plus the duplicated-gram share in exact ppm.
+    This is the cross-document twin of decontaminate_span_lengths
+    (which audits against a fixed holdout): a doc sharing one stray
+    gram is noise; a doc whose 40-word span recurs elsewhere is a
+    substring-level duplicate the document-level digests miss.
+
+    Scale shape: one positional shingle pass (posexplode keeps gram
+    indexes); grams collapse to md5 keys so BOTH shuffles — the
+    distinct-doc frequency count and the tag-back join — move 32-byte
+    hashes, never text. Unlike the holdout case the frequency table is
+    corpus-sized, so the tag-back is a shuffle hash join on the gram
+    key (no broadcast) — exactly the suffix-array-free formulation
+    that scales: everything is keyed by gram hash, so a 1000-executor
+    run partitions evenly regardless of document sizes. The island
+    window shuffles only the duplicated slice.
+
+    Reference parity: extends the dedup family (BASELINE.json
+    north-star); no single reference op computes this — it is the
+    training-pipeline gap-fill the brief's dedup list names."""
+    docs = load(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(regex_word_ngrams(F.col("text"), SPAN_N)).alias(
+            "idx", "gram"
+        ),
+    ).select("doc_id", "idx", F.md5("gram").alias("g"))
+    dup_grams = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+        .withColumn("hit", F.lit(1))
+    )
+    tagged = grams.join(dup_grams, "g", "left")
+    per_doc = tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("hit").alias("n_dup_grams"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    runs = (
+        tagged.filter(F.col("hit").isNotNull())
+        .withColumn("grp", F.col("idx") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.max("run_len").alias("max_dup_run_grams"))
+    )
+    return (
+        per_doc.join(runs, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            "max_dup_run_grams",
+            (F.col("max_dup_run_grams") + SPAN_N - 1).alias(
+                "max_dup_span_words"
+            ),
+            F.expr("n_dup_grams * 1000000 div n_grams").alias(
+                "dup_gram_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ER_ADJ = "red,blue,small,large,old,new,hot,cold"
+ER_NOUN = "bolt,gear,ring,widget,gizmo,panel,valve,clamp"
+ER_CITY_MOD = 50  # blocking-key cardinality (the deployment knob)
+ER_LEV_MATCH = 1  # match threshold on edit distance
+
+
+def er_blocked_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record-linkage (entity resolution) quality audit — the
+    structured-data cousin of fuzzy document dedup: pairs of records
+    describing the same entity are found by comparing edit distance
+    WITHIN equality blocks, never all-pairs. Each customer entity
+    contributes two records: a clean one and a deterministically
+    dirtied one (one dropped character; every 5th entity drops TWO —
+    beyond the match threshold, so match recall is genuinely < 1; every
+    9th entity also mis-captures the blocking attribute, so blocking
+    recall is < 1 too). The single summary row reports the exact
+    integer counts and ppm precision / blocking-recall / match-recall
+    — the calibration numbers an ER deployment tunes its block key and
+    threshold against (same audit shape as dedup_lsh_calibration).
+
+    Scale shape: record synthesis is per-row codegen; candidate
+    generation is ONE equality self-join on the block key (shuffle on
+    city, never all-pairs) and levenshtein runs only inside blocks.
+    Block-key cardinality (ER_CITY_MOD) is the knob that keeps block
+    size bounded as data grows — at 100 TB you block on zip+name-prefix
+    so per-block pair counts stay constant; the plan shape (equality
+    join + one agg) is unchanged. True-pair accounting needs only a
+    per-entity groupBy.
+
+    Reference parity: gap-fill; the reference dedups trades by exact
+    trade_id only (consumer.py:44-53) — this is the fuzzy-key
+    generalization a warehouse needs."""
+    cust = load(spark, "customer", sf_dir).select("c_custkey")
+    base = F.expr("c_custkey div 2")
+    variant = F.col("c_custkey") % 2
+    adj = F.expr(f"split('{ER_ADJ}', ',')[cast(c_custkey div 2 as int) % 8]")
+    noun = F.expr(
+        f"split('{ER_NOUN}', ',')[cast(c_custkey div 2 div 8 as int) % 8]"
+    )
+    clean = F.concat_ws(" ", adj, noun, base.cast("string"))
+    recs = cust.select(
+        F.col("c_custkey").alias("rec_id"),
+        base.alias("entity"),
+        variant.alias("variant"),
+        clean.alias("name0"),
+    )
+    drop1 = F.concat(
+        F.expr("substring(name0, 1, cast(entity % 10 as int))"),
+        F.expr("substring(name0, cast(entity % 10 as int) + 2)"),
+    )
+    drop2 = F.concat(
+        F.expr("substring(d1, 1, cast(entity % 7 as int))"),
+        F.expr("substring(d1, cast(entity % 7 as int) + 2)"),
+    )
+    recs = (
+        recs.withColumn(
+            "d1",
+            F.when(F.col("variant") == 1, drop1).otherwise(F.col("name0")),
+        )
+        .withColumn(
+            "name",
+            F.when(
+                (F.col("variant") == 1) & (F.col("entity") % 5 == 0), drop2
+            ).otherwise(F.col("d1")),
+        )
+        .withColumn(
+            "city",
+            F.when(
+                (F.col("variant") == 1) & (F.col("entity") % 9 == 0),
+                (F.col("entity") + 1) % ER_CITY_MOD,
+            ).otherwise(F.col("entity") % ER_CITY_MOD),
+        )
+        .select("rec_id", "entity", "name", "city")
+    )
+    a = recs.alias("a")
+    b = recs.alias("b")
+    cand = (
+        a.join(b, (F.col("a.city") == F.col("b.city")))
+        .filter(F.col("a.rec_id") < F.col("b.rec_id"))
+        .select(
+            (F.col("a.entity") == F.col("b.entity")).alias("is_true"),
+            (
+                F.levenshtein(F.col("a.name"), F.col("b.name"))
+                <= ER_LEV_MATCH
+            ).alias("is_match"),
+        )
+    )
+    cand_stats = cand.agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.count_if(F.col("is_match")).alias("n_matched"),
+        F.count_if(F.col("is_true")).alias("n_true_coblocked"),
+        F.count_if(F.col("is_true") & F.col("is_match")).alias(
+            "n_true_matched"
+        ),
+    )
+    truth = (
+        recs.groupBy("entity")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(
+            F.sum(F.expr("k * (k - 1) div 2")).alias("n_true_pairs"),
+            F.count(F.lit(1)).alias("n_entities"),
+            F.sum("k").alias("n_records"),
+        )
+    )
+    return F.broadcast(truth).crossJoin(cand_stats).select(
+        "n_entities",
+        "n_records",
+        "n_true_pairs",
+        "n_candidate_pairs",
+        "n_matched",
+        "n_true_matched",
+        F.expr(
+            "n_true_coblocked * 1000000 div greatest(n_true_pairs, 1)"
+        ).alias("blocking_recall_ppm"),
+        F.expr(
+            "n_true_matched * 1000000 div greatest(n_true_pairs, 1)"
+        ).alias("match_recall_ppm"),
+        F.expr(
+            "n_true_matched * 1000000 div greatest(n_matched, 1)"
+        ).alias("precision_ppm"),
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_soft_weights": dedup_soft_weights,
@@ -1135,6 +1333,8 @@ QUERIES = {
     "dedup_lines_c4": dedup_lines_c4,
     "url_canonical_dedup": url_canonical_dedup,
     "dedup_semdedup": dedup_semdedup,
+    "dedup_substring_spans": dedup_substring_spans,
+    "er_blocked_matching": er_blocked_matching,
 }
 
 _ORACLE_SIG = f"""
@@ -1475,5 +1675,127 @@ ORACLES = {
         )
         SELECT e.label, e.vec_id, d.vec_id IS NULL AS keep
         FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+    """,
+    "dedup_substring_spans": f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words
+            FROM documents
+        ),
+        x AS (
+            SELECT doc_id, words,
+                   CASE WHEN len(words) < {SPAN_N} THEN 1
+                        ELSE len(words) - {SPAN_N - 1} END AS ng
+            FROM w
+        ),
+        ch AS (
+            SELECT doc_id, words, unnest(range(ng)) AS j
+            FROM x
+        ),
+        t AS (
+            SELECT doc_id, cast(j AS int) AS idx,
+                   md5(CASE WHEN len(words) < {SPAN_N}
+                            THEN array_to_string(words, ' ')
+                            ELSE array_to_string(
+                                words[j + 1:j + {SPAN_N}], ' ')
+                       END) AS g
+            FROM ch
+        ),
+        dup AS (
+            SELECT g FROM t GROUP BY g
+            HAVING count(DISTINCT doc_id) >= 2
+        ),
+        tagged AS (
+            SELECT t.doc_id, t.idx, d.g IS NOT NULL AS hit
+            FROM t LEFT JOIN dup d USING (g)
+        ),
+        per_doc AS (
+            SELECT doc_id, cast(count(*) AS bigint) AS n_grams,
+                   cast(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS bigint)
+                       AS n_dup_grams
+            FROM tagged GROUP BY doc_id
+        ),
+        runs AS (
+            SELECT doc_id, max(run_len) AS max_dup_run_grams FROM (
+                SELECT doc_id, grp, cast(count(*) AS bigint) AS run_len
+                FROM (SELECT doc_id, idx,
+                             idx - row_number() OVER (
+                                 PARTITION BY doc_id ORDER BY idx) AS grp
+                      FROM tagged WHERE hit)
+                GROUP BY doc_id, grp)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_grams, n_dup_grams, max_dup_run_grams,
+               max_dup_run_grams + {SPAN_N - 1} AS max_dup_span_words,
+               n_dup_grams * 1000000 // n_grams AS dup_gram_ppm
+        FROM per_doc JOIN runs USING (doc_id)
+        ORDER BY doc_id
+    """,
+    "er_blocked_matching": f"""
+        WITH recs0 AS (
+            SELECT c_custkey AS rec_id,
+                   c_custkey // 2 AS entity,
+                   c_custkey % 2 AS variant
+            FROM customer
+        ),
+        named AS (
+            SELECT rec_id, entity, variant,
+                   concat_ws(' ',
+                       (string_split('{ER_ADJ}', ','))
+                           [cast(entity % 8 AS int) + 1],
+                       (string_split('{ER_NOUN}', ','))
+                           [cast((entity // 8) % 8 AS int) + 1],
+                       cast(entity AS varchar)) AS name0
+            FROM recs0
+        ),
+        d1t AS (
+            SELECT rec_id, entity, variant,
+                   CASE WHEN variant = 1 THEN
+                       substring(name0, 1, cast(entity % 10 AS int)) ||
+                       substring(name0, cast(entity % 10 AS int) + 2)
+                   ELSE name0 END AS d1
+            FROM named
+        ),
+        recs AS (
+            SELECT rec_id, entity,
+                   CASE WHEN variant = 1 AND entity % 5 = 0 THEN
+                       substring(d1, 1, cast(entity % 7 AS int)) ||
+                       substring(d1, cast(entity % 7 AS int) + 2)
+                   ELSE d1 END AS name,
+                   CASE WHEN variant = 1 AND entity % 9 = 0
+                        THEN (entity + 1) % {ER_CITY_MOD}
+                        ELSE entity % {ER_CITY_MOD} END AS city
+            FROM d1t
+        ),
+        cand AS (
+            SELECT a.entity = b.entity AS is_true,
+                   levenshtein(a.name, b.name) <= {ER_LEV_MATCH} AS is_match
+            FROM recs a JOIN recs b
+              ON a.city = b.city AND a.rec_id < b.rec_id
+        ),
+        cs AS (
+            SELECT cast(count(*) AS bigint) AS n_candidate_pairs,
+                   cast(sum(CASE WHEN is_match THEN 1 ELSE 0 END)
+                        AS bigint) AS n_matched,
+                   cast(sum(CASE WHEN is_true THEN 1 ELSE 0 END)
+                        AS bigint) AS n_true_coblocked,
+                   cast(sum(CASE WHEN is_true AND is_match THEN 1 ELSE 0 END)
+                        AS bigint) AS n_true_matched
+            FROM cand
+        ),
+        truth AS (
+            SELECT cast(count(*) AS bigint) AS n_entities,
+                   cast(sum(k) AS bigint) AS n_records,
+                   cast(sum(k * (k - 1) // 2) AS bigint) AS n_true_pairs
+            FROM (SELECT entity, count(*) AS k FROM recs GROUP BY entity)
+        )
+        SELECT n_entities, n_records, n_true_pairs, n_candidate_pairs,
+               n_matched, n_true_matched,
+               cast(n_true_coblocked * 1000000 // greatest(n_true_pairs, 1)
+                    AS bigint) AS blocking_recall_ppm,
+               cast(n_true_matched * 1000000 // greatest(n_true_pairs, 1)
+                    AS bigint) AS match_recall_ppm,
+               cast(n_true_matched * 1000000 // greatest(n_matched, 1)
+                    AS bigint) AS precision_ppm
+        FROM truth, cs
     """,
 }

@@ -54,8 +54,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # sketch_hll_distinct, sketch_kmv_overlap, decontaminate_semantic,
 # sim_sq8_topk, events_funnel_steps, events_retention_cohorts,
 # basket_pair_lift, customer_rfm_segments, events_active_users_rolling,
-# revenue_concentration_gini)
-# — ~71 entries;
+# revenue_concentration_gini, dedup_substring_spans,
+# er_blocked_matching)
+# — ~73 entries;
 # prioritize the never-signed suites, spill the remainder to r6.
 _PRIORITY: list[str] = [
     # §2 sentinels — pinned every round.
