@@ -443,6 +443,126 @@ def reconcile_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group location/scale: median and MAD (median absolute
+    deviation) of extended price in exact integer cents, plus the count
+    of rows beyond 2 MADs — the outlier-capping statistics a feature
+    pipeline computes before winsorizing, immune to the heavy tails
+    that wreck mean/stddev (agg_stats_moments is the classical twin).
+
+    Exactness: prices quantize to cents through decimal(18,2) (both
+    engines round identically), medians are ORDER-STATISTIC
+    (percentile_disc nearest-rank — actual data values, no
+    interpolated floats), and the outlier test |x-med| > 2*MAD is pure
+    integer comparison. Every output column is int/bigint.
+
+    Scale shape: three scans of the fact (group medians, deviation
+    medians, outlier counts), each a groupBy on the 3-value flag key
+    with the tiny per-group model broadcast back — no row-level
+    shuffle beyond the group agg. Exact medians need the group's
+    sorted values; at 100 TB the sketch path (approx_percentile) takes
+    over and this is its validation twin, same contract as
+    agg_quartiles_exact."""
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)"
+            " as bigint)"
+        ).alias("med_cents"),
+    )
+    dev = li.join(F.broadcast(med.select("l_returnflag", "med_cents")),
+                  "l_returnflag").select(
+        "l_returnflag",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.expr(
+            "cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)"
+            " as bigint)"
+        ).alias("mad_cents")
+    )
+    out = (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("adev") > 2 * F.col("mad_cents")).alias(
+                "n_outliers"
+            )
+        )
+    )
+    return (
+        med.join(mad, "l_returnflag")
+        .join(out, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            "med_cents",
+            "mad_cents",
+            "n_outliers",
+            F.expr("n_outliers * 1000000 div n").alias("outlier_ppm"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): the parts for which no other part
+    is both cheaper-or-equal AND larger-or-equal (strictly better on at
+    least one axis) — the classic "best price/size trade-off" query
+    relational engines lack as a primitive.
+
+    Spark-first formulation: NOT the quadratic NOT-EXISTS self-join.
+    Sort once by price (cents); a part is dominated iff the max size at
+    strictly-cheaper prices >= its size (RANGE frame ending 1 cent
+    before the current price) OR the max size at EQUAL price > its size
+    (tie frame). Both frames ride ONE window sort — O(n log n), and the
+    range-partitioned global sort distributes (the same two-phase rank
+    machinery shuffle_global_order uses would drop in for the
+    single-reducer window at extreme scale; at part-table cardinality
+    the plain window is the right plan).
+
+    wf_range_frame pinned cross-engine RANGE-frame semantics; outputs
+    are the frontier rows ordered by price, all int/string columns."""
+    part = load(spark, "part", sf_dir).select(
+        "p_partkey",
+        "p_name",
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        "p_size",
+    )
+    w_cheaper = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_ties = Window.partitionBy("price_cents")
+    flagged = part.select(
+        "p_partkey",
+        "p_name",
+        "price_cents",
+        "p_size",
+        F.max("p_size").over(w_cheaper).alias("best_cheaper"),
+        F.max("p_size").over(w_ties).alias("best_tie"),
+    )
+    return (
+        flagged.filter(
+            (
+                F.col("best_cheaper").isNull()
+                | (F.col("best_cheaper") < F.col("p_size"))
+            )
+            & (F.col("best_tie") <= F.col("p_size"))
+        )
+        .select("p_partkey", "p_name", "price_cents", "p_size")
+        .orderBy("price_cents", "p_partkey")
+    )
+
+
 QUERIES = {
     "reconcile_checksum": reconcile_checksum,
     "feature_quantile_bucketize": feature_quantile_bucketize,
@@ -457,9 +577,68 @@ QUERIES = {
     "f_regexp_funcs": f_regexp_funcs,
     "agg_collections": agg_collections,
     "sql_api_snapshot": sql_api_snapshot,
+    "stats_robust_mad": stats_robust_mad,
+    "skyline_pareto_parts": skyline_pareto_parts,
 }
 
 ORACLES = {
+    "stats_robust_mad": """
+        WITH li AS (
+            SELECT l_returnflag,
+                   cast(cast(l_extendedprice AS decimal(18,2)) * 100
+                        AS bigint) AS cents
+            FROM lineitem
+        ),
+        med AS (
+            SELECT l_returnflag, cast(count(*) AS bigint) AS n,
+                   quantile_disc(cents, 0.5) AS med_cents
+            FROM li GROUP BY l_returnflag
+        ),
+        dev AS (
+            SELECT li.l_returnflag, abs(cents - med_cents) AS adev
+            FROM li JOIN med USING (l_returnflag)
+        ),
+        mad AS (
+            SELECT l_returnflag, quantile_disc(adev, 0.5) AS mad_cents
+            FROM dev GROUP BY l_returnflag
+        ),
+        outl AS (
+            SELECT dev.l_returnflag,
+                   cast(sum(CASE WHEN adev > 2 * mad_cents
+                                 THEN 1 ELSE 0 END) AS bigint) AS n_outliers
+            FROM dev JOIN mad USING (l_returnflag)
+            GROUP BY dev.l_returnflag
+        )
+        SELECT l_returnflag, n, med_cents, mad_cents, n_outliers,
+               cast(n_outliers * 1000000 // n AS bigint) AS outlier_ppm
+        FROM med
+        JOIN mad USING (l_returnflag)
+        JOIN outl USING (l_returnflag)
+        ORDER BY l_returnflag
+    """,
+    "skyline_pareto_parts": """
+        WITH p AS (
+            SELECT p_partkey, p_name,
+                   cast(cast(p_retailprice AS decimal(18,2)) * 100
+                        AS bigint) AS price_cents,
+                   p_size
+            FROM part
+        ),
+        f AS (
+            SELECT p_partkey, p_name, price_cents, p_size,
+                   max(p_size) OVER (
+                       ORDER BY price_cents
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS best_cheaper,
+                   max(p_size) OVER (PARTITION BY price_cents) AS best_tie
+            FROM p
+        )
+        SELECT p_partkey, p_name, price_cents, p_size
+        FROM f
+        WHERE (best_cheaper IS NULL OR best_cheaper < p_size)
+          AND best_tie <= p_size
+        ORDER BY price_cents, p_partkey
+    """,
     "feature_quantile_bucketize": """
         WITH b AS (
             SELECT quantile_cont(l_quantity, 0.25) AS q25,

@@ -166,3 +166,69 @@ def test_substring_spans_shuffles_hashes_not_text(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "md5" in plan
+
+
+def test_skyline_matches_bruteforce(spark, sf_dir):
+    """The windowed skyline must equal the O(n^2) domination
+    definition recomputed in python over the collected part table."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import extras
+
+    parts = [
+        (r["p_partkey"], int(round(r["p_retailprice"] * 100)), r["p_size"])
+        for r in load(spark, "part", sf_dir)
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+    frontier = set()
+    for k, pc, sz in parts:
+        dominated = any(
+            qc <= pc and qs >= sz and (qc < pc or qs > sz)
+            for _, qc, qs in parts
+        )
+        if not dominated:
+            frontier.add(k)
+    rows = extras.skyline_pareto_parts(spark, sf_dir).collect()
+    assert {r["p_partkey"] for r in rows} == frontier
+    # Frontier is an antichain: prices strictly increase, sizes strictly
+    # increase along the returned order (up to equal-point duplicates).
+    for a, b in zip(rows, rows[1:]):
+        if a["price_cents"] == b["price_cents"]:
+            assert a["p_size"] == b["p_size"]
+        else:
+            assert a["price_cents"] < b["price_cents"]
+            assert a["p_size"] < b["p_size"]
+
+
+def test_robust_mad_python_recompute(spark, sf_smoke):
+    """Nearest-rank medians, MAD, and the 2-MAD outlier count recomputed
+    in python (percentile_disc = smallest value whose cume_dist >= q)."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import extras
+
+    by_flag: dict[str, list[int]] = {}
+    for r in (
+        load(spark, "lineitem", sf_smoke)
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    ):
+        cents = int(round(r["l_extendedprice"] * 100))
+        by_flag.setdefault(r["l_returnflag"], []).append(cents)
+
+    def disc_median(vals: list[int]) -> int:
+        s = sorted(vals)
+        import math
+
+        return s[math.ceil(0.5 * len(s)) - 1]
+
+    rows = extras.stats_robust_mad(spark, sf_smoke).collect()
+    assert [r["l_returnflag"] for r in rows] == sorted(by_flag)
+    for r in rows:
+        vals = by_flag[r["l_returnflag"]]
+        med = disc_median(vals)
+        adev = [abs(v - med) for v in vals]
+        mad = disc_median(adev)
+        n_out = sum(1 for d in adev if d > 2 * mad)
+        assert r["n"] == len(vals)
+        assert r["med_cents"] == med
+        assert r["mad_cents"] == mad
+        assert r["n_outliers"] == n_out
+        assert r["outlier_ppm"] == n_out * 1000000 // len(vals)
