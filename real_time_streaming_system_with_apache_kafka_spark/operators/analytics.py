@@ -746,6 +746,120 @@ def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AB_TAG = "exp_checkout_v1"  # experiment salt: re-rolls assignment
+
+
+def experiment_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users are deterministically assigned to
+    control/treatment by salted md5 (the industry-standard hash-based
+    bucketing — stable under re-runs, new users never reshuffle
+    existing assignments, salt re-rolls the experiment), then each
+    arm's revenue-per-user is compared to the pooled rate. Per-arm row:
+    users, purchase events, exact revenue cents, ARPU (floor cents),
+    and the arm-ARPU : pooled-ARPU ratio in ppm (1e6 = no effect; the
+    ratio form keeps every operand non-negative — signed integer
+    division truncates in Spark but floors in DuckDB) — integer end to
+    end in decimal(38,0)/hugeint, so the readout is engine-exact and
+    overflow-proof at any scale (significance lives in
+    mix_drift_chi2's chi-square machinery).
+
+    Scale shape: assignment is a per-row hash (no join against an
+    assignment table — THE property that makes experimentation free at
+    100 TB); one user-grain agg, one arm-grain agg, pooled totals via
+    1-row broadcast. Revenue sums in decimal-exact cents.
+
+    Reference parity: gap-fill; the reference dashboard has per-symbol
+    aggregates (dashboard.py:236-303) but no cohorted comparison."""
+    ev = load(spark, "events", sf_dir).select(
+        "user_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+    h6 = F.substring(
+        F.md5(F.concat_ws("#", F.lit(AB_TAG), F.col("user_id"))), 1, 6
+    )
+    arm = F.when(
+        F.pmod(F.conv(h6, 16, 10).cast("bigint"), F.lit(2)) == 0, "control"
+    ).otherwise("treatment")
+    per_user = (
+        ev.withColumn("arm", arm)
+        .groupBy("arm", "user_id")
+        .agg(
+            F.count_if(F.col("event_type") == "purchase").alias("n_purch"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value_cents")
+                ).otherwise(F.lit(0))
+            ).alias("rev_cents"),
+        )
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_purch").alias("n_purchases"),
+        F.sum("rev_cents").alias("revenue_cents"),
+    )
+    pooled = arms.agg(
+        F.sum("n_users").alias("t_users"),
+        F.sum("revenue_cents").alias("t_rev"),
+    )
+    return (
+        arms.crossJoin(F.broadcast(pooled))
+        .select(
+            "arm",
+            "n_users",
+            "n_purchases",
+            "revenue_cents",
+            F.expr("revenue_cents div n_users").alias("arpu_cents"),
+            F.expr(
+                "cast(cast(revenue_cents AS decimal(38,0)) * t_users"
+                " * 1000000 div (cast(t_rev AS decimal(38,0)) * n_users)"
+                " AS bigint)"
+            ).alias("arpu_ratio_ppm"),
+        )
+        .orderBy("arm")
+    )
+
+
+def path_topk_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 opening user journeys: each user's first 5 events (by
+    event time, event_id tiebreak) joined into a path string, counted
+    across users — the product-analytics "common paths" query that
+    feeds funnel design (events_funnel_steps checks ONE hypothesized
+    order; this discovers the orders that actually happen).
+
+    Scale shape: ONE shuffle on user_id for the row_number window
+    (WindowGroupLimit prunes to 5 rows per user map-side before the
+    exchange), the per-user path build is an in-group array sort of
+    ≤5 structs (no second shuffle — the groupBy rides the window's
+    partitioning), the path census shuffles path-grain rows, and the
+    top-25 is TakeOrderedAndProject. Ordering (n desc, path) is
+    total, so the limit is deterministic."""
+    ev = load(spark, "events", sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first5 = ev.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 5
+    )
+    paths = first5.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rn"), F.col("event_type")))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(25)
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_funnel_steps": events_funnel_steps,
@@ -754,6 +868,8 @@ QUERIES = {
     "customer_rfm_segments": customer_rfm_segments,
     "events_active_users_rolling": events_active_users_rolling,
     "revenue_concentration_gini": revenue_concentration_gini,
+    "experiment_ab_lift": experiment_ab_lift,
+    "path_topk_journeys": path_topk_journeys,
     "approx_hll_partials": approx_hll_partials,
     "agg_bitmap_distinct": agg_bitmap_distinct,
     "pivot_status_by_day": pivot_status_by_day,
@@ -765,6 +881,60 @@ QUERIES = {
 }
 
 ORACLES = {
+    "experiment_ab_lift": f"""
+        WITH ev AS (
+            SELECT user_id, event_type,
+                   cast(cast(value AS decimal(18,2)) * 100 AS bigint)
+                       AS value_cents,
+                   CASE WHEN cast(concat('0x', substr(md5('{AB_TAG}' || '#'
+                            || cast(user_id AS varchar)), 1, 6)) AS bigint)
+                            % 2 = 0
+                        THEN 'control' ELSE 'treatment' END AS arm
+            FROM events
+        ),
+        per_user AS (
+            SELECT arm, user_id,
+                   cast(sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS bigint) AS n_purch,
+                   cast(sum(CASE WHEN event_type = 'purchase'
+                                 THEN value_cents ELSE 0 END) AS bigint)
+                       AS rev_cents
+            FROM ev GROUP BY arm, user_id
+        ),
+        arms AS (
+            SELECT arm, cast(count(*) AS bigint) AS n_users,
+                   cast(sum(n_purch) AS bigint) AS n_purchases,
+                   cast(sum(rev_cents) AS bigint) AS revenue_cents
+            FROM per_user GROUP BY arm
+        ),
+        pooled AS (
+            SELECT sum(n_users) AS t_users, sum(revenue_cents) AS t_rev
+            FROM arms
+        )
+        SELECT arm, n_users, n_purchases, revenue_cents,
+               revenue_cents // n_users AS arpu_cents,
+               cast(cast(revenue_cents AS hugeint) * t_users * 1000000
+                    // (cast(t_rev AS hugeint) * n_users) AS bigint)
+                   AS arpu_ratio_ppm
+        FROM arms, pooled
+        ORDER BY arm
+    """,
+    "path_topk_journeys": """
+        WITH ranked AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        paths AS (
+            SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM ranked WHERE rn <= 5 GROUP BY user_id
+        )
+        SELECT path, cast(count(*) AS bigint) AS n_users
+        FROM paths GROUP BY path
+        ORDER BY n_users DESC, path
+        LIMIT 25
+    """,
     "revenue_concentration_gini": """
         WITH cust AS (
             SELECT o_custkey,

@@ -415,6 +415,62 @@ def embed_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card column profiler: one row per column of ``orders``
+    with row/non-null/distinct counts and canonical-string min/max —
+    the table summary a curation team publishes alongside a data drop
+    (and diffs between drops to catch schema/semantic drift).
+
+    Exactness: min/max are computed on the NATIVE type and only then
+    canonicalized (timestamps to yyyy-MM-dd, money through exact
+    decimal cents, integers via plain string cast) so both engines
+    render identical strings; counts are exact.
+
+    Scale shape: ONE scan — all per-column aggregates ride a single
+    aggregation (the multi-count_distinct Expand multiplies rows by
+    the profiled-column count map-side, the standard cost of a
+    one-pass profile; swap approx_count_distinct into the same slot
+    when 6x-expand matters at 100 TB), then the per-column rows are
+    unpivoted from the single 1-row aggregate with stack — metadata-
+    sized, no second touch of the fact."""
+    o = load(spark, "orders", sf_dir)
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    day = "yyyy-MM-dd"
+    specs = [
+        ("o_orderkey", F.col("o_orderkey"), lambda c: c.cast("string")),
+        ("o_custkey", F.col("o_custkey"), lambda c: c.cast("string")),
+        ("o_orderstatus", F.col("o_orderstatus"), lambda c: c),
+        ("o_orderpriority", F.col("o_orderpriority"), lambda c: c),
+        ("o_orderdate", F.col("o_orderdate"), lambda c: F.date_format(c, day)),
+        ("o_totalprice_cents", cents, lambda c: c.cast("string")),
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, col, canon in specs:
+        aggs += [
+            F.count(col).alias(f"nn_{name}"),
+            F.count_distinct(col).alias(f"nd_{name}"),
+            canon(F.min(col)).alias(f"mn_{name}"),
+            canon(F.max(col)).alias(f"mx_{name}"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', nn_{name}, nd_{name}, mn_{name}, mx_{name}"
+        for name, _, _ in specs
+    )
+    return one.select(
+        F.col("n_rows"),
+        F.expr(
+            f"stack({len(specs)}, {stack_args}) AS "
+            "(col_name, n_nonnull, n_distinct, min_value, max_value)"
+        ),
+    ).select(
+        "col_name", "n_rows", "n_nonnull", "n_distinct",
+        "min_value", "max_value",
+    ).orderBy("col_name")
+
+
 def profile_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length profile: 20 equal-width buckets of n_chars between
     the corpus min and max. Bucket index is integer floor-division of
@@ -1283,6 +1339,7 @@ QUERIES = {
     "embed_centroid_stats": embed_centroid_stats,
     "embed_outlier_scores": embed_outlier_scores,
     "profile_length_histogram": profile_length_histogram,
+    "profile_table_stats": profile_table_stats,
     "text_inverted_index": text_inverted_index,
     "text_rarity_score": text_rarity_score,
     "profile_dup_rate_by_source": profile_dup_rate_by_source,
@@ -1692,6 +1749,51 @@ ORACLES = {
         FROM ranked
         WHERE rk <= {OUTLIER_TOPK}
         ORDER BY label, rk
+    """,
+    "profile_table_stats": """
+        SELECT 'o_custkey' AS col_name, cast(count(*) AS bigint) AS n_rows,
+               cast(count(o_custkey) AS bigint) AS n_nonnull,
+               cast(count(DISTINCT o_custkey) AS bigint) AS n_distinct,
+               cast(min(o_custkey) AS varchar) AS min_value,
+               cast(max(o_custkey) AS varchar) AS max_value
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', cast(count(*) AS bigint),
+               cast(count(o_orderdate) AS bigint),
+               cast(count(DISTINCT o_orderdate) AS bigint),
+               strftime(min(o_orderdate), '%Y-%m-%d'),
+               strftime(max(o_orderdate), '%Y-%m-%d')
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderkey', cast(count(*) AS bigint),
+               cast(count(o_orderkey) AS bigint),
+               cast(count(DISTINCT o_orderkey) AS bigint),
+               cast(min(o_orderkey) AS varchar),
+               cast(max(o_orderkey) AS varchar)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', cast(count(*) AS bigint),
+               cast(count(o_orderpriority) AS bigint),
+               cast(count(DISTINCT o_orderpriority) AS bigint),
+               min(o_orderpriority), max(o_orderpriority)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', cast(count(*) AS bigint),
+               cast(count(o_orderstatus) AS bigint),
+               cast(count(DISTINCT o_orderstatus) AS bigint),
+               min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice_cents', cast(count(*) AS bigint),
+               cast(count(o_totalprice) AS bigint),
+               cast(count(DISTINCT cast(cast(o_totalprice AS decimal(18,2))
+                                        * 100 AS bigint)) AS bigint),
+               cast(min(cast(cast(o_totalprice AS decimal(18,2)) * 100
+                             AS bigint)) AS varchar),
+               cast(max(cast(cast(o_totalprice AS decimal(18,2)) * 100
+                             AS bigint)) AS varchar)
+        FROM orders
+        ORDER BY col_name
     """,
     "profile_length_histogram": f"""
         WITH b AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx

@@ -460,6 +460,71 @@ def mix_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VIEW_CUTOFF = "1998-01-01"  # base/delta split for the incremental view
+
+
+def view_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-customer
+    order summary is kept as MERGEABLE partial aggregates — the
+    historical base (orders before VIEW_CUTOFF) and the new delta
+    batch are aggregated SEPARATELY and then merged with the aggregate
+    merge functions (sum of counts, sum of sums, min of mins, max of
+    maxs; avg derived from merged sums) — the exact contract every
+    incremental pipeline (streaming state stores, Delta/iceberg MERGE,
+    cube refresh) relies on. The DuckDB oracle is the FULL recompute
+    over all orders, so the parity check IS the algebraic statement
+    merge(partial(base), partial(delta)) == full — run fresh every
+    round, not assumed. (Distinct counts are deliberately absent: they
+    don't merge; sketch_hll_distinct's register-max is their mergeable
+    form.)
+
+    Scale shape: the base partials are aggregate-sized (one row per
+    customer), so refresh cost is one scan of the DELTA plus a shuffle
+    of partials — never a rescan of history; exactly how the streaming
+    upsert sink (streaming/sinks.py) maintains its keyed state, here
+    in certifiable batch form. Money is summed in exact integer cents.
+
+    Reference parity: consumer.py:69-105 upserts per-trade rows; this
+    is the aggregate-level upsert the dashboard's rollups would need
+    at scale."""
+    orders = load(spark, "orders", sf_dir).select(
+        "o_custkey",
+        "o_orderdate",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < VIEW_CUTOFF))
+    delta = partial(orders.filter(F.col("o_orderdate") >= VIEW_CUTOFF))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+    )
+    return merged.select(
+        "o_custkey",
+        "n_orders",
+        "sum_cents",
+        "min_cents",
+        "max_cents",
+        F.expr("sum_cents div n_orders").alias("avg_cents_floor"),
+    ).orderBy("o_custkey")
+
+
 QUERIES = {
     "mix_epoch_repeats": mix_epoch_repeats,
     "mix_drift_chi2": mix_drift_chi2,
@@ -469,6 +534,7 @@ QUERIES = {
     "sample_token_budget": sample_token_budget,
     "mix_domain_weights": mix_domain_weights,
     "mix_anneal_schedule": mix_anneal_schedule,
+    "view_incremental_merge": view_incremental_merge,
 }
 
 def _anneal_oracle() -> str:
@@ -511,6 +577,24 @@ def _anneal_oracle() -> str:
 
 
 ORACLES = {
+    # Full recompute — parity with the engine's base+delta partial
+    # merge IS the incremental-maintenance correctness statement.
+    "view_incremental_merge": """
+        SELECT o_custkey,
+               cast(count(*) AS bigint) AS n_orders,
+               cast(sum(cast(cast(o_totalprice AS decimal(18,2)) * 100
+                             AS bigint)) AS bigint) AS sum_cents,
+               min(cast(cast(o_totalprice AS decimal(18,2)) * 100
+                        AS bigint)) AS min_cents,
+               max(cast(cast(o_totalprice AS decimal(18,2)) * 100
+                        AS bigint)) AS max_cents,
+               cast(sum(cast(cast(o_totalprice AS decimal(18,2)) * 100
+                             AS bigint))
+                    // count(*) AS bigint) AS avg_cents_floor
+        FROM orders
+        GROUP BY o_custkey
+        ORDER BY o_custkey
+    """,
     "mix_anneal_schedule": _anneal_oracle(),
     "mix_drift_chi2": f"""
         WITH per_source AS (

@@ -55,8 +55,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # sim_sq8_topk, events_funnel_steps, events_retention_cohorts,
 # basket_pair_lift, customer_rfm_segments, events_active_users_rolling,
 # revenue_concentration_gini, dedup_substring_spans,
-# er_blocked_matching, stats_robust_mad, skyline_pareto_parts)
-# — ~75 entries;
+# er_blocked_matching, stats_robust_mad, skyline_pareto_parts,
+# view_incremental_merge, experiment_ab_lift, path_topk_journeys,
+# profile_table_stats)
+# — ~79 entries;
 # prioritize the never-signed suites, spill the remainder to r6.
 _PRIORITY: list[str] = [
     # §2 sentinels — pinned every round.
