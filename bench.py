@@ -155,6 +155,15 @@ HEADLINE = [
     "customer_rfm_segments",
     "events_active_users_rolling",
     "revenue_concentration_gini",
+    # Fourth continuation batch: corpus-wide substring-span dedup,
+    # blocked record linkage, incremental-view maintenance, A/B
+    # readout, journey census, and the one-scan table profiler.
+    "dedup_substring_spans",
+    "er_blocked_matching",
+    "view_incremental_merge",
+    "experiment_ab_lift",
+    "path_topk_journeys",
+    "profile_table_stats",
 ]
 
 

@@ -1191,6 +1191,54 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LPA_ITERS = 3  # synchronous label-propagation rounds (unrolled oracle)
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    near-dup candidate graph: every node starts as its own label; each
+    round every node adopts the MOST FREQUENT label among its
+    neighbors (smallest label on ties — the deterministic tie-break
+    that makes synchronous LPA engine-exact). Where connected
+    components (dedup_cc_survivors) answers "what is reachable", LPA
+    answers "what is DENSELY tied" — bridges between loosely-joined
+    clusters don't merge them, so the curation team sees near-dup
+    neighborhoods at community granularity rather than giant weakly-
+    connected blobs.
+
+    Spark-first iterative shape (the Pregel-on-DataFrames pattern,
+    same as graph_pagerank_dupgraph): per round ONE join (labels to
+    edges), ONE label census aggregation, ONE argmax window over
+    census rows (bounded by the LSH-candidate edge count, never
+    corpus-quadratic); fixed LPA_ITERS rounds, localCheckpoint
+    truncating lineage; nothing reaches the driver. The DuckDB oracle
+    unrolls the identical rounds as chained CTEs."""
+    edges = _dup_edges(spark, sf_dir)
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("lbl")
+    )
+    for _round in range(LPA_ITERS):
+        census = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("src"), "lbl"), "src"
+            )
+            .groupBy(F.col("dst").alias("doc_id"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("cnt").desc(), F.col("lbl")
+        )
+        labels = (
+            census.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "lbl")
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(
+        "doc_id", F.col("lbl").alias("community")
+    ).orderBy("doc_id")
+
+
 ER_ADJ = "red,blue,small,large,old,new,hot,cold"
 ER_NOUN = "bolt,gear,ring,widget,gizmo,panel,valve,clamp"
 ER_CITY_MOD = 50  # blocking-key cardinality (the deployment knob)
@@ -1335,6 +1383,7 @@ QUERIES = {
     "dedup_semdedup": dedup_semdedup,
     "dedup_substring_spans": dedup_substring_spans,
     "er_blocked_matching": er_blocked_matching,
+    "graph_label_propagation": graph_label_propagation,
 }
 
 _ORACLE_SIG = f"""
@@ -1362,6 +1411,40 @@ _ORACLE_LSH_CAND = f"""sig AS ({_ORACLE_SIG}),
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
         )"""
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous label propagation: LPA_ITERS chained
+    (census, argmax) CTE pairs over the shared LSH edge chain — the
+    SQL twin of graph_label_propagation's loop, one CTE pair per
+    round so the oracle is definitionally the same fixed iteration."""
+    rounds = []
+    prev = "l0"
+    for i in range(1, LPA_ITERS + 1):
+        rounds.append(
+            f"""c{i} AS (
+            SELECT e.dst AS doc_id, l.lbl, count(*) AS cnt
+            FROM edges e JOIN {prev} l ON e.src = l.doc_id
+            GROUP BY e.dst, l.lbl
+        ),
+        l{i} AS (
+            SELECT doc_id, lbl FROM (
+                SELECT doc_id, lbl,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY cnt DESC, lbl) AS rn
+                FROM c{i})
+            WHERE rn = 1
+        )"""
+        )
+        prev = f"l{i}"
+    joined = ",\n        ".join(rounds)
+    return f"""
+        WITH {{edges}},
+        nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        l0 AS (SELECT doc_id, doc_id AS lbl FROM nodes),
+        {joined}
+        SELECT doc_id, lbl AS community FROM {prev} ORDER BY doc_id
+    """
+
 
 # cand qualified at CC_EDGE_EST and symmetrized — the oracle twin of
 # _dup_edges.
@@ -1730,6 +1813,9 @@ ORACLES = {
         FROM per_doc JOIN runs USING (doc_id)
         ORDER BY doc_id
     """,
+    "graph_label_propagation": _lpa_oracle().format(
+        edges=_ORACLE_LSH_EDGES
+    ),
     "er_blocked_matching": f"""
         WITH recs0 AS (
             SELECT c_custkey AS rec_id,

@@ -525,14 +525,181 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BINS = 256  # equi-width bins (demo-sized; production 4-64k, same plan)
+HIST_PROBES = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+
+
+def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch audited against the exact order
+    statistic — the quantile member of the sketch family (HLL =
+    distinct, CMS = frequency, KMV = overlap, Bloom = membership).
+    A fixed equi-width bin table IS a mergeable quantile summary: bin
+    counts merge by addition across partitions/batches/days (the same
+    merge law the HLL register-max obeys), so at 100 TB the exact
+    global sort behind percentile_disc is replaced by one map-side
+    histogram + a 256-row cumulative scan, with error bounded by bin
+    width. The output reports, per probed quantile, the sketch
+    estimate (upper edge of the covering bin), the exact value, and
+    the realized error in ppm — the calibration that tells a pipeline
+    whether B bins suffice for its value distribution.
+
+    Exactness of the AUDIT itself: bucket index and bin upper edge are
+    pure integer arithmetic ((x-mn)*B div (mx-mn+1); mn +
+    ((b+1)*(mx-mn+1)-1) div B), the rank target is ceil(q*n) in
+    integers, and the exact twin is the nearest-rank order statistic —
+    every column engine-identical.
+
+    Scale shape: one bounds pass, one map-side-combined bucket count
+    (≤B rows cross the shuffle), one B-row window; the percentile_disc
+    column is the audit's truth input, not the sketch's cost."""
+    li = load(spark, "lineitem", sf_dir).select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("x")
+    )
+    bounds = li.agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bins = (
+        li.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "mn",
+            "mx",
+            "n",
+            F.expr(f"(x - mn) * {HIST_BINS} div (mx - mn + 1)").alias(
+                "bucket"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bins.withColumn("cum", F.sum("c").over(w))
+    sel_aggs = []
+    for label, num, den in HIST_PROBES:
+        k = f"({num} * n + {den - 1}) div {den}"
+        sel_aggs.append(
+            F.min(
+                F.when(F.expr(f"cum >= {k}"), F.col("bucket"))
+            ).alias(f"b_{label}")
+        )
+    one = cum.groupBy("mn", "mx", "n").agg(*sel_aggs)
+    exact = li.agg(
+        *[
+            F.expr(
+                f"cast(percentile_disc({num}/{den}) WITHIN GROUP"
+                " (ORDER BY x) as bigint)"
+            ).alias(f"x_{label}")
+            for label, num, den in HIST_PROBES
+        ]
+    )
+    est = {
+        label: (
+            f"mn + ((b_{label} + 1) * (mx - mn + 1) - 1) div {HIST_BINS}"
+        )
+        for label, _, _ in HIST_PROBES
+    }
+    stack_args = ", ".join(
+        f"'{label}', cast({est[label]} as bigint), x_{label}"
+        for label, _, _ in HIST_PROBES
+    )
+    return (
+        one.crossJoin(F.broadcast(exact))
+        .select(
+            F.expr(
+                f"stack({len(HIST_PROBES)}, {stack_args})"
+                " AS (quantile, est_cents, exact_cents)"
+            )
+        )
+        .select(
+            "quantile",
+            "est_cents",
+            "exact_cents",
+            F.expr(
+                "abs(est_cents - exact_cents) * 1000000 div exact_cents"
+            ).alias("err_ppm"),
+        )
+        .orderBy("quantile")
+    )
+
+
 QUERIES = {
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     "sketch_bloom_decontaminate": sketch_bloom_decontaminate,
     "sketch_hll_distinct": sketch_hll_distinct,
     "sketch_kmv_overlap": sketch_kmv_overlap,
+    "sketch_quantile_histogram": sketch_quantile_histogram,
 }
 
 ORACLES = {
+    "sketch_quantile_histogram": f"""
+        WITH li AS (
+            SELECT cast(cast(l_extendedprice AS decimal(18,2)) * 100
+                        AS bigint) AS x
+            FROM lineitem
+        ),
+        b AS (
+            SELECT min(x) AS mn, max(x) AS mx,
+                   cast(count(*) AS bigint) AS n
+            FROM li
+        ),
+        bins AS (
+            SELECT (x - mn) * {HIST_BINS} // (mx - mn + 1) AS bucket,
+                   cast(count(*) AS bigint) AS c
+            FROM li, b
+            GROUP BY 1
+        ),
+        cum AS (
+            SELECT bucket,
+                   sum(c) OVER (ORDER BY bucket
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+            FROM bins
+        ),
+        sel AS (
+            SELECT
+                min(CASE WHEN cum >= (1 * n + 1) // 2
+                         THEN bucket END) AS b_p50,
+                min(CASE WHEN cum >= (9 * n + 9) // 10
+                         THEN bucket END) AS b_p90,
+                min(CASE WHEN cum >= (99 * n + 99) // 100
+                         THEN bucket END) AS b_p99
+            FROM cum, b
+        ),
+        ex AS (
+            SELECT quantile_disc(x, 0.5) AS x_p50,
+                   quantile_disc(x, 0.9) AS x_p90,
+                   quantile_disc(x, 0.99) AS x_p99
+            FROM li
+        ),
+        rows3 AS (
+            SELECT 'p50' AS quantile,
+                   cast(mn + ((b_p50 + 1) * (mx - mn + 1) - 1)
+                        // {HIST_BINS} AS bigint) AS est_cents,
+                   x_p50 AS exact_cents
+            FROM sel, b, ex
+            UNION ALL
+            SELECT 'p90',
+                   cast(mn + ((b_p90 + 1) * (mx - mn + 1) - 1)
+                        // {HIST_BINS} AS bigint),
+                   x_p90
+            FROM sel, b, ex
+            UNION ALL
+            SELECT 'p99',
+                   cast(mn + ((b_p99 + 1) * (mx - mn + 1) - 1)
+                        // {HIST_BINS} AS bigint),
+                   x_p99
+            FROM sel, b, ex
+        )
+        SELECT quantile, est_cents, exact_cents,
+               cast(abs(est_cents - exact_cents) * 1000000 // exact_cents
+                    AS bigint) AS err_ppm
+        FROM rows3
+        ORDER BY quantile
+    """,
     "sketch_cms_heavy_hitters": f"""
         WITH tf AS (
             SELECT term, cast(count(*) AS bigint) AS c

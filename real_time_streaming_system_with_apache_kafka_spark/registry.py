@@ -57,8 +57,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # revenue_concentration_gini, dedup_substring_spans,
 # er_blocked_matching, stats_robust_mad, skyline_pareto_parts,
 # view_incremental_merge, experiment_ab_lift, path_topk_journeys,
-# profile_table_stats)
-# — ~79 entries;
+# profile_table_stats, sketch_quantile_histogram,
+# graph_label_propagation)
+# — ~81 entries;
 # prioritize the never-signed suites, spill the remainder to r6.
 _PRIORITY: list[str] = [
     # §2 sentinels — pinned every round.

