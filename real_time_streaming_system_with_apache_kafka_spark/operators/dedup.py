@@ -1312,6 +1312,14 @@ def er_blocked_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("entity") % ER_CITY_MOD),
         )
         .select("rec_id", "entity", "name", "city")
+        # Explicit block-key partitioning: the record table is tiny but
+        # the in-block pair join EXPLODES it ~150x — AQE sizes the
+        # exchange on the INPUT and would coalesce to one task, putting
+        # every levenshtein on one core. An explicit numPartitions
+        # repartition is exempt from AQE coalescing and co-locates both
+        # join sides, so block comparisons fan out across the machine
+        # (and across a cluster) with zero further exchanges.
+        .repartition(spark.sparkContext.defaultParallelism, "city")
     )
     a = recs.alias("a")
     b = recs.alias("b")
@@ -1320,9 +1328,18 @@ def er_blocked_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a.rec_id") < F.col("b.rec_id"))
         .select(
             (F.col("a.entity") == F.col("b.entity")).alias("is_true"),
+            # Sound prune: lev <= k implies |len diff| <= k, and the
+            # cheap length test short-circuits the O(len^2) kernel for
+            # the bulk of in-block pairs on both engines.
             (
-                F.levenshtein(F.col("a.name"), F.col("b.name"))
-                <= ER_LEV_MATCH
+                (
+                    F.abs(F.length("a.name") - F.length("b.name"))
+                    <= ER_LEV_MATCH
+                )
+                & (
+                    F.levenshtein(F.col("a.name"), F.col("b.name"))
+                    <= ER_LEV_MATCH
+                )
             ).alias("is_match"),
         )
     )
@@ -1854,7 +1871,9 @@ ORACLES = {
         ),
         cand AS (
             SELECT a.entity = b.entity AS is_true,
-                   levenshtein(a.name, b.name) <= {ER_LEV_MATCH} AS is_match
+                   abs(length(a.name) - length(b.name)) <= {ER_LEV_MATCH}
+                   AND levenshtein(a.name, b.name) <= {ER_LEV_MATCH}
+                       AS is_match
             FROM recs a JOIN recs b
               ON a.city = b.city AND a.rec_id < b.rec_id
         ),
