@@ -432,8 +432,10 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-pass profile; swap approx_count_distinct into the same slot
     when 6x-expand matters at 100 TB), then the per-column rows are
     unpivoted from the single 1-row aggregate with stack — metadata-
-    sized, no second touch of the fact."""
-    o = load(spark, "orders", sf_dir)
+    sized, no second touch of the fact. Rebalanced load: the Expand
+    multiplies whatever parallelism the scan has, so a single-rowgroup
+    fixture must fan out first (no-op on real layouts)."""
+    o = load_rebalanced(spark, "orders", sf_dir)
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
         "bigint"
     )
