@@ -164,6 +164,9 @@ HEADLINE = [
     "experiment_ab_lift",
     "path_topk_journeys",
     "profile_table_stats",
+    "skyline_pareto_parts",
+    "sketch_quantile_histogram",
+    "graph_label_propagation",
 ]
 
 

@@ -475,3 +475,34 @@ def test_label_propagation_python_replay(spark, sf_smoke):
 
     sizes = Counter(labels.values())
     assert max(sizes.values()) >= 2
+
+
+def test_group_median_histogram_selection(spark, sf_smoke):
+    """_group_median (histogram-assisted selection) equals the plain
+    percentile_disc aggregate on every group — the rewrite is an
+    identity, only the physical plan differs."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import extras
+
+    li = load(spark, "lineitem", sf_smoke).select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    got = {
+        r["l_returnflag"]: (r["n"], r["med"])
+        for r in extras._group_median(li, "l_returnflag", "cents").collect()
+    }
+    want = {
+        r["l_returnflag"]: (r["n"], r["med"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)"
+                " as bigint)"
+            ).alias("med"),
+        )
+        .collect()
+    }
+    assert got == want
