@@ -1239,6 +1239,63 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+KCORE_K = 2  # core threshold
+KCORE_ROUNDS = 4  # bounded peeling rounds (unrolled in the oracle)
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core peeling of the near-dup graph: repeatedly
+    remove nodes with fewer than K surviving neighbors. Dense cores of
+    the duplicate graph are template/boilerplate families (the
+    high-multiplicity content a curation pipeline caps hardest);
+    pendant nodes and thin chains — LSH near-misses — peel away. The
+    third lens on the same graph: CC = reachability, LPA = density
+    communities, k-core = degeneracy ordering.
+
+    Per-node output: peeled_round (1-based round the node fell out, 0 =
+    survived all rounds) and the final in-core flag — the curation
+    signal plus the audit of how fast the graph erodes.
+
+    Spark-first iterative shape: per round ONE semi-join of edges onto
+    the surviving node set and ONE degree aggregation (Pregel-on-
+    DataFrames, same as PageRank/LPA); fixed KCORE_ROUNDS so the
+    driver never sees data (a production run iterates until a
+    metadata-sized per-round count stops changing — same plan per
+    round). The DuckDB oracle unrolls identical rounds as chained
+    CTEs."""
+    edges = _dup_edges(spark, sf_dir)
+    alive = edges.select(F.col("src").alias("doc_id")).distinct()
+    result = alive.select("doc_id", F.lit(0).alias("peeled_round"))
+    for rnd in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            edges.join(
+                alive.select(F.col("doc_id").alias("src")), "src"
+            )
+            .join(alive.select(F.col("doc_id").alias("dst")), "dst")
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        survivors = deg.filter(F.col("deg") >= KCORE_K).select("doc_id")
+        peeled = alive.join(survivors, "doc_id", "left_anti")
+        result = result.join(
+            peeled.select("doc_id", F.lit(rnd).alias("r")), "doc_id", "left"
+        ).select(
+            "doc_id",
+            F.when(
+                (F.col("peeled_round") == 0) & F.col("r").isNotNull(),
+                F.col("r"),
+            )
+            .otherwise(F.col("peeled_round"))
+            .alias("peeled_round"),
+        )
+        alive = survivors.localCheckpoint(eager=False)
+    return result.select(
+        "doc_id",
+        "peeled_round",
+        (F.col("peeled_round") == 0).alias("in_core"),
+    ).orderBy("doc_id")
+
+
 ER_ADJ = "red,blue,small,large,old,new,hot,cold"
 ER_NOUN = "bolt,gear,ring,widget,gizmo,panel,valve,clamp"
 ER_CITY_MOD = 50  # blocking-key cardinality (the deployment knob)
@@ -1401,6 +1458,7 @@ QUERIES = {
     "dedup_substring_spans": dedup_substring_spans,
     "er_blocked_matching": er_blocked_matching,
     "graph_label_propagation": graph_label_propagation,
+    "graph_kcore": graph_kcore,
 }
 
 _ORACLE_SIG = f"""
@@ -1428,6 +1486,50 @@ _ORACLE_LSH_CAND = f"""sig AS ({_ORACLE_SIG}),
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
         )"""
+
+def _kcore_oracle() -> str:
+    """Unrolled bounded k-core peeling: per round a surviving-degree
+    CTE, a survivor CTE, and a peeled-this-round CTE — the SQL twin of
+    graph_kcore's loop."""
+    parts = ["a0 AS (SELECT DISTINCT src AS doc_id FROM edges)"]
+    for i in range(1, KCORE_ROUNDS + 1):
+        prev = f"a{i - 1}"
+        parts.append(
+            f"""d{i} AS (
+            SELECT e.src AS doc_id, count(*) AS deg
+            FROM edges e
+            JOIN {prev} s ON e.src = s.doc_id
+            JOIN {prev} t ON e.dst = t.doc_id
+            GROUP BY e.src
+        ),
+        a{i} AS (SELECT doc_id FROM d{i} WHERE deg >= {KCORE_K}),
+        p{i} AS (SELECT doc_id FROM {prev}
+                 EXCEPT SELECT doc_id FROM a{i})"""
+        )
+    joined = ",\n        ".join(parts)
+    cases = ",\n               ".join(
+        f"CASE WHEN p{i}.doc_id IS NOT NULL THEN {i} END"
+        for i in range(1, KCORE_ROUNDS + 1)
+    )
+    left_joins = "\n        ".join(
+        f"LEFT JOIN p{i} ON a0.doc_id = p{i}.doc_id"
+        for i in range(1, KCORE_ROUNDS + 1)
+    )
+    return f"""
+        WITH {{edges}},
+        {joined}
+        SELECT a0.doc_id,
+               cast(coalesce(
+               {cases},
+               0) AS int) AS peeled_round,
+               coalesce(
+               {cases},
+               0) = 0 AS in_core
+        FROM a0
+        {left_joins}
+        ORDER BY a0.doc_id
+    """
+
 
 def _lpa_oracle() -> str:
     """Unrolled synchronous label propagation: LPA_ITERS chained
@@ -1833,6 +1935,7 @@ ORACLES = {
     "graph_label_propagation": _lpa_oracle().format(
         edges=_ORACLE_LSH_EDGES
     ),
+    "graph_kcore": _kcore_oracle().format(edges=_ORACLE_LSH_EDGES),
     "er_blocked_matching": f"""
         WITH recs0 AS (
             SELECT c_custkey AS rec_id,

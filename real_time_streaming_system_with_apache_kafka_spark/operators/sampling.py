@@ -386,6 +386,73 @@ def _kcenter_oracle_sql() -> str:
     )
 
 
+TEMPORAL_CUTOFF = "1999-07-01"  # train strictly before, test at/after
+
+
+def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/test split with a LEAKAGE AUDIT — the split
+    discipline for anything forecast-shaped, where hash splits
+    (split_train_holdout) silently leak the future into training. Two
+    summary rows (train/test): order and revenue mass, distinct
+    customers, share of orders in ppm — plus the entity-overlap audit:
+    how many customers appear on BOTH sides of the cutoff and what
+    fraction of each split's customer base they are (per-entity
+    history crossing the boundary is exactly what a grouped/stratified
+    time-series CV has to account for).
+
+    Scale shape: one scan tags the split and aggregates
+    (count/count_distinct/exact cents per side); the overlap is a
+    customer-grain aggregation (count_if per side, filter both > 0)
+    reduced to one broadcast row. All integer/ppm outputs.
+
+    Reference parity: gap-fill; the reference has no notion of
+    train/eval hygiene — this is pure training-pipeline surface."""
+    o = load(spark, "orders", sf_dir).select(
+        "o_custkey",
+        (F.col("o_orderdate") < TEMPORAL_CUTOFF).alias("is_train"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    splits = o.groupBy(
+        F.when(F.col("is_train"), "train").otherwise("test").alias("split")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    leak = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count_if(F.col("is_train")).alias("n_tr"),
+            F.count_if(~F.col("is_train")).alias("n_te"),
+        )
+        .agg(
+            F.count_if(
+                (F.col("n_tr") > 0) & (F.col("n_te") > 0)
+            ).alias("leak_customers"),
+            F.sum(F.expr("cast(n_tr + n_te as bigint)")).alias("t_orders"),
+        )
+    )
+    return (
+        splits.crossJoin(F.broadcast(leak))
+        .select(
+            "split",
+            "n_orders",
+            "n_customers",
+            "revenue_cents",
+            F.expr("n_orders * 1000000 div t_orders").alias(
+                "orders_share_ppm"
+            ),
+            "leak_customers",
+            F.expr(
+                "leak_customers * 1000000 div n_customers"
+            ).alias("leak_ppm"),
+        )
+        .orderBy("split")
+    )
+
+
 QUERIES = {
     "split_train_holdout": split_train_holdout,
     "sample_kcenter_coreset": sample_kcenter_coreset,
@@ -396,9 +463,42 @@ QUERIES = {
     "sample_stratified_balanced": sample_stratified_balanced,
     "shuffle_global_order": shuffle_global_order,
     "sample_curriculum_order": sample_curriculum_order,
+    "sample_temporal_split": sample_temporal_split,
 }
 
 ORACLES = {
+    "sample_temporal_split": f"""
+        WITH o AS (
+            SELECT o_custkey,
+                   o_orderdate < TIMESTAMP '{TEMPORAL_CUTOFF}' AS is_train,
+                   cast(cast(o_totalprice AS decimal(18,2)) * 100
+                        AS bigint) AS cents
+            FROM orders
+        ),
+        splits AS (
+            SELECT CASE WHEN is_train THEN 'train' ELSE 'test' END AS split,
+                   cast(count(*) AS bigint) AS n_orders,
+                   cast(count(DISTINCT o_custkey) AS bigint) AS n_customers,
+                   cast(sum(cents) AS bigint) AS revenue_cents
+            FROM o GROUP BY 1
+        ),
+        leak AS (
+            SELECT cast(sum(CASE WHEN n_tr > 0 AND n_te > 0
+                                 THEN 1 ELSE 0 END) AS bigint)
+                       AS leak_customers,
+                   cast(sum(n_tr + n_te) AS bigint) AS t_orders
+            FROM (SELECT o_custkey,
+                         sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS n_tr,
+                         sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS n_te
+                  FROM o GROUP BY o_custkey)
+        )
+        SELECT split, n_orders, n_customers, revenue_cents,
+               n_orders * 1000000 // t_orders AS orders_share_ppm,
+               leak_customers,
+               leak_customers * 1000000 // n_customers AS leak_ppm
+        FROM splits, leak
+        ORDER BY split
+    """,
     "sample_importance_weighted": f"""
         WITH w AS (
             SELECT doc_id, lang, source,

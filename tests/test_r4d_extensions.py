@@ -506,3 +506,79 @@ def test_group_median_histogram_selection(spark, sf_smoke):
         .collect()
     }
     assert got == want
+
+
+def test_kcore_python_replay(spark, sf_smoke):
+    """Bounded k-core peeling replayed in python over the same edges:
+    per-round surviving degrees, peel set, and final core must agree
+    node-for-node (including the round each node fell out)."""
+    edges = [
+        (r["src"], r["dst"])
+        for r in dedup._dup_edges(spark, sf_smoke).collect()
+    ]
+    alive = {s for s, _ in edges}
+    peeled_round = {v: 0 for v in alive}
+    for rnd in range(1, dedup.KCORE_ROUNDS + 1):
+        deg: dict[int, int] = {}
+        for s, d in edges:
+            if s in alive and d in alive:
+                deg[s] = deg.get(s, 0) + 1
+        survivors = {v for v, c in deg.items() if c >= dedup.KCORE_K}
+        for v in alive - survivors:
+            peeled_round[v] = rnd
+        alive = survivors
+    rows = dedup.graph_kcore(spark, sf_smoke).collect()
+    assert {r["doc_id"]: r["peeled_round"] for r in rows} == peeled_round
+    for r in rows:
+        assert r["in_core"] == (r["peeled_round"] == 0)
+    # Signal: the graph actually erodes AND keeps a core.
+    assert any(r["peeled_round"] > 0 for r in rows)
+    assert any(r["in_core"] for r in rows)
+
+
+def test_temporal_split_python_recompute(spark, sf_smoke):
+    from datetime import datetime
+    from real_time_streaming_system_with_apache_kafka_spark.operators import (
+        sampling,
+    )
+
+    cutoff = datetime.strptime(sampling.TEMPORAL_CUTOFF, "%Y-%m-%d")
+    rows = (
+        load(spark, "orders", sf_smoke)
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    from decimal import Decimal, ROUND_HALF_UP
+
+    agg = {True: [0, set(), 0], False: [0, set(), 0]}
+    per_cust: dict[int, list[int]] = {}
+    for r in rows:
+        tr = r["o_orderdate"] < cutoff
+        cents = int(
+            Decimal(str(r["o_totalprice"])).quantize(
+                Decimal("0.01"), rounding=ROUND_HALF_UP
+            )
+            * 100
+        )
+        agg[tr][0] += 1
+        agg[tr][1].add(r["o_custkey"])
+        agg[tr][2] += cents
+        cell = per_cust.setdefault(r["o_custkey"], [0, 0])
+        cell[0 if tr else 1] += 1
+    leak = sum(1 for c in per_cust.values() if c[0] > 0 and c[1] > 0)
+    total = len(rows)
+    out = {
+        r["split"]: r
+        for r in sampling.sample_temporal_split(spark, sf_smoke).collect()
+    }
+    assert set(out) == {"train", "test"}
+    for name, tr in (("train", True), ("test", False)):
+        r = out[name]
+        n, custs, cents = agg[tr]
+        assert r["n_orders"] == n
+        assert r["n_customers"] == len(custs)
+        assert r["revenue_cents"] == cents
+        assert r["orders_share_ppm"] == n * 1000000 // total
+        assert r["leak_customers"] == leak
+        assert r["leak_ppm"] == leak * 1000000 // len(custs)
+    assert 0 < out["train"]["leak_ppm"] <= 1000000
