@@ -630,6 +630,112 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOOT_B = 64  # bootstrap replicas
+BOOT_TAG = "boot_v1"
+# Poisson(1) pmf quantized onto the 24-bit md5 prefix space (16^6):
+# cumulative thresholds for weights 0..5, weight 6 above the last —
+# exact integers so both engines draw identical weights.
+BOOT_THRESHOLDS = [6171992, 12343985, 15429982, 16458647, 16715813, 16767247]
+
+
+def metrics_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed bootstrap confidence interval for mean order value
+    via the POISSON BOOTSTRAP — the only bootstrap that distributes:
+    classical resampling needs global coordinated draws, but Poisson(1)
+    per-row replica weights are independent, so each row emits its own
+    weights and the replica means assemble in one map-side-combined
+    aggregation. Weights are drawn deterministically (salted md5 prefix
+    against fixed integer thresholds of the Poisson(1) pmf), so every
+    engine/run/partitioning produces the SAME replicas — a reproducible
+    CI, not a flaky one.
+
+    Output row: exact full-data mean (floor cents), the 2.5%/97.5%
+    nearest-rank bounds over the BOOT_B replica means, and the replica
+    min/max — the uncertainty readout a metrics pipeline attaches to
+    every scorecard number.
+
+    Scale shape: one scan explodes BOOT_B weight rows per order (pure
+    codegen: sequence + md5 + threshold CASE), partial aggregation
+    collapses to BOOT_B groups map-side, the rank selection runs over
+    BOOT_B rows. No data ever funnels through a sort; cost is exactly
+    B x scan, the documented price of the bootstrap."""
+    o = load_rebalanced(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    t = BOOT_THRESHOLDS
+    weight = (
+        f"CASE WHEN h < {t[0]} THEN 0 WHEN h < {t[1]} THEN 1"
+        f" WHEN h < {t[2]} THEN 2 WHEN h < {t[3]} THEN 3"
+        f" WHEN h < {t[4]} THEN 4 WHEN h < {t[5]} THEN 5 ELSE 6 END"
+    )
+    reps = (
+        o.select(
+            "o_orderkey",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("r"),
+        )
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "#",
+                            F.lit(BOOT_TAG),
+                            F.col("o_orderkey"),
+                            F.col("r"),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        )
+        .select("r", "cents", F.expr(weight).alias("w"))
+        .groupBy("r")
+        .agg(
+            F.sum("w").alias("sum_w"),
+            F.sum(F.expr("cast(w as bigint) * cents")).alias("sum_wx"),
+        )
+        .select(F.expr("sum_wx div greatest(sum_w, 1)").alias("rep_mean"))
+    )
+    wr = Window.orderBy("rep_mean")
+    lo_rank = (25 * BOOT_B + 999) // 1000  # ceil(0.025 * B)
+    hi_rank = (975 * BOOT_B + 999) // 1000  # ceil(0.975 * B)
+    ci = (
+        reps.withColumn("rn", F.row_number().over(wr))
+        .agg(
+            F.min(F.when(F.col("rn") == lo_rank, F.col("rep_mean"))).alias(
+                "ci_lo_cents"
+            ),
+            F.min(F.when(F.col("rn") == hi_rank, F.col("rep_mean"))).alias(
+                "ci_hi_cents"
+            ),
+            F.min("rep_mean").alias("rep_min_cents"),
+            F.max("rep_mean").alias("rep_max_cents"),
+            F.count(F.lit(1)).alias("n_replicas"),
+        )
+    )
+    full = o.agg(
+        F.expr("sum(cents) div count(*)").alias("mean_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return F.broadcast(full).crossJoin(ci).select(
+        "n_orders",
+        "mean_cents",
+        "n_replicas",
+        "ci_lo_cents",
+        "ci_hi_cents",
+        "rep_min_cents",
+        "rep_max_cents",
+    )
+
+
 QUERIES = {
     "reconcile_checksum": reconcile_checksum,
     "feature_quantile_bucketize": feature_quantile_bucketize,
@@ -646,9 +752,68 @@ QUERIES = {
     "sql_api_snapshot": sql_api_snapshot,
     "stats_robust_mad": stats_robust_mad,
     "skyline_pareto_parts": skyline_pareto_parts,
+    "metrics_bootstrap_ci": metrics_bootstrap_ci,
 }
 
 ORACLES = {
+    "metrics_bootstrap_ci": f"""
+        WITH o AS (
+            SELECT o_orderkey,
+                   cast(cast(o_totalprice AS decimal(18,2)) * 100
+                        AS bigint) AS cents
+            FROM orders
+        ),
+        reps AS (
+            SELECT o_orderkey, cents, unnest(range({BOOT_B})) AS r
+            FROM o
+        ),
+        hashed AS (
+            SELECT r, cents,
+                   cast(concat('0x', substr(md5('{BOOT_TAG}' || '#' ||
+                        cast(o_orderkey AS varchar) || '#' ||
+                        cast(r AS varchar)), 1, 6)) AS bigint) AS h
+            FROM reps
+        ),
+        weighted AS (
+            SELECT r, cents,
+                   CASE WHEN h < {BOOT_THRESHOLDS[0]} THEN 0
+                        WHEN h < {BOOT_THRESHOLDS[1]} THEN 1
+                        WHEN h < {BOOT_THRESHOLDS[2]} THEN 2
+                        WHEN h < {BOOT_THRESHOLDS[3]} THEN 3
+                        WHEN h < {BOOT_THRESHOLDS[4]} THEN 4
+                        WHEN h < {BOOT_THRESHOLDS[5]} THEN 5
+                        ELSE 6 END AS w
+            FROM hashed
+        ),
+        rep_means AS (
+            SELECT cast(sum(cast(w AS bigint) * cents)
+                        // greatest(sum(w), 1) AS bigint) AS rep_mean
+            FROM weighted GROUP BY r
+        ),
+        ranked AS (
+            SELECT rep_mean,
+                   row_number() OVER (ORDER BY rep_mean) AS rn
+            FROM rep_means
+        ),
+        ci AS (
+            SELECT min(CASE WHEN rn = {(25 * BOOT_B + 999) // 1000}
+                            THEN rep_mean END) AS ci_lo_cents,
+                   min(CASE WHEN rn = {(975 * BOOT_B + 999) // 1000}
+                            THEN rep_mean END) AS ci_hi_cents,
+                   min(rep_mean) AS rep_min_cents,
+                   max(rep_mean) AS rep_max_cents,
+                   cast(count(*) AS bigint) AS n_replicas
+            FROM ranked
+        ),
+        full_stats AS (
+            SELECT cast(sum(cents) // count(*) AS bigint) AS mean_cents,
+                   cast(count(*) AS bigint) AS n_orders
+            FROM o
+        )
+        SELECT n_orders, mean_cents, n_replicas, ci_lo_cents, ci_hi_cents,
+               rep_min_cents, rep_max_cents
+        FROM full_stats, ci
+    """,
     "stats_robust_mad": """
         WITH li AS (
             SELECT l_returnflag,

@@ -58,8 +58,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # er_blocked_matching, stats_robust_mad, skyline_pareto_parts,
 # view_incremental_merge, experiment_ab_lift, path_topk_journeys,
 # profile_table_stats, sketch_quantile_histogram,
-# graph_label_propagation, graph_kcore, sample_temporal_split)
-# — ~83 entries;
+# graph_label_propagation, graph_kcore, sample_temporal_split,
+# metrics_bootstrap_ci)
+# — ~84 entries;
 # prioritize the never-signed suites, spill the remainder to r6.
 _PRIORITY: list[str] = [
     # §2 sentinels — pinned every round.

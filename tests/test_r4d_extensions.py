@@ -582,3 +582,58 @@ def test_temporal_split_python_recompute(spark, sf_smoke):
         assert r["leak_customers"] == leak
         assert r["leak_ppm"] == leak * 1000000 // len(custs)
     assert 0 < out["train"]["leak_ppm"] <= 1000000
+
+
+def test_bootstrap_ci_python_recompute(spark, sf_smoke):
+    """Poisson-bootstrap weights, replica means, and nearest-rank CI
+    recomputed in python with hashlib md5 — draw-for-draw identical —
+    plus the statistical sanity laws (CI brackets the replica spread
+    and roughly the full mean)."""
+    import hashlib
+    from decimal import Decimal, ROUND_HALF_UP
+    from real_time_streaming_system_with_apache_kafka_spark.operators import extras
+
+    rows = [
+        (
+            r["o_orderkey"],
+            int(
+                Decimal(str(r["o_totalprice"])).quantize(
+                    Decimal("0.01"), rounding=ROUND_HALF_UP
+                )
+                * 100
+            ),
+        )
+        for r in load(spark, "orders", sf_smoke)
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    ]
+    t = extras.BOOT_THRESHOLDS
+    sums = [[0, 0] for _ in range(extras.BOOT_B)]
+    for key, cents in rows:
+        for rep in range(extras.BOOT_B):
+            h = int(
+                hashlib.md5(
+                    f"{extras.BOOT_TAG}#{key}#{rep}".encode()
+                ).hexdigest()[:6],
+                16,
+            )
+            w = 6
+            for i, th in enumerate(t):
+                if h < th:
+                    w = i
+                    break
+            sums[rep][0] += w
+            sums[rep][1] += w * cents
+    means = sorted(sx // max(sw, 1) for sw, sx in sums)
+    lo = means[(25 * extras.BOOT_B + 999) // 1000 - 1]
+    hi = means[(975 * extras.BOOT_B + 999) // 1000 - 1]
+    full_mean = sum(c for _, c in rows) // len(rows)
+    [row] = extras.metrics_bootstrap_ci(spark, sf_smoke).collect()
+    assert row["n_orders"] == len(rows)
+    assert row["mean_cents"] == full_mean
+    assert row["n_replicas"] == extras.BOOT_B
+    assert row["ci_lo_cents"] == lo
+    assert row["ci_hi_cents"] == hi
+    assert row["rep_min_cents"] == means[0]
+    assert row["rep_max_cents"] == means[-1]
+    assert means[0] <= lo < hi <= means[-1]
