@@ -1239,6 +1239,94 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+WIN_K = 3  # winnowing: word k-gram size
+WIN_W = 4  # winnowing: guarantee window (every WIN_W-run is covered)
+
+
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint dedup (the MOSS/Schleimer-Wilkerson-Aiken
+    local fingerprinting scheme): hash every word {WIN_K}-gram, slide a
+    window of {WIN_W} hashes, keep each window's MINIMUM — the selected
+    set is position-robust (guaranteed to catch any shared run of
+    {WIN_W + WIN_K - 1}+ words) while storing only ~1/{WIN_W} of the
+    grams, which is the storage/recall dial MinHash doesn't give (it
+    sketches GLOBAL similarity; winnowing localizes WHERE the overlap
+    is). Distinct-value selection per document keeps the winnowing
+    guarantee without position tie-break ambiguity (every window's min
+    VALUE is retained). Pairs sharing >= 2 fingerprints are reported
+    with overlap in ppm of the smaller fingerprint set (containment
+    orientation, like dedup_containment).
+
+    Scale shape: grams are a positional posexplode; the window min is
+    a per-doc ROWS frame (one exchange on doc_id); fingerprints are a
+    distinct on (doc, 24-bit hash); candidate pairs come from an
+    equality self-join ON THE FINGERPRINT HASH — the selected ~1/W
+    subsample, not the gram stream. Same oracle-exact md5 hash space
+    as the MinHash family."""
+    docs = load(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(regex_word_ngrams(F.col("text"), WIN_K)).alias(
+            "idx", "gram"
+        ),
+    ).select(
+        "doc_id",
+        "idx",
+        F.conv(F.substring(F.md5("gram"), 1, 6), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    wdoc = Window.partitionBy("doc_id")
+    wmin = (
+        Window.partitionBy("doc_id")
+        .orderBy("idx")
+        .rowsBetween(0, WIN_W - 1)
+    )
+    fp = (
+        grams.withColumn("ng", F.count(F.lit(1)).over(wdoc))
+        .withColumn("minh", F.min("h").over(wmin))
+        .filter(F.expr(f"idx <= greatest(ng - {WIN_W}, 0)"))
+        .select("doc_id", "minh")
+        .distinct()
+    )
+    counts = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
+    a = fp.alias("a")
+    b = fp.alias("b")
+    pairs = (
+        a.join(b, F.col("a.minh") == F.col("b.minh"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    ca = counts.select(
+        F.col("doc_id").alias("doc_a"), F.col("nfp").alias("nfp_a")
+    )
+    cb = counts.select(
+        F.col("doc_id").alias("doc_b"), F.col("nfp").alias("nfp_b")
+    )
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "nfp_a",
+            "nfp_b",
+            F.expr(
+                "n_shared * 1000000 div least(nfp_a, nfp_b)"
+            ).alias("containment_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 KCORE_K = 2  # core threshold
 KCORE_ROUNDS = 4  # bounded peeling rounds (unrolled in the oracle)
 
@@ -1459,6 +1547,7 @@ QUERIES = {
     "er_blocked_matching": er_blocked_matching,
     "graph_label_propagation": graph_label_propagation,
     "graph_kcore": graph_kcore,
+    "dedup_winnowing": dedup_winnowing,
 }
 
 _ORACLE_SIG = f"""
@@ -1936,6 +2025,62 @@ ORACLES = {
         edges=_ORACLE_LSH_EDGES
     ),
     "graph_kcore": _kcore_oracle().format(edges=_ORACLE_LSH_EDGES),
+    "dedup_winnowing": f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words
+            FROM documents
+        ),
+        x AS (
+            SELECT doc_id, words,
+                   CASE WHEN len(words) < {WIN_K} THEN 1
+                        ELSE len(words) - {WIN_K - 1} END AS ng
+            FROM w
+        ),
+        ch AS (
+            SELECT doc_id, words, ng, unnest(range(ng)) AS j
+            FROM x
+        ),
+        t AS (
+            SELECT doc_id, ng, cast(j AS int) AS idx,
+                   cast(concat('0x', substr(md5(
+                       CASE WHEN len(words) < {WIN_K}
+                            THEN array_to_string(words, ' ')
+                            ELSE array_to_string(
+                                words[j + 1:j + {WIN_K}], ' ')
+                       END), 1, 6)) AS bigint) AS h
+            FROM ch
+        ),
+        sel AS (
+            SELECT doc_id, idx, ng,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY idx
+                                ROWS BETWEEN CURRENT ROW
+                                AND {WIN_W - 1} FOLLOWING) AS minh
+            FROM t
+        ),
+        fp AS (
+            SELECT DISTINCT doc_id, minh FROM sel
+            WHERE idx <= greatest(ng - {WIN_W}, 0)
+        ),
+        counts AS (
+            SELECT doc_id, cast(count(*) AS bigint) AS nfp
+            FROM fp GROUP BY doc_id
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   cast(count(*) AS bigint) AS n_shared
+            FROM fp a JOIN fp b
+              ON a.minh = b.minh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 2
+        )
+        SELECT doc_a, doc_b, n_shared, ca.nfp AS nfp_a, cb.nfp AS nfp_b,
+               n_shared * 1000000 // least(ca.nfp, cb.nfp)
+                   AS containment_ppm
+        FROM pairs
+        JOIN counts ca ON pairs.doc_a = ca.doc_id
+        JOIN counts cb ON pairs.doc_b = cb.doc_id
+        ORDER BY doc_a, doc_b
+    """,
     "er_blocked_matching": f"""
         WITH recs0 AS (
             SELECT c_custkey AS rec_id,

@@ -15,7 +15,7 @@ final aggregation where one exists.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
@@ -453,6 +453,115 @@ def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KS_BINS = 256  # prefix-sum buckets for the distributed ECDF
+
+
+def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the
+    temporal train/test splits' order-value distributions — the
+    distribution-drift test that pairs with sample_temporal_split
+    (did the thing we predict on CHANGE across the cutoff?) and with
+    mix_drift_chi2 (categorical drift; KS is the continuous twin).
+    D = max over observed values of |ECDF_train - ECDF_test|, computed
+    EXACTLY over common denominator n1*n2 (no float CDFs): the max
+    numerator |cum1*n2 - cum2*n1| is integer, reported in ppm via
+    decimal(38,0)/hugeint, with the value where the max is attained
+    (smallest such value — deterministic).
+
+    Scale shape: the ECDF prefix sums are TWO-PHASE — per-value counts
+    bucket into KS_BINS equi-width bins, bucket totals prefix-sum in a
+    256-row window, and the within-bucket cumulative windows run
+    PARTITIONED by bucket with the bucket offset broadcast back (the
+    revenue_concentration_gini machinery) — so no single reducer ever
+    sees the full distinct-value set. One scan + value-grain aggs."""
+    o = load(spark, "orders", sf_dir).select(
+        (F.col("o_orderdate") < TEMPORAL_CUTOFF).alias("is_train"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    bounds = o.agg(
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+        F.count_if(F.col("is_train")).alias("n1"),
+        F.count_if(~F.col("is_train")).alias("n2"),
+    )
+    vals = (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "mn",
+            "mx",
+            "n1",
+            "n2",
+            F.expr(f"(cents - mn) * {KS_BINS} div (mx - mn + 1)").alias(
+                "bucket"
+            ),
+            "cents",
+        )
+        .agg(
+            F.count_if(F.col("is_train")).alias("c1"),
+            F.count_if(~F.col("is_train")).alias("c2"),
+        )
+    )
+    btot = vals.groupBy("bucket").agg(
+        F.sum("c1").alias("s1"), F.sum("c2").alias("s2")
+    )
+    wpre = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bpre = btot.select(
+        "bucket",
+        F.coalesce(F.sum("s1").over(wpre), F.lit(0)).alias("p1"),
+        F.coalesce(F.sum("s2").over(wpre), F.lit(0)).alias("p2"),
+    )
+    win = Window.partitionBy("bucket").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    diffs = (
+        vals.join(F.broadcast(bpre), "bucket")
+        .select(
+            "cents",
+            "n1",
+            "n2",
+            (
+                F.abs(
+                    (F.col("p1") + F.sum("c1").over(win)) * F.col("n2")
+                    - (F.col("p2") + F.sum("c2").over(win)) * F.col("n1")
+                )
+            ).alias("d_num"),
+        )
+        .localCheckpoint(eager=False)  # consumed by max agg AND argmax
+    )
+    stats = diffs.agg(
+        F.min("n1").alias("n_train"),
+        F.min("n2").alias("n_test"),
+        F.count(F.lit(1)).alias("n_distinct_values"),
+        F.max("d_num").alias("d_num_max"),
+    )
+    arg = (
+        diffs.join(
+            F.broadcast(stats.select("d_num_max")),
+            F.col("d_num") == F.col("d_num_max"),
+        )
+        .agg(F.min("cents").alias("argmax_cents"))
+    )
+    return (
+        F.broadcast(stats)
+        .crossJoin(arg)
+        .select(
+            "n_train",
+            "n_test",
+            "n_distinct_values",
+            F.expr(
+                "cast(d_num_max * cast(1000000 as decimal(38,0))"
+                " div (n_train * cast(n_test as decimal(38,0)))"
+                " as bigint)"
+            ).alias("d_ppm"),
+            "argmax_cents",
+        )
+    )
+
+
 QUERIES = {
     "split_train_holdout": split_train_holdout,
     "sample_kcenter_coreset": sample_kcenter_coreset,
@@ -464,9 +573,61 @@ QUERIES = {
     "shuffle_global_order": shuffle_global_order,
     "sample_curriculum_order": sample_curriculum_order,
     "sample_temporal_split": sample_temporal_split,
+    "stats_ks_drift": stats_ks_drift,
 }
 
 ORACLES = {
+    # Naive single-window ECDF twin: the engine's two-phase bucketed
+    # prefix sums must produce the identical exact D — the parity IS
+    # the proof the two-phase rewrite computes the same statistic.
+    "stats_ks_drift": f"""
+        WITH o AS (
+            SELECT o_orderdate < TIMESTAMP '{TEMPORAL_CUTOFF}' AS is_train,
+                   cast(cast(o_totalprice AS decimal(18,2)) * 100
+                        AS bigint) AS cents
+            FROM orders
+        ),
+        b AS (
+            SELECT cast(sum(CASE WHEN is_train THEN 1 ELSE 0 END)
+                        AS bigint) AS n1,
+                   cast(sum(CASE WHEN is_train THEN 0 ELSE 1 END)
+                        AS bigint) AS n2
+            FROM o
+        ),
+        vals AS (
+            SELECT cents,
+                   cast(sum(CASE WHEN is_train THEN 1 ELSE 0 END)
+                        AS bigint) AS c1,
+                   cast(sum(CASE WHEN is_train THEN 0 ELSE 1 END)
+                        AS bigint) AS c2
+            FROM o GROUP BY cents
+        ),
+        cums AS (
+            SELECT cents,
+                   sum(c1) OVER (ORDER BY cents
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum1,
+                   sum(c2) OVER (ORDER BY cents
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum2
+            FROM vals
+        ),
+        diffs AS (
+            SELECT cents, abs(cum1 * n2 - cum2 * n1) AS d_num
+            FROM cums, b
+        ),
+        s AS (
+            SELECT max(d_num) AS d_num_max,
+                   cast(count(*) AS bigint) AS n_distinct_values
+            FROM diffs
+        )
+        SELECT n1 AS n_train, n2 AS n_test, n_distinct_values,
+               cast(cast(d_num_max AS hugeint) * 1000000
+                    // (cast(n1 AS hugeint) * n2) AS bigint) AS d_ppm,
+               (SELECT min(cents) FROM diffs, s
+                WHERE d_num = d_num_max) AS argmax_cents
+        FROM b, s
+    """,
     "sample_temporal_split": f"""
         WITH o AS (
             SELECT o_custkey,

@@ -637,3 +637,100 @@ def test_bootstrap_ci_python_recompute(spark, sf_smoke):
     assert row["rep_min_cents"] == means[0]
     assert row["rep_max_cents"] == means[-1]
     assert means[0] <= lo < hi <= means[-1]
+
+
+def test_ks_drift_python_recompute(spark, sf_smoke):
+    """Exact KS numerator over common denominator n1*n2 recomputed in
+    python (including the argmax value), proving the two-phase bucketed
+    prefix sums equal the naive ECDF scan."""
+    from datetime import datetime
+    from decimal import Decimal, ROUND_HALF_UP
+    from real_time_streaming_system_with_apache_kafka_spark.operators import (
+        sampling,
+    )
+
+    cutoff = datetime.strptime(sampling.TEMPORAL_CUTOFF, "%Y-%m-%d")
+    tr, te = [], []
+    for r in (
+        load(spark, "orders", sf_smoke)
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    ):
+        cents = int(
+            Decimal(str(r["o_totalprice"])).quantize(
+                Decimal("0.01"), rounding=ROUND_HALF_UP
+            )
+            * 100
+        )
+        (tr if r["o_orderdate"] < cutoff else te).append(cents)
+    n1, n2 = len(tr), len(te)
+    values = sorted(set(tr) | set(te))
+    c1 = c2 = 0
+    from collections import Counter
+
+    f1, f2 = Counter(tr), Counter(te)
+    best, arg = -1, None
+    for v in values:
+        c1 += f1.get(v, 0)
+        c2 += f2.get(v, 0)
+        d = abs(c1 * n2 - c2 * n1)
+        if d > best:
+            best, arg = d, v
+    [row] = sampling.stats_ks_drift(spark, sf_smoke).collect()
+    assert row["n_train"] == n1 and row["n_test"] == n2
+    assert row["n_distinct_values"] == len(values)
+    assert row["d_ppm"] == best * 1000000 // (n1 * n2)
+    assert row["argmax_cents"] == arg
+    assert 0 < row["d_ppm"] < 1000000
+
+
+def test_winnowing_python_recompute(spark, sf_smoke):
+    """Winnowing fingerprint selection, pair overlap counts, and the
+    containment ppm recomputed in python with hashlib; plus the
+    winnowing guarantee on the fixture: every reported pair's shared
+    fingerprints really exist in both docs' selected sets."""
+    import hashlib
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, "documents", sf_smoke)
+        .select("doc_id", "text")
+        .collect()
+    }
+    fps: dict[int, set[int]] = {}
+    for doc_id, text in docs.items():
+        grams = _word_ngrams(text, dedup.WIN_K)
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:6], 16) for g in grams
+        ]
+        sel = set()
+        last_full = max(len(hs) - dedup.WIN_W, 0)
+        for i in range(0, last_full + 1):
+            sel.add(min(hs[i : i + dedup.WIN_W]))
+        fps[doc_id] = sel
+    expected = {}
+    ids = sorted(fps)
+    for i, a_id in enumerate(ids):
+        for b_id in ids[i + 1 :]:
+            shared = len(fps[a_id] & fps[b_id])
+            if shared >= 2:
+                expected[(a_id, b_id)] = (
+                    shared,
+                    len(fps[a_id]),
+                    len(fps[b_id]),
+                    shared
+                    * 1000000
+                    // min(len(fps[a_id]), len(fps[b_id])),
+                )
+    rows = dedup.dedup_winnowing(spark, sf_smoke).collect()
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_shared"],
+            r["nfp_a"],
+            r["nfp_b"],
+            r["containment_ppm"],
+        )
+        for r in rows
+    }
+    assert got == expected
+    assert len(got) > 0
