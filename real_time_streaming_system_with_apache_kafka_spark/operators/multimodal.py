@@ -152,10 +152,134 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PH_BITS = 16  # perceptual-hash width (stub; real pHash is 64)
+PH_BANDS = 2  # pigeonhole bands: full recall for hamming <= PH_BANDS-1
+PH_HAMMING = 1  # near-duplicate threshold (radius; bands = radius+1)
+
+
+def make_phash_batches():
+    """Arrow-batched perceptual-hash kernel (self-contained closure,
+    same worker-pickling rule as make_decode_batches). The STUB hash is
+    a {PH_BITS}-bit simhash over byte 3-grams of the payload — a pure,
+    similarity-preserving function of the bytes that DuckDB can
+    recompute; a real implementation would DCT the decoded pixels
+    here. Bit b of the hash = sign of the +-1 vote sum over grams,
+    where gram g votes by bit b of int(md5(g)[:4], 16)."""
+
+    def phash(payload: bytes) -> int:
+        import hashlib as _hashlib
+
+        n = len(payload)
+        grams = (
+            [payload]
+            if n < 3
+            else [payload[i : i + 3] for i in range(n - 2)]
+        )
+        acc = [0] * 16
+        for g in grams:
+            v = int(_hashlib.md5(g).hexdigest()[:4], 16)
+            for b in range(16):
+                acc[b] += 1 if (v >> b) & 1 else -1
+        h = 0
+        for b in range(16):
+            if acc[b] > 0:
+                h |= 1 << b
+        return h
+
+    def phash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": pdf["payload"].map(phash),
+                }
+            )
+
+    return phash_batches
+
+
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over the binary media
+    column — the production image-dedup plan end to end: (1) hash each
+    payload with an Arrow-batched kernel, (2) generate candidates by
+    MULTI-INDEX HAMMING blocking — split the hash into PH_BANDS bands;
+    by pigeonhole, any pair within hamming PH_BANDS-1 agrees exactly on
+    at least one band, so band-equality joins give FULL recall at
+    threshold PH_HAMMING — and (3) verify candidates with the exact
+    bit_count(xor) distance. No all-pairs comparison anywhere.
+
+    Cross-engine exactness: the kernel is a pure function of the bytes
+    (md5-vote simhash), so the DuckDB oracle rebuilds the identical
+    hash from character 3-grams (the fixture payload is the utf-8 text
+    — ASCII, so byte grams == character grams), proving the Arrow
+    kernel against its SQL specification — the same UDF-vs-SQL parity
+    discipline as mm_decode_metadata.
+
+    Scale shape: hashing is embarrassingly parallel over Arrow
+    batches; the band join shuffles (band, key) pairs (4 rows per doc);
+    verification touches only colliding pairs. This is dedup_simhash's
+    multimodal cousin with the hamming-RADIUS (not identical-bucket)
+    semantics real pHash dedup needs."""
+    docs = load(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    ph = with_binary_payload(docs).mapInPandas(
+        make_phash_batches(), "doc_id long, phash long"
+    )
+    band_width = PH_BITS // PH_BANDS
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"(phash div {1 << (b * band_width)})"
+                            f" % {1 << band_width}"
+                        ).alias("key"),
+                    )
+                    for b in range(PH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "phash", "bk.band", "bk.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(ph_a ^ ph_b)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PH_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 QUERIES = {
     "mm_decode_metadata": mm_decode_metadata,
     "mm_frame_sample": mm_frame_sample,
     "mm_feature_extract": mm_feature_extract,
+    "mm_phash_dedup": mm_phash_dedup,
 }
 
 ORACLES = {
@@ -178,4 +302,60 @@ ORACLES = {
     """,
     # mm_feature_extract: rows-only (float list built in Python; the
     # features are asserted deterministic in tests/test_multimodal.py).
+    #
+    # mm_phash_dedup: the fixture payload is the utf-8 text and the
+    # corpus is ASCII, so byte 3-grams == character 3-grams and the
+    # SQL twin rebuilds the kernel's hash exactly.
+    "mm_phash_dedup": f"""
+        WITH w AS (
+            SELECT doc_id, text,
+                   octet_length(encode(text)) AS n
+            FROM documents
+        ),
+        ch AS (
+            SELECT doc_id, text, n,
+                   unnest(range(CASE WHEN n < 3 THEN 1
+                                     ELSE n - 2 END)) AS i
+            FROM w
+        ),
+        v AS (
+            SELECT doc_id,
+                   cast(concat('0x', substr(md5(
+                       CASE WHEN n < 3 THEN text
+                            ELSE substr(text, cast(i AS int) + 1, 3) END
+                   ), 1, 4)) AS bigint) AS val
+            FROM ch
+        ),
+        bits AS (
+            SELECT doc_id, b,
+                   sum(CASE WHEN (val // (1 << b)) % 2 = 1
+                            THEN 1 ELSE -1 END) AS acc
+            FROM v, (SELECT unnest(range({PH_BITS})) AS b)
+            GROUP BY doc_id, b
+        ),
+        ph AS (
+            SELECT doc_id,
+                   cast(sum(CASE WHEN acc > 0 THEN (1 << b)
+                                 ELSE 0 END) AS bigint) AS phash
+            FROM bits GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id, phash, band,
+                   (phash // (1 << (band * {PH_BITS // PH_BANDS})))
+                       % {1 << (PH_BITS // PH_BANDS)} AS key
+            FROM ph, (SELECT unnest(range({PH_BANDS})) AS band)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            a.phash AS ph_a, b.phash AS ph_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key
+                 AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               cast(bit_count(xor(ph_a, ph_b)) AS int) AS hamming
+        FROM cand
+        WHERE bit_count(xor(ph_a, ph_b)) <= {PH_HAMMING}
+        ORDER BY doc_a, doc_b
+    """,
 }

@@ -59,8 +59,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # view_incremental_merge, experiment_ab_lift, path_topk_journeys,
 # profile_table_stats, sketch_quantile_histogram,
 # graph_label_propagation, graph_kcore, sample_temporal_split,
-# metrics_bootstrap_ci, stats_ks_drift, dedup_winnowing)
-# — ~86 entries;
+# metrics_bootstrap_ci, stats_ks_drift, dedup_winnowing,
+# mm_phash_dedup)
+# — ~87 entries;
 # prioritize the never-signed suites, spill the remainder to r6.
 _PRIORITY: list[str] = [
     # §2 sentinels — pinned every round.

@@ -734,3 +734,46 @@ def test_winnowing_python_recompute(spark, sf_smoke):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_phash_dedup_python_recompute_and_recall(spark, sf_smoke):
+    """The Arrow phash kernel recomputed in python, and the pigeonhole
+    guarantee: the banded candidate pipeline must return EXACTLY the
+    brute-force set of pairs within hamming PH_HAMMING (full recall at
+    radius bands-1, and the verify step removes everything else)."""
+    import hashlib
+    from real_time_streaming_system_with_apache_kafka_spark.operators import (
+        multimodal,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"].encode()
+        for r in load(spark, "documents", sf_smoke)
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def phash(payload: bytes) -> int:
+        n = len(payload)
+        grams = (
+            [payload] if n < 3 else [payload[i : i + 3] for i in range(n - 2)]
+        )
+        acc = [0] * 16
+        for g in grams:
+            v = int(hashlib.md5(g).hexdigest()[:4], 16)
+            for b in range(16):
+                acc[b] += 1 if (v >> b) & 1 else -1
+        return sum(1 << b for b in range(16) if acc[b] > 0)
+
+    ph = {d: phash(p) for d, p in docs.items()}
+    ids = sorted(ph)
+    expected = {}
+    for i, a_id in enumerate(ids):
+        for b_id in ids[i + 1 :]:
+            d = bin(ph[a_id] ^ ph[b_id]).count("1")
+            if d <= multimodal.PH_HAMMING:
+                expected[(a_id, b_id)] = d
+    rows = multimodal.mm_phash_dedup(spark, sf_smoke).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    assert got == expected
+    assert len(got) > 0
