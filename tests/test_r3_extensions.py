@@ -368,7 +368,11 @@ def test_reconcile_checksum_order_invariant_and_sensitive(spark, sf_dir):
             for r in extras.reconcile_checksum(spark, sf_dir).collect()
         }
     finally:
-        extras.load = orig_load
+        # Restore the symbol that was patched (a previous version
+        # restored extras.load here, leaving load_rebalanced patched
+        # for the rest of the session — poisoning any later extras
+        # operator reading lineitem through it).
+        extras.load_rebalanced = orig_load
     assert mutated[flag] != base[flag]
     for k in base:
         if k != flag:
