@@ -814,8 +814,8 @@ def experiment_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("revenue_cents div n_users").alias("arpu_cents"),
             F.expr(
                 "cast(cast(revenue_cents AS decimal(38,0)) * t_users"
-                " * 1000000 div (cast(t_rev AS decimal(38,0)) * n_users)"
-                " AS bigint)"
+                " * 1000000 div (greatest(cast(t_rev AS decimal(38,0)), 1)"
+                " * n_users) AS bigint)"
             ).alias("arpu_ratio_ppm"),
         )
         .orderBy("arm")
@@ -914,8 +914,8 @@ ORACLES = {
         SELECT arm, n_users, n_purchases, revenue_cents,
                revenue_cents // n_users AS arpu_cents,
                cast(cast(revenue_cents AS hugeint) * t_users * 1000000
-                    // (cast(t_rev AS hugeint) * n_users) AS bigint)
-                   AS arpu_ratio_ppm
+                    // (greatest(cast(t_rev AS hugeint), 1) * n_users)
+                    AS bigint) AS arpu_ratio_ppm
         FROM arms, pooled
         ORDER BY arm
     """,

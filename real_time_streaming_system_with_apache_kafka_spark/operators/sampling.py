@@ -554,7 +554,7 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct_values",
             F.expr(
                 "cast(d_num_max * cast(1000000 as decimal(38,0))"
-                " div (n_train * cast(n_test as decimal(38,0)))"
+                " div greatest(n_train * cast(n_test as decimal(38,0)), 1)"
                 " as bigint)"
             ).alias("d_ppm"),
             "argmax_cents",
@@ -623,7 +623,8 @@ ORACLES = {
         )
         SELECT n1 AS n_train, n2 AS n_test, n_distinct_values,
                cast(cast(d_num_max AS hugeint) * 1000000
-                    // (cast(n1 AS hugeint) * n2) AS bigint) AS d_ppm,
+                    // greatest(cast(n1 AS hugeint) * n2, 1) AS bigint)
+                   AS d_ppm,
                (SELECT min(cents) FROM diffs, s
                 WHERE d_num = d_num_max) AS argmax_cents
         FROM b, s
