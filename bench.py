@@ -167,6 +167,12 @@ HEADLINE = [
     "skyline_pareto_parts",
     "sketch_quantile_histogram",
     "graph_label_propagation",
+    "graph_kcore",
+    "dedup_winnowing",
+    "stats_ks_drift",
+    "sample_temporal_split",
+    "metrics_bootstrap_ci",
+    "mm_phash_dedup",
 ]
 
 
