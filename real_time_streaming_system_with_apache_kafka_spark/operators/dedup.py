@@ -1241,6 +1241,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WIN_K = 3  # winnowing: word k-gram size
 WIN_W = 4  # winnowing: guarantee window (every WIN_W-run is covered)
+WIN_MAXDF = 64  # hub cap: fingerprints in more docs are boilerplate
 
 
 def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1261,8 +1262,13 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-doc ROWS frame (one exchange on doc_id); fingerprints are a
     distinct on (doc, 24-bit hash); candidate pairs come from an
     equality self-join ON THE FINGERPRINT HASH — the selected ~1/W
-    subsample, not the gram stream. Same oracle-exact md5 hash space
-    as the MinHash family."""
+    subsample, not the gram stream. Fingerprints shared by more than
+    WIN_MAXDF documents are dropped before pairing (and from the
+    containment denominators): they are corpus boilerplate, and
+    keeping them makes the pair join quadratic in hub size as the
+    corpus grows — the same document-frequency cap every production
+    fingerprint index (MOSS itself included) applies. Same
+    oracle-exact md5 hash space as the MinHash family."""
     docs = load(spark, "documents", sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -1284,13 +1290,20 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("idx")
         .rowsBetween(0, WIN_W - 1)
     )
-    fp = (
+    fp_all = (
         grams.withColumn("ng", F.count(F.lit(1)).over(wdoc))
         .withColumn("minh", F.min("h").over(wmin))
         .filter(F.expr(f"idx <= greatest(ng - {WIN_W}, 0)"))
         .select("doc_id", "minh")
         .distinct()
     )
+    keep = (
+        fp_all.groupBy("minh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WIN_MAXDF)
+        .select("minh")
+    )
+    fp = fp_all.join(keep, "minh")
     counts = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
     a = fp.alias("a")
     b = fp.alias("b")
@@ -1386,7 +1399,8 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ER_ADJ = "red,blue,small,large,old,new,hot,cold"
 ER_NOUN = "bolt,gear,ring,widget,gizmo,panel,valve,clamp"
-ER_CITY_MOD = 50  # blocking-key cardinality (the deployment knob)
+ER_BLOCK_TARGET = 300  # target records per block (the deployment knob)
+ER_MIN_BLOCKS = 50  # floor so tiny fixtures still have multiple blocks
 ER_LEV_MATCH = 1  # match threshold on edit distance
 
 
@@ -1407,16 +1421,26 @@ def er_blocked_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: record synthesis is per-row codegen; candidate
     generation is ONE equality self-join on the block key (shuffle on
     city, never all-pairs) and levenshtein runs only inside blocks.
-    Block-key cardinality (ER_CITY_MOD) is the knob that keeps block
-    size bounded as data grows — at 100 TB you block on zip+name-prefix
-    so per-block pair counts stay constant; the plan shape (equality
-    join + one agg) is unchanged. True-pair accounting needs only a
-    per-entity groupBy.
+    Block-key cardinality GROWS WITH THE DATA — the modulus is
+    greatest(ER_MIN_BLOCKS, n_records div ER_BLOCK_TARGET), computed
+    from a 1-row broadcast count — so block SIZE (and therefore
+    per-block pair count) stays ~constant at any scale; a fixed
+    modulus would make in-block pairs quadratic in the corpus (at
+    sf10 a 50-block version owes 22e9 comparisons — measured disk-full
+    in the scale soak). At 100 TB you block on zip+name-prefix for the
+    same reason: keys proliferate, blocks don't grow.
 
     Reference parity: gap-fill; the reference dedups trades by exact
     trade_id only (consumer.py:44-53) — this is the fuzzy-key
     generalization a warehouse needs."""
     cust = load(spark, "customer", sf_dir).select("c_custkey")
+    nb = cust.agg(
+        F.expr(
+            f"greatest({ER_MIN_BLOCKS},"
+            f" count(*) div {ER_BLOCK_TARGET})"
+        ).alias("n_blocks")
+    )
+    cust = cust.crossJoin(F.broadcast(nb))
     base = F.expr("c_custkey div 2")
     variant = F.col("c_custkey") % 2
     adj = F.expr(f"split('{ER_ADJ}', ',')[cast(c_custkey div 2 as int) % 8]")
@@ -1429,6 +1453,7 @@ def er_blocked_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.alias("entity"),
         variant.alias("variant"),
         clean.alias("name0"),
+        "n_blocks",
     )
     drop1 = F.concat(
         F.expr("substring(name0, 1, cast(entity % 10 as int))"),
@@ -1453,8 +1478,8 @@ def er_blocked_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             "city",
             F.when(
                 (F.col("variant") == 1) & (F.col("entity") % 9 == 0),
-                (F.col("entity") + 1) % ER_CITY_MOD,
-            ).otherwise(F.col("entity") % ER_CITY_MOD),
+                (F.col("entity") + 1) % F.col("n_blocks"),
+            ).otherwise(F.col("entity") % F.col("n_blocks")),
         )
         .select("rec_id", "entity", "name", "city")
         # Explicit block-key partitioning: the record table is tiny but
@@ -2057,9 +2082,15 @@ ORACLES = {
                                 AND {WIN_W - 1} FOLLOWING) AS minh
             FROM t
         ),
-        fp AS (
+        fp_all AS (
             SELECT DISTINCT doc_id, minh FROM sel
             WHERE idx <= greatest(ng - {WIN_W}, 0)
+        ),
+        fp AS (
+            SELECT doc_id, minh FROM fp_all
+            WHERE minh IN (SELECT minh FROM fp_all
+                           GROUP BY minh
+                           HAVING count(*) <= {WIN_MAXDF})
         ),
         counts AS (
             SELECT doc_id, cast(count(*) AS bigint) AS nfp
@@ -2082,14 +2113,20 @@ ORACLES = {
         ORDER BY doc_a, doc_b
     """,
     "er_blocked_matching": f"""
-        WITH recs0 AS (
-            SELECT c_custkey AS rec_id,
-                   c_custkey // 2 AS entity,
-                   c_custkey % 2 AS variant
+        WITH nb AS (
+            SELECT greatest({ER_MIN_BLOCKS},
+                            count(*) // {ER_BLOCK_TARGET}) AS n_blocks
             FROM customer
         ),
+        recs0 AS (
+            SELECT c_custkey AS rec_id,
+                   c_custkey // 2 AS entity,
+                   c_custkey % 2 AS variant,
+                   n_blocks
+            FROM customer, nb
+        ),
         named AS (
-            SELECT rec_id, entity, variant,
+            SELECT rec_id, entity, variant, n_blocks,
                    concat_ws(' ',
                        (string_split('{ER_ADJ}', ','))
                            [cast(entity % 8 AS int) + 1],
@@ -2099,7 +2136,7 @@ ORACLES = {
             FROM recs0
         ),
         d1t AS (
-            SELECT rec_id, entity, variant,
+            SELECT rec_id, entity, variant, n_blocks,
                    CASE WHEN variant = 1 THEN
                        substring(name0, 1, cast(entity % 10 AS int)) ||
                        substring(name0, cast(entity % 10 AS int) + 2)
@@ -2113,8 +2150,8 @@ ORACLES = {
                        substring(d1, cast(entity % 7 AS int) + 2)
                    ELSE d1 END AS name,
                    CASE WHEN variant = 1 AND entity % 9 = 0
-                        THEN (entity + 1) % {ER_CITY_MOD}
-                        ELSE entity % {ER_CITY_MOD} END AS city
+                        THEN (entity + 1) % n_blocks
+                        ELSE entity % n_blocks END AS city
             FROM d1t
         ),
         cand AS (

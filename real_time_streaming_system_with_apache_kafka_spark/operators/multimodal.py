@@ -152,7 +152,7 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PH_BITS = 16  # perceptual-hash width (stub; real pHash is 64)
+PH_BITS = 32  # perceptual-hash width (stub; real pHash is 64)
 PH_BANDS = 2  # pigeonhole bands: full recall for hamming <= PH_BANDS-1
 PH_HAMMING = 1  # near-duplicate threshold (radius; bands = radius+1)
 
@@ -160,11 +160,16 @@ PH_HAMMING = 1  # near-duplicate threshold (radius; bands = radius+1)
 def make_phash_batches():
     """Arrow-batched perceptual-hash kernel (self-contained closure,
     same worker-pickling rule as make_decode_batches). The STUB hash is
-    a {PH_BITS}-bit simhash over byte 3-grams of the payload — a pure,
+    a 32-bit simhash over byte 3-grams of the payload — a pure,
     similarity-preserving function of the bytes that DuckDB can
     recompute; a real implementation would DCT the decoded pixels
     here. Bit b of the hash = sign of the +-1 vote sum over grams,
-    where gram g votes by bit b of int(md5(g)[:4], 16)."""
+    where gram g votes by bit b of int(md5(g)[:8], 16). Width
+    matters at scale: a 16-bit variant saturates its band-key
+    space as the corpus grows (buckets of thousands at 500k docs
+    -> quadratic candidates, measured in the scale soak); 32 bits
+    keeps 16-bit band keys sparse through multi-million-doc
+    corpora, exactly why production pHash is 64."""
 
     def phash(payload: bytes) -> int:
         import hashlib as _hashlib
@@ -175,13 +180,13 @@ def make_phash_batches():
             if n < 3
             else [payload[i : i + 3] for i in range(n - 2)]
         )
-        acc = [0] * 16
+        acc = [0] * 32
         for g in grams:
-            v = int(_hashlib.md5(g).hexdigest()[:4], 16)
-            for b in range(16):
+            v = int(_hashlib.md5(g).hexdigest()[:8], 16)
+            for b in range(32):
                 acc[b] += 1 if (v >> b) & 1 else -1
         h = 0
-        for b in range(16):
+        for b in range(32):
             if acc[b] > 0:
                 h |= 1 << b
         return h
@@ -323,7 +328,7 @@ ORACLES = {
                    cast(concat('0x', substr(md5(
                        CASE WHEN n < 3 THEN text
                             ELSE substr(text, cast(i AS int) + 1, 3) END
-                   ), 1, 4)) AS bigint) AS val
+                   ), 1, 8)) AS bigint) AS val
             FROM ch
         ),
         bits AS (

@@ -93,6 +93,7 @@ def test_er_blocked_matching_python_recompute(spark, sf_smoke):
     ]
     adj = dedup.ER_ADJ.split(",")
     noun = dedup.ER_NOUN.split(",")
+    n_blocks = max(dedup.ER_MIN_BLOCKS, len(keys) // dedup.ER_BLOCK_TARGET)
     recs = []
     for k in keys:
         e, v = k // 2, k % 2
@@ -103,8 +104,8 @@ def test_er_blocked_matching_python_recompute(spark, sf_smoke):
             if e % 5 == 0:
                 q = e % 7
                 name = name[:q] + name[q + 1 :]
-        city = (e + 1) % dedup.ER_CITY_MOD if v == 1 and e % 9 == 0 else (
-            e % dedup.ER_CITY_MOD
+        city = (e + 1) % n_blocks if v == 1 and e % 9 == 0 else (
+            e % n_blocks
         )
         recs.append((k, e, name, city))
     n_cand = n_match = n_true_cob = n_true_match = 0
@@ -154,9 +155,11 @@ def test_er_blocking_is_equality_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # The block-key candidate join is an equality join.
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
-    # Exactly one nested-loop operator (tree + detail block = 2 string
-    # occurrences in formatted output): the 1-row x 1-row summary glue.
-    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # Nested loops are 1-row broadcasts only (tree + detail block = 2
+    # string occurrences each in formatted output): the n_blocks count
+    # onto the records (planned once per self-join side and once under
+    # the truth aggregate) and the truth x candidate summary glue.
+    assert plan.count("BroadcastNestedLoopJoin") <= 8
 
 
 def test_substring_spans_shuffles_hashes_not_text(spark, sf_dir):
@@ -708,6 +711,13 @@ def test_winnowing_python_recompute(spark, sf_smoke):
         for i in range(0, last_full + 1):
             sel.add(min(hs[i : i + dedup.WIN_W]))
         fps[doc_id] = sel
+    from collections import Counter
+
+    dfreq = Counter(h for s in fps.values() for h in s)
+    fps = {
+        d: {h for h in s if dfreq[h] <= dedup.WIN_MAXDF}
+        for d, s in fps.items()
+    }
     expected = {}
     ids = sorted(fps)
     for i, a_id in enumerate(ids):
@@ -758,12 +768,12 @@ def test_phash_dedup_python_recompute_and_recall(spark, sf_smoke):
         grams = (
             [payload] if n < 3 else [payload[i : i + 3] for i in range(n - 2)]
         )
-        acc = [0] * 16
+        acc = [0] * 32
         for g in grams:
-            v = int(hashlib.md5(g).hexdigest()[:4], 16)
-            for b in range(16):
+            v = int(hashlib.md5(g).hexdigest()[:8], 16)
+            for b in range(32):
                 acc[b] += 1 if (v >> b) & 1 else -1
-        return sum(1 << b for b in range(16) if acc[b] > 0)
+        return sum(1 << b for b in range(32) if acc[b] > 0)
 
     ph = {d: phash(p) for d, p in docs.items()}
     ids = sorted(ph)
