@@ -674,6 +674,14 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (dedup.COSINE_THRESHOLD — not imported to keep the module graph
 # acyclic; the equality is pinned in tests/test_similarity.py).
 SEM_DECON_MOD = 10
+# A benchmark suite is FIXED SIZE — it does not grow with the training
+# corpus. The cap pins the bench side to the base id range (a no-op on
+# every fixture SF, where all vec_ids are far below it) so the op's
+# broadcast-small-side contract survives corpus replication: without
+# it the sf10 soak's id-striped replicas scaled the bench side 100x
+# with EXACT-duplicate vectors, whose identical LSH keys made the
+# candidate join quadratic (measured disk-full).
+SEM_BENCH_CAP = 1_000_000
 SEM_DECON_THRESHOLD = 0.35
 
 
@@ -710,7 +718,10 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bucket"),
     )
-    bench = sig.filter(F.col("vec_id") % SEM_DECON_MOD == 0).select(
+    bench = sig.filter(
+        (F.col("vec_id") % SEM_DECON_MOD == 0)
+        & (F.col("vec_id") < SEM_BENCH_CAP)
+    ).select(
         F.col("vec_id").alias("bench_id"),
         F.col("embedding").alias("be"),
         F.explode(
@@ -1836,6 +1847,7 @@ def _semantic_decon_oracle_sql() -> str:
             SELECT vec_id AS bench_id,
                    unnest([{probe_buckets}]) AS bucket
             FROM sigs WHERE vec_id % {SEM_DECON_MOD} = 0
+                  AND vec_id < {SEM_BENCH_CAP}
         ),
         pairs AS (
             SELECT DISTINCT t.train_id, b.bench_id
