@@ -1443,9 +1443,13 @@ def er_blocked_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = cust.crossJoin(F.broadcast(nb))
     base = F.expr("c_custkey div 2")
     variant = F.col("c_custkey") % 2
-    adj = F.expr(f"split('{ER_ADJ}', ',')[cast(c_custkey div 2 as int) % 8]")
+    # Mod BEFORE the int cast: the raw key is bigint-ranged (striped
+    # replicas push it past 2^31) and only the 0..7 residue needs int.
+    adj = F.expr(
+        f"split('{ER_ADJ}', ',')[cast((c_custkey div 2) % 8 as int)]"
+    )
     noun = F.expr(
-        f"split('{ER_NOUN}', ',')[cast(c_custkey div 2 div 8 as int) % 8]"
+        f"split('{ER_NOUN}', ',')[cast((c_custkey div 2 div 8) % 8 as int)]"
     )
     clean = F.concat_ws(" ", adj, noun, base.cast("string"))
     recs = cust.select(
