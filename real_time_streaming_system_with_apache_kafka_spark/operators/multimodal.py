@@ -152,7 +152,7 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PH_BITS = 32  # perceptual-hash width (stub; real pHash is 64)
+PH_BITS = 64  # perceptual-hash width (production pHash width)
 PH_BANDS = 2  # pigeonhole bands: full recall for hamming <= PH_BANDS-1
 PH_HAMMING = 1  # near-duplicate threshold (radius; bands = radius+1)
 
@@ -160,49 +160,131 @@ PH_HAMMING = 1  # near-duplicate threshold (radius; bands = radius+1)
 def make_phash_batches():
     """Arrow-batched perceptual-hash kernel (self-contained closure,
     same worker-pickling rule as make_decode_batches). The STUB hash is
-    a 32-bit simhash over byte 3-grams of the payload — a pure,
+    a 64-bit simhash over byte 3-grams of the payload — a pure,
     similarity-preserving function of the bytes that DuckDB can
     recompute; a real implementation would DCT the decoded pixels
     here. Bit b of the hash = sign of the +-1 vote sum over grams,
-    where gram g votes by bit b of int(md5(g)[:8], 16). Width
-    matters at scale: a 16-bit variant saturates its band-key
-    space as the corpus grows (buckets of thousands at 500k docs
-    -> quadratic candidates, measured in the scale soak); 32 bits
-    keeps 16-bit band keys sparse through multi-million-doc
-    corpora, exactly why production pHash is 64."""
+    where gram g votes by bit b of int(md5(g)[:16], 16).
 
-    def phash(payload: bytes) -> int:
+    Batch-vectorized end to end (the r4 kernel called Python md5 once
+    per gram per doc and was 24% of the sf10 soak): 3-grams are packed
+    into 24-bit ints with numpy stride arithmetic, md5 runs only once
+    per DISTINCT gram in a chunk (trigram vocabulary — hundreds to
+    thousands for text — vs total gram occurrences — millions), and
+    the vote accumulation is a (docs x vocab) count matrix times the
+    (vocab x 64) bit matrix — one BLAS matmul, exact in float64
+    because every count and sum is an integer < 2^53. When the chunk
+    vocabulary is too large for the count matrix (binary-ish payloads:
+    up to 2^24 distinct grams), fall back to 64 per-bit
+    ``np.add.reduceat`` passes over doc boundaries — bounded memory
+    (one grams-length temp), never a (grams x 64) expansion. Docs are
+    processed in gram-bounded chunks so every intermediate stays small
+    regardless of Arrow batch size. The hash is stored as the
+    signed-int64 reinterpretation of the uint64 value (LongType); band
+    keys use logical shifts so they stay non-negative."""
+
+    CHUNK_GRAMS = 1 << 20
+    CM_CELLS = 1 << 24  # count-matrix budget (128 MB of int64)
+
+    def hash_chunk(payloads: list, np_, hashlib_):
+        """simhash64 for one doc chunk -> uint64 array."""
+        grams = []
+        short = {}
+        for i, p in enumerate(payloads):
+            b = np_.frombuffer(p, dtype=np_.uint8)
+            if b.size < 3:
+                short[i] = int(hashlib_.md5(p).hexdigest()[:16], 16)
+                grams.append(np_.empty(0, dtype=np_.int64))
+            else:
+                grams.append(
+                    (b[:-2].astype(np_.int64) << 16)
+                    | (b[1:-1].astype(np_.int64) << 8)
+                    | b[2:].astype(np_.int64)
+                )
+        counts = np_.array([g.size for g in grams], dtype=np_.int64)
+        out = np_.zeros(len(payloads), dtype=np_.uint64)
+        allg = (
+            np_.concatenate(grams) if grams else np_.empty(0, np_.int64)
+        )
+        if allg.size:
+            # Vocabulary via a 2^24 presence bitmap — O(grams + domain)
+            # with no sort (np.unique's argsort dominated the profile).
+            present = np_.zeros(1 << 24, dtype=bool)
+            present[allg] = True
+            uniq = np_.flatnonzero(present)
+            lut = np_.zeros(1 << 24, dtype=np_.int32)
+            lut[uniq] = np_.arange(uniq.size, dtype=np_.int32)
+            inv = lut[allg]
+            uh = np_.array(
+                [
+                    int(
+                        hashlib_.md5(int(u).to_bytes(3, "big")).hexdigest()[:16],
+                        16,
+                    )
+                    for u in uniq
+                ],
+                dtype=np_.uint64,
+            )
+            nz = counts > 0
+            ndocs = int(nz.sum())
+            cnz = counts[nz]
+            if ndocs * uniq.size <= CM_CELLS:
+                # Dense doc x vocab counts -> one exact BLAS matmul.
+                doc_of_gram = np_.repeat(np_.arange(ndocs), cnz)
+                cm = np_.bincount(
+                    doc_of_gram * uniq.size + inv,
+                    minlength=ndocs * uniq.size,
+                ).reshape(ndocs, uniq.size)
+                bits = (
+                    (uh[:, None] >> np_.arange(64, dtype=np_.uint64)) & 1
+                ).astype(np_.float64)
+                sums = np_.rint(
+                    cm.astype(np_.float64) @ bits
+                ).astype(np_.int64)
+            else:
+                # Huge vocab: 64 per-bit segment sums, bounded temps.
+                starts = np_.concatenate(
+                    ([0], np_.cumsum(cnz)[:-1])
+                ).astype(np_.int64)
+                uh_inv = uh[inv]
+                sums = np_.empty((ndocs, 64), dtype=np_.int64)
+                for bit in range(64):
+                    sums[:, bit] = np_.add.reduceat(
+                        (
+                            (uh_inv >> np_.uint64(bit)) & np_.uint64(1)
+                        ).astype(np_.int64),
+                        starts,
+                    )
+            acc = 2 * sums - cnz[:, None]
+            out[nz] = (
+                (acc > 0).astype(np_.uint64)
+                << np_.arange(64, dtype=np_.uint64)
+            ).sum(axis=1)
+        for i, v in short.items():
+            out[i] = v
+        return out
+
+    def phash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
 
         import numpy as _np
-
-        n = len(payload)
-        grams = (
-            [payload]
-            if n < 3
-            else [payload[i : i + 3] for i in range(n - 2)]
-        )
-        # Vectorized +-1 vote accumulation (bit-identical to the
-        # per-bit loop, ~4x faster — the kernel dominates the sf10
-        # soak otherwise): unpack each gram's 32 md5 bits at once.
-        v = _np.array(
-            [int(_hashlib.md5(g).hexdigest()[:8], 16) for g in grams],
-            dtype=_np.uint32,
-        )
-        bits = (v[:, None] >> _np.arange(32, dtype=_np.uint32)) & 1
-        acc = bits.astype(_np.int64).sum(axis=0) * 2 - len(grams)
-        return int(
-            ((acc > 0).astype(_np.uint64) << _np.arange(32, dtype=_np.uint64)).sum()
-        )
-
-    def phash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
         for pdf in it:
+            payloads = list(pdf["payload"])
+            hashes = _np.empty(len(payloads), dtype=_np.uint64)
+            lo = 0
+            while lo < len(payloads):
+                hi, budget = lo, CHUNK_GRAMS
+                while hi < len(payloads) and budget > 0:
+                    budget -= max(len(payloads[hi]) - 2, 1)
+                    hi += 1
+                hashes[lo:hi] = hash_chunk(payloads[lo:hi], _np, _hashlib)
+                lo = hi
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "phash": pdf["payload"].map(phash),
+                    "phash": hashes.view(_np.int64),
                 }
             )
 
@@ -238,6 +320,8 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_phash_batches(), "doc_id long, phash long"
     )
     band_width = PH_BITS // PH_BANDS
+    # Logical (unsigned) shift: phash is the signed reinterpretation of
+    # a uint64, so arithmetic div would go negative for high hashes.
     bands = ph.select(
         "doc_id",
         "phash",
@@ -247,8 +331,8 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(b).alias("band"),
                         F.expr(
-                            f"(phash div {1 << (b * band_width)})"
-                            f" % {1 << band_width}"
+                            f"shiftrightunsigned(phash, {b * band_width})"
+                            f" & {(1 << band_width) - 1}"
                         ).alias("key"),
                     )
                     for b in range(PH_BANDS)
@@ -314,9 +398,17 @@ ORACLES = {
     #
     # mm_phash_dedup: the fixture payload is the utf-8 text and the
     # corpus is ASCII, so byte 3-grams == character 3-grams and the
-    # SQL twin rebuilds the kernel's hash exactly.
+    # SQL twin rebuilds the kernel's 64-bit hash exactly. The hash is
+    # carried as UBIGINT here (the kernel emits the signed-int64
+    # reinterpretation; neither representation reaches the output —
+    # only doc ids and the hamming distance, which agree bit-for-bit).
+    # Powers of two come from a literal (bit, power) table because
+    # DuckDB's `1 << 63` overflows signed bigint.
     "mm_phash_dedup": f"""
-        WITH w AS (
+        WITH pw(b, p) AS (
+            VALUES {", ".join(f"({b}, {1 << b})" for b in range(PH_BITS))}
+        ),
+        w AS (
             SELECT doc_id, text,
                    octet_length(encode(text)) AS n
             FROM documents
@@ -332,27 +424,33 @@ ORACLES = {
                    cast(concat('0x', substr(md5(
                        CASE WHEN n < 3 THEN text
                             ELSE substr(text, cast(i AS int) + 1, 3) END
-                   ), 1, 8)) AS bigint) AS val
+                   ), 1, 16)) AS ubigint) AS val
             FROM ch
         ),
         bits AS (
-            SELECT doc_id, b,
-                   sum(CASE WHEN (val // (1 << b)) % 2 = 1
+            SELECT doc_id, pw.b,
+                   sum(CASE WHEN (val // pw.p) % 2 = 1
                             THEN 1 ELSE -1 END) AS acc
-            FROM v, (SELECT unnest(range({PH_BITS})) AS b)
-            GROUP BY doc_id, b
+            FROM v, pw
+            GROUP BY doc_id, pw.b
         ),
         ph AS (
-            SELECT doc_id,
-                   cast(sum(CASE WHEN acc > 0 THEN (1 << b)
-                                 ELSE 0 END) AS bigint) AS phash
-            FROM bits GROUP BY doc_id
+            SELECT bits.doc_id,
+                   cast(sum(CASE WHEN acc > 0 THEN pw.p
+                                 ELSE 0 END) AS ubigint) AS phash
+            FROM bits JOIN pw ON bits.b = pw.b
+            GROUP BY bits.doc_id
+        ),
+        bd(band, bp) AS (
+            VALUES {", ".join(
+                f"({b}, {1 << (b * (PH_BITS // PH_BANDS))})"
+                for b in range(PH_BANDS)
+            )}
         ),
         bands AS (
             SELECT doc_id, phash, band,
-                   (phash // (1 << (band * {PH_BITS // PH_BANDS})))
-                       % {1 << (PH_BITS // PH_BANDS)} AS key
-            FROM ph, (SELECT unnest(range({PH_BANDS})) AS band)
+                   (phash // bp) % {1 << (PH_BITS // PH_BANDS)} AS key
+            FROM ph, bd
         ),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -17,112 +17,93 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The external correctness harness certifies the FIRST 50 ``queries()``
 # entries per round (dict insertion order). Rounds 1-2 signed the
-# SURVEY §2 relational core; round 3 signed the LLM-data-pipeline
-# suite (dedup / similarity / text / curation / sampling / pipeline
-# analytics / time-series). Round 4 rotates in the suites that have
-# NEVER had a driver-signed row — the full TPC-H batch (q2-q22), the
-# datamix / skew / layout suites, the extras remainder — plus the
-# repaired ``embed_centroid_stats`` (r3's one red row, now integer-unit
-# string accumulators) and ``sim_ivf_kmeans_topk`` (promised rotation
-# after its unrolled-Lloyd oracle landed in r3). The three §2
-# sentinels stay pinned so the core never goes a round unsigned.
-# Entries NOT listed keep module order after the priority block and
-# stay covered every round by the local parity suite
-# (tests/test_oracle_parity.py) and the representation audit
-# (tools/canon_check.py — run it before rotating anything in).
+# SURVEY §2 relational core; round 3 the LLM-data-pipeline suite;
+# round 4 the TPC-H batch (q2-q22) + datamix / skew / layout / extras.
+# Round 5 rotates in 47 of the 87 oracled-but-never-signed entries:
+# the dedup extension batch + dup-graph algorithms, engine-native BPE,
+# the similarity remainder, the 64-bit-respec'd mm_phash_dedup, and
+# the pipeline-analytics batch. The three §2 sentinels stay pinned so
+# the core never goes a round unsigned. Entries NOT listed keep module
+# order after the priority block and stay covered every round by the
+# local parity suite (tests/test_oracle_parity.py) and the
+# representation audit (tools/canon_check.py — run it before rotating
+# anything in).
 #
-# Round-5 rotation candidates (oracled, never driver-signed): the
-# dedup extension batch (soft_weights, prefix, lsh_verified, pagerank,
-# triangles, containment, passage, semdedup), the similarity remainder
-# (pq, prefix, filtered, ivfpq, knn_join), the curation remainder
-# (boilerplate, schema_stats, gopher_gates, inverted_index, rarity,
-# dup_rate, chunking, weighted_terms), sampling (importance, domain
-# cap, global order), analytics (bitmap_distinct, pivot_status_by_day),
-# text_ngram_diversity, and the round-4 additions (dedup_lines_c4,
-# url_canonical_dedup, quality_lm_surprise, quality_domain_calibrated,
-# mask_span_plan, embed_pca_power, sim_hard_negatives,
-# event_transition_matrix, curation_funnel, dedup_quality_survivor,
-# vocab_bpe_pair_stats, dedup_lsh_calibration, sample_curriculum_order,
-# vocab_bpe_learn_merges, tokenize_with_learned_bpe,
-# sim_ann_recall_eval, mix_anneal_schedule, quality_classifier_eval,
-# mix_drift_chi2, search_bm25_topk, dsir_importance,
-# layout_compaction_plan, embed_outlier_scores,
-# decontaminate_span_lengths, profile_source_overlap, ts_vwap_bars,
-# sketch_cms_heavy_hitters, sketch_bloom_decontaminate,
-# search_hybrid_rrf, search_mmr_diversify, layout_zonemap_skipping,
-# search_prf_expand, tokens_context_audit, sample_kcenter_coreset,
-# sketch_hll_distinct, sketch_kmv_overlap, decontaminate_semantic,
-# sim_sq8_topk, events_funnel_steps, events_retention_cohorts,
-# basket_pair_lift, customer_rfm_segments, events_active_users_rolling,
-# revenue_concentration_gini, dedup_substring_spans,
-# er_blocked_matching, stats_robust_mad, skyline_pareto_parts,
-# view_incremental_merge, experiment_ab_lift, path_topk_journeys,
-# profile_table_stats, sketch_quantile_histogram,
-# graph_label_propagation, graph_kcore, sample_temporal_split,
-# metrics_bootstrap_ci, stats_ks_drift, dedup_winnowing,
-# mm_phash_dedup)
-# — ~87 entries;
-# prioritize the never-signed suites, spill the remainder to r6.
+# Round-6 rotation candidates (oracled, never driver-signed — the 40
+# spilled from r5): the curation remainder (text_boilerplate_strip,
+# profile_schema_stats, quality_gopher_gates, tokens_context_audit,
+# embed_outlier_scores, profile_table_stats, text_inverted_index,
+# text_rarity_score, profile_dup_rate_by_source, chunk_documents,
+# quality_weighted_terms, quality_lm_surprise,
+# quality_domain_calibrated, quality_classifier_eval, mask_span_plan,
+# curation_funnel, decontaminate_span_lengths, profile_source_overlap),
+# retrieval (search_bm25_topk, dsir_importance, search_hybrid_rrf,
+# search_mmr_diversify, search_prf_expand), sketches
+# (sketch_cms_heavy_hitters, sketch_bloom_decontaminate,
+# sketch_hll_distinct, sketch_kmv_overlap, sketch_quantile_histogram),
+# sampling (sample_kcenter_coreset, sample_importance_weighted,
+# sample_domain_cap, shuffle_global_order, sample_curriculum_order,
+# sample_temporal_split, stats_ks_drift), mix (mix_drift_chi2,
+# mix_anneal_schedule), layout (layout_compaction_plan,
+# layout_zonemap_skipping), and view_incremental_merge — plus any
+# newly-oracled dash_* frames.
 _PRIORITY: list[str] = [
     # §2 sentinels — pinned every round.
     "w1_minute_activity",
     "q0_snapshot_topk",
     "j1_star_join_revenue",
-    # r3's red row, repaired this round — must re-certify.
-    "embed_centroid_stats",
-    # TPC-H batch (analytics + tpch + tpch_full modules).
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_lines",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customer",
-    "q19_disjunctive_revenue",
-    "q20_excess_suppliers",
-    "q21_sole_returning_supplier",
-    "q22_global_sales_opportunity",
-    # Dataset-mix / incremental-dedup suite.
-    "mix_epoch_repeats",
-    "mix_temperature_weights",
-    "mix_domain_weights",
-    "dedup_incremental_ingest",
-    "dedup_cross_source",
-    "sample_token_budget",
-    # Skew tools.
-    "agg_salted_skew",
-    "join_salted_skew",
-    # Physical layout.
-    "j8_bucketed_join",
-    "layout_zorder_events",
-    # Extras remainder.
-    "reconcile_checksum",
-    "feature_quantile_bucketize",
-    "agg_grouping_sets",
-    "agg_stats_moments",
-    "agg_quartiles_exact",
-    "wf_share_of_total",
-    "wf_first_last_nth",
-    "agg_mode_exact",
-    "f_regexp_funcs",
-    "sql_api_snapshot",
-    # Streaming-twin batch windows not yet signed.
-    "w9_cascaded_rollup",
-    "w11_minute_distinct_users",
-    # Singles.
-    "j7_full_outer_reconcile",
-    "f_variant_funcs",
-    "sim_ivf_kmeans_topk",
+    # Dedup extension batch + dup-graph algorithms.
+    "dedup_soft_weights",
+    "dedup_prefix",
+    "dedup_lsh_verified",
+    "dedup_lsh_calibration",
+    "dedup_quality_survivor",
+    "dedup_containment",
+    "dedup_passage",
+    "dedup_semdedup",
+    "dedup_lines_c4",
+    "url_canonical_dedup",
+    "dedup_substring_spans",
+    "dedup_winnowing",
+    "er_blocked_matching",
+    "graph_pagerank_dupgraph",
+    "graph_triangle_count",
+    "graph_label_propagation",
+    "graph_kcore",
+    # Engine-native BPE.
+    "vocab_bpe_pair_stats",
+    "vocab_bpe_learn_merges",
+    "tokenize_with_learned_bpe",
+    "text_ngram_diversity",
+    # Similarity remainder.
+    "sim_pq_topk",
+    "sim_prefix_topk",
+    "sim_filtered_topk",
+    "sim_ivfpq_topk",
+    "sim_knn_join",
+    "sim_sq8_topk",
+    "sim_hard_negatives",
+    "sim_ann_recall_eval",
+    "embed_pca_power",
+    "decontaminate_semantic",
+    # Multimodal pHash — 64-bit vectorized respec this round.
+    "mm_phash_dedup",
+    # Pipeline-analytics batch.
+    "events_funnel_steps",
+    "events_retention_cohorts",
+    "basket_pair_lift",
+    "customer_rfm_segments",
+    "events_active_users_rolling",
+    "revenue_concentration_gini",
+    "experiment_ab_lift",
+    "path_topk_journeys",
+    "event_transition_matrix",
+    "agg_bitmap_distinct",
+    "pivot_status_by_day",
+    "stats_robust_mad",
+    "skyline_pareto_parts",
+    "metrics_bootstrap_ci",
+    "ts_vwap_bars",
 ]
 
 _MODULES: list[str] = [

@@ -764,23 +764,26 @@ def test_phash_dedup_python_recompute_and_recall(spark, sf_smoke):
     }
 
     def phash(payload: bytes) -> int:
+        """Naive per-gram reference for the vectorized 64-bit kernel
+        (signed-int64 reinterpretation, matching the LongType column)."""
         n = len(payload)
         grams = (
             [payload] if n < 3 else [payload[i : i + 3] for i in range(n - 2)]
         )
-        acc = [0] * 32
+        acc = [0] * 64
         for g in grams:
-            v = int(hashlib.md5(g).hexdigest()[:8], 16)
-            for b in range(32):
+            v = int(hashlib.md5(g).hexdigest()[:16], 16)
+            for b in range(64):
                 acc[b] += 1 if (v >> b) & 1 else -1
-        return sum(1 << b for b in range(32) if acc[b] > 0)
+        u = sum(1 << b for b in range(64) if acc[b] > 0)
+        return u - (1 << 64) if u >= (1 << 63) else u
 
     ph = {d: phash(p) for d, p in docs.items()}
     ids = sorted(ph)
     expected = {}
     for i, a_id in enumerate(ids):
         for b_id in ids[i + 1 :]:
-            d = bin(ph[a_id] ^ ph[b_id]).count("1")
+            d = bin((ph[a_id] ^ ph[b_id]) & ((1 << 64) - 1)).count("1")
             if d <= multimodal.PH_HAMMING:
                 expected[(a_id, b_id)] = d
     rows = multimodal.mm_phash_dedup(spark, sf_smoke).collect()
