@@ -173,6 +173,8 @@ HEADLINE = [
     "sample_temporal_split",
     "metrics_bootstrap_ci",
     "mm_phash_dedup",
+    # r5: single-fact-pass histogram selection (was ~8 jobs / ~6 s).
+    "stats_robust_mad",
 ]
 
 

@@ -506,76 +506,144 @@ def stats_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated floats), and the outlier test |x-med| > 2*MAD is pure
     integer comparison. Every output column is int/bigint.
 
-    Scale shape: both exact medians run as per-group HISTOGRAM-ASSISTED
-    SELECTION (_group_median: bin counts locate the covering bin +
-    within-bin rank, one tiny window selects the value) — no group's
-    full value set ever funnels through a single sort-based
-    percentile_disc reducer (measured 5.5 -> 1.9 s at sf0.1, and the
-    reducer gap grows with group size). Every pass is a parallel scan
-    + small agg with 1-row-per-group broadcast models. At 100 TB the
+    Scale shape (FUSED, r5 — the r4 form ran ~8 scheduler-bound
+    sequential jobs over the fact table; the verdict asked for <=4):
+    the fact table is scanned exactly ONCE, into a value-level
+    histogram ``(group, cents) -> count``. The cents DOMAIN is bounded
+    (TPC-H prices => ~11M distinct values, a constant independent of
+    row count), so the histogram is a small distributed frame, and —
+    key fusion — the DEVIATION histogram |cents - med| is a pure
+    function of it, so the MAD never re-reads the fact. Three tiny
+    follow-up jobs run against the cached histogram:
+      1. coarse fixed-width bin counts (bucket = value div 2^16) ->
+         covering bucket + within-bucket rank per group (driver walk
+         over <=170 bins);
+      2. value slice of the ONE covering bucket -> exact median;
+      3. coarse bins of the derived deviation histogram -> MAD
+         covering bucket; plus the value slice of that bucket AND the
+         two buckets that can contain 2*MAD (bucket(2m) for m in
+         bucket b is 2b or 2b+1) -> exact MAD by rank walk, exact
+         outlier count = full bins above 2b+1 + value-exact boundary
+         counts.
+    Driver state is bounded by BIN COUNT + bucket WIDTH (<=2^16
+    distinct integers per slice), never by n — the same
+    O(model)-collect contract as the k-means codebooks. At 100 TB the
     sketch path (approx_percentile) takes over and this exact form is
     its validation twin, same contract as agg_quartiles_exact."""
-    # Four passes consume the projected fact (median bounds/bins/
-    # selection + the deviation build) — materialize the 2-column
-    # projection once so no pass repeats the scan + rebalance exchange.
-    li = (
+    width = 1 << 16  # bucket width in cents; <=170 buckets at TPC-H prices
+    hist = (
         load_rebalanced(spark, "lineitem", sf_dir)
-        .select(
+        .groupBy(
             "l_returnflag",
             (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
             .cast("bigint")
             .alias("cents"),
         )
+        .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=False)
     )
-    # The per-group models are rows-per-group tiny but their lineage is
-    # a multi-pass pipeline — localCheckpoint so each consumer join
-    # reads 3 rows instead of re-running the selection; dev is consumed
-    # by four passes (MAD bounds/bins/selection + outlier count), so it
-    # materializes once too (the graph_pagerank_dupgraph pattern).
-    med = (
-        _group_median(li, "l_returnflag", "cents")
-        .select("l_returnflag", "n", F.col("med").alias("med_cents"))
-        .localCheckpoint(eager=False)
-    )
-    dev = (
-        li.join(
-            F.broadcast(med.select("l_returnflag", "med_cents")),
-            "l_returnflag",
+
+    def rank_walk(h: dict, k: int):
+        """(covering key, rank within it) for the k-th order statistic
+        of a {key -> count} histogram."""
+        cum = 0
+        for key in sorted(h):
+            if cum + h[key] >= k:
+                return key, k - cum
+            cum += h[key]
+        raise ValueError("rank beyond histogram")
+
+    def case_expr(mapping: dict) -> str:
+        arms = " ".join(
+            f"WHEN '{g}' THEN {v}L" for g, v in mapping.items()
         )
-        .select(
-            "l_returnflag",
-            F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    mad = (
-        _group_median(dev, "l_returnflag", "adev")
-        .select("l_returnflag", F.col("med").alias("mad_cents"))
-        .localCheckpoint(eager=False)
-    )
-    out = (
-        dev.join(F.broadcast(mad), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(
-            F.count_if(F.col("adev") > 2 * F.col("mad_cents")).alias(
-                "n_outliers"
+        return f"CASE l_returnflag {arms} END"
+
+    def coarse(df: DataFrame, val: str) -> dict[str, dict[int, int]]:
+        out: dict[str, dict[int, int]] = {}
+        for r in (
+            df.groupBy(
+                "l_returnflag", F.expr(f"{val} div {width}").alias("b")
             )
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        ):
+            out.setdefault(r["l_returnflag"], {})[r["b"]] = r["c"]
+        return out
+
+    def slice_values(
+        df: DataFrame, val: str, want: dict[str, set]
+    ) -> dict[str, dict[int, int]]:
+        cond = " OR ".join(
+            f"(l_returnflag = '{g}' AND ({val}) div {width} IN "
+            f"({', '.join(str(b) for b in sorted(bs))}))"
+            for g, bs in want.items()
         )
+        out: dict[str, dict[int, int]] = {}
+        for r in (
+            df.filter(F.expr(cond))
+            .groupBy("l_returnflag", F.expr(val).alias("v"))
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        ):
+            out.setdefault(r["l_returnflag"], {})[r["v"]] = r["c"]
+        return out
+
+    # Job 1 (the only fact scan materializes here): coarse cents bins.
+    bins1 = coarse(hist, "cents")
+    n_by_g = {g: sum(h.values()) for g, h in bins1.items()}
+    k_by_g = {g: (n + 1) // 2 for g, n in n_by_g.items()}
+    bstar = {g: rank_walk(bins1[g], k_by_g[g]) for g in bins1}
+
+    # Job 2: value slice of each covering bucket -> exact median.
+    vh = slice_values(hist, "cents", {g: {b} for g, (b, _) in bstar.items()})
+    med = {g: rank_walk(vh[g], rk)[0] for g, (_, rk) in bstar.items()}
+
+    # Deviation histogram — derived from the CENTS histogram, not the
+    # fact table (|cents - med| inlined as a codegen CASE literal).
+    adev = f"abs(cents - ({case_expr(med)}))"
+    # Job 3: coarse deviation bins -> MAD covering bucket.
+    bins2 = coarse(hist, f"({adev})")
+    bstar2 = {g: rank_walk(bins2[g], k_by_g[g]) for g in bins2}
+
+    # Job 4: value slice of the MAD bucket + the 2*MAD boundary
+    # buckets {2b, 2b+1} — one pass serves the exact MAD selection and
+    # the value-exact outlier boundary.
+    vh2 = slice_values(
+        hist,
+        f"({adev})",
+        {g: {b, 2 * b, 2 * b + 1} for g, (b, _) in bstar2.items()},
     )
-    return (
-        med.join(mad, "l_returnflag")
-        .join(out, "l_returnflag")
-        .select(
-            "l_returnflag",
-            "n",
-            "med_cents",
-            "mad_cents",
-            "n_outliers",
-            F.expr("n_outliers * 1000000 div n").alias("outlier_ppm"),
+    rows = []
+    for g in sorted(n_by_g):
+        b_mad, rk2 = bstar2[g]
+        in_bucket = {
+            d: c for d, c in vh2[g].items() if d // width == b_mad
+        }
+        mad = rank_walk(in_bucket, rk2)[0]
+        thr = 2 * mad
+        # Exact outlier count: whole bins strictly above 2b_mad+1 (all
+        # their values exceed 2*mad, since 2*mad < (2b_mad+2)*width),
+        # plus value-exact counts in the boundary buckets
+        # {2b_mad, 2b_mad+1} — the only buckets that can contain 2*mad.
+        tail_full = sum(
+            c for b, c in bins2[g].items() if b > 2 * b_mad + 1
         )
-        .orderBy("l_returnflag")
-    )
+        boundary = sum(
+            c
+            for d, c in vh2[g].items()
+            if d // width in (2 * b_mad, 2 * b_mad + 1) and d > thr
+        )
+        n = n_by_g[g]
+        n_out = tail_full + boundary
+        rows.append(
+            (g, n, med[g], mad, n_out, n_out * 1_000_000 // n)
+        )
+    return spark.createDataFrame(
+        rows,
+        "l_returnflag string, n bigint, med_cents bigint, "
+        "mad_cents bigint, n_outliers bigint, outlier_ppm bigint",
+    ).orderBy("l_returnflag")
 
 
 def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
