@@ -277,9 +277,28 @@ def with_duplicates(df: DataFrame, every_n: int = 50) -> DataFrame:
 
 
 def src1_trade_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry (rows-only check: hash-derived values are not
-    reproducible in ANSI SQL): 10k seeded trades."""
-    return trades(spark, 10_000)
+    """Registry entry: 10k seeded trades. Oracled since r5 against the
+    committed golden fixture (trade timestamps are strictly increasing
+    in row id, so the first 10k of the 20k fixture by timestamp ARE
+    rows 0..9999): xxhash64 isn't re-expressible in ANSI SQL, but the
+    generator is deterministic, and the fixture is pinned bit-for-bit
+    to the live generator by tests/test_dashboard_oracles.py. Decimal
+    columns are emitted as double on both sides — exact at these
+    magnitudes (all scaled units < 2^53) — because DuckDB's Python
+    DECIMALs strip trailing zeros and mismatch fixed-scale
+    representations."""
+    t = trades(spark, 10_000)
+    dec_cols = {
+        f.name
+        for f in t.schema.fields
+        if f.dataType.typeName().startswith("decimal")
+    }
+    return t.select(
+        *[
+            F.col(c).cast("double").alias(c) if c in dec_cols else F.col(c)
+            for c in t.columns
+        ]
+    )
 
 
 def w4_wire_roundtrip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,4 +327,40 @@ QUERIES = {
     "src1_trade_generator": src1_trade_generator,
     "w4_wire_roundtrip_dedup": w4_wire_roundtrip_dedup,
 }
-ORACLES: dict[str, str] = {}
+
+
+def _fixture_path() -> str:
+    import os
+
+    return os.path.abspath(
+        os.path.join(
+            os.path.dirname(__file__),
+            "..",
+            "tests",
+            "fixtures",
+            "trades_seed42_n20000.parquet",
+        )
+    )
+
+
+ORACLES: dict[str, str] = {
+    # Golden-fixture oracle (src1 docstring): the generator itself,
+    # hash-checked end to end. w4 stays rows-only (wire encode/decode
+    # exercises from_json, which has no DuckDB twin).
+    "src1_trade_generator": f"""
+        SELECT trade_id, asset_class, instrument, side,
+               cast(quantity AS double) AS quantity,
+               cast(price AS double) AS price,
+               cast(notional_value AS double) AS notional_value,
+               counterparty, status, settlement_venue,
+               trade_date, settlement_date,
+               cast(brokerage_fee AS double) AS brokerage_fee,
+               cast(clearing_fee AS double) AS clearing_fee,
+               cast(exchange_fee AS double) AS exchange_fee,
+               cast(total_fees AS double) AS total_fees,
+               priority, stp_eligible, timestamp, processed_by
+        FROM read_parquet('{_fixture_path()}')
+        ORDER BY timestamp
+        LIMIT 10000
+    """,
+}

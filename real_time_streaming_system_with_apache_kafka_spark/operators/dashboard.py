@@ -4,19 +4,40 @@
 A user of the reference pipeline runs ~10 chart/KPI computations
 against the Postgres snapshot every 5 s; these are the same
 computations as lazy Spark plans over the seeded trade generator —
-each function cites the dashboard lines it reproduces. Driver check is
-rows-only (the inputs are generated, not oracle tables); the numeric
-semantics are covered by the oracle-checked A*/S*/W* twins on the star
-schema and by the generator's invariant tests.
+each function cites the dashboard lines it reproduces.
+
+Oracle strategy (r5): the generator is xxhash64-seeded and therefore
+not re-expressible in ANSI SQL, but it IS deterministic — so a GOLDEN
+PARQUET FIXTURE of ``trades(seed=42, n=20000)`` is committed at
+``tests/fixtures/trades_seed42_n20000.parquet``, pinned bit-for-bit to
+the live generator by ``tests/test_dashboard_oracles.py`` (any
+generator drift fails the pin test before it can skew an oracle). Each
+dash oracle recomputes the frame in DuckDB from ``read_parquet`` of
+the fixture while the Spark side runs the real generator, making these
+full-path hash checks: generator == fixture (pytest) AND aggregation
+logic == SQL twin (driver hash).
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from real_time_streaming_system_with_apache_kafka_spark.functions.exact import dsum, ratio
 from real_time_streaming_system_with_apache_kafka_spark.generator import trades
+
+TRADES_FIXTURE = os.path.abspath(
+    os.path.join(
+        os.path.dirname(__file__),
+        "..",
+        "..",
+        "tests",
+        "fixtures",
+        "trades_seed42_n20000.parquet",
+    )
+)
 
 N_TRADES = 20_000
 
@@ -137,7 +158,16 @@ def dash_breaks_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.filter(F.col("status").contains("Break"))
         .orderBy(F.col("timestamp").desc(), F.col("trade_id"))
         .limit(10)
-        .select("trade_id", "instrument", "counterparty", "status", "notional_value", "timestamp")
+        .select(
+            "trade_id",
+            "instrument",
+            "counterparty",
+            "status",
+            # double, not decimal: DuckDB's Python DECIMAL values strip
+            # trailing zeros and hash-mismatch Spark's fixed-scale ones.
+            F.col("notional_value").cast("double").alias("notional_value"),
+            "timestamp",
+        )
     )
 
 
@@ -176,4 +206,130 @@ QUERIES = {
     "dash_breaks_table": dash_breaks_table,
     "dash_recent_trades": dash_recent_trades,
 }
-ORACLES: dict[str, str] = {}
+# DuckDB twins over the pinned generator fixture (module docstring).
+# `_T` is the 20k-trade table; dsum twins follow functions/exact.py.
+_T = f"read_parquet('{TRADES_FIXTURE}')"
+# NOTE: DuckDB's decimal->double cast rounds twice (int128 -> double,
+# then /10^scale) and drifts 1 ulp above ~2^53 scaled units; casting
+# the exact decimal through varchar parses it with a single correct
+# rounding, matching Spark's BigDecimal.doubleValue exactly.
+_DSUM_NOTIONAL = (
+    "cast(cast(sum(cast(cast(notional_value AS double) AS decimal(38,6)))"
+    " AS varchar) AS double)"
+)
+
+ORACLES: dict[str, str] = {
+    "dash_kpis": f"""
+        SELECT count(*) AS total_trades,
+               cast(cast(sum(cast(notional_value AS decimal(38,2)))
+                   AS varchar) AS double) AS total_notional,
+               cast(cast(sum(cast(total_fees AS decimal(38,2)))
+                   AS varchar) AS double) AS total_fees,
+               cast(sum(CASE WHEN status = 'Settled' THEN 1 ELSE 0 END)
+                   AS bigint) AS settled_count,
+               cast(sum(CASE WHEN status LIKE '%Pending%' THEN 1 ELSE 0 END)
+                   AS bigint) AS pending_count,
+               cast(sum(CASE WHEN status LIKE '%Break%' THEN 1 ELSE 0 END)
+                   AS bigint) AS break_count,
+               CASE WHEN count(*) = 0 THEN 0.0
+                    ELSE cast(sum(cast(stp_eligible AS int)) AS double)
+                         / cast(count(*) AS double) * 100 END
+                   AS stp_rate_pct,
+               CASE WHEN count(*) = 0 THEN 0.0
+                    ELSE cast(sum(CASE WHEN status = 'Settled'
+                                       THEN 1 ELSE 0 END) AS double)
+                         / cast(count(*) AS double) * 100 END
+                   AS settlement_rate_pct,
+               CASE WHEN count(*) = 0 THEN 0.0
+                    ELSE cast(sum(CASE WHEN status LIKE '%Break%'
+                                       THEN 1 ELSE 0 END) AS double)
+                         / cast(count(*) AS double) * 100 END
+                   AS break_rate_pct,
+               CASE WHEN sum(cast(notional_value AS decimal(38,2))) = 0
+                    THEN 0.0
+                    ELSE cast(sum(cast(total_fees AS decimal(38,2)))
+                              AS double)
+                         / cast(sum(cast(notional_value AS decimal(38,2)))
+                                AS double) * 10000 END
+                   AS avg_fee_bps,
+               CASE WHEN count(*) = 0 THEN 0.0
+                    ELSE cast(sum(cast(notional_value AS decimal(38,2)))
+                              AS double)
+                         / cast(count(*) AS double) * 1 END
+                   AS avg_trade_size
+        FROM {_T}
+    """,
+    "dash_status_distribution": f"""
+        SELECT status, count(*) AS n
+        FROM {_T}
+        GROUP BY status
+        ORDER BY n DESC, status
+    """,
+    "dash_asset_class_exposure": f"""
+        SELECT asset_class, {_DSUM_NOTIONAL} AS notional
+        FROM {_T}
+        GROUP BY asset_class
+        ORDER BY notional DESC, asset_class
+    """,
+    "dash_counterparty_top10": f"""
+        SELECT counterparty, {_DSUM_NOTIONAL} AS notional
+        FROM {_T}
+        GROUP BY counterparty
+        ORDER BY notional DESC, counterparty
+        LIMIT 10
+    """,
+    "dash_venue_distribution": f"""
+        SELECT settlement_venue, count(*) AS n
+        FROM {_T}
+        GROUP BY settlement_venue
+        ORDER BY n DESC, settlement_venue
+    """,
+    "dash_fee_mix": f"""
+        WITH agged AS (
+            SELECT
+                cast(cast(sum(cast(cast(brokerage_fee AS double)
+                    AS decimal(38,6))) AS varchar) AS double) AS b,
+                cast(cast(sum(cast(cast(clearing_fee AS double)
+                    AS decimal(38,6))) AS varchar) AS double) AS c,
+                cast(cast(sum(cast(cast(exchange_fee AS double)
+                    AS decimal(38,6))) AS varchar) AS double) AS e
+            FROM {_T}
+        )
+        SELECT 'Brokerage' AS fee_type, b AS amount FROM agged
+        UNION ALL SELECT 'Clearing', c FROM agged
+        UNION ALL SELECT 'Exchange', e FROM agged
+    """,
+    "dash_side_split": f"""
+        SELECT side, {_DSUM_NOTIONAL} AS notional
+        FROM {_T}
+        GROUP BY side
+        ORDER BY side
+    """,
+    "dash_minute_activity": f"""
+        SELECT date_trunc('minute', timestamp) AS minute_ts,
+               count(*) AS n_trades,
+               {_DSUM_NOTIONAL} AS notional
+        FROM {_T}
+        GROUP BY 1
+        ORDER BY minute_ts
+    """,
+    "dash_breaks_table": f"""
+        SELECT trade_id, instrument, counterparty, status,
+               cast(notional_value AS double) AS notional_value, timestamp
+        FROM {_T}
+        WHERE status LIKE '%Break%'
+        ORDER BY timestamp DESC, trade_id
+        LIMIT 10
+    """,
+    "dash_recent_trades": f"""
+        SELECT trade_id, timestamp, asset_class, instrument, side,
+               cast(quantity AS double) AS quantity,
+               printf('%.4f', cast(price AS double)) AS price_fmt,
+               printf('$%.2f', cast(notional_value AS double))
+                   AS notional_fmt,
+               counterparty, status, priority
+        FROM {_T}
+        ORDER BY timestamp DESC, trade_id
+        LIMIT 20
+    """,
+}

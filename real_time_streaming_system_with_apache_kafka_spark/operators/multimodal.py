@@ -316,8 +316,15 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     )
-    ph = with_binary_payload(docs).mapInPandas(
-        make_phash_batches(), "doc_id long, phash long"
+    # Materialize the hash table once: the band self-join would
+    # otherwise run the Arrow kernel TWICE (Spark does not reuse
+    # exchanges across Python-UDF subplans — verified 2 MapInPandas
+    # nodes in the executed plan before this checkpoint). 16 bytes/doc,
+    # exactly the hash index a production image-dedup pipeline persists.
+    ph = (
+        with_binary_payload(docs)
+        .mapInPandas(make_phash_batches(), "doc_id long, phash long")
+        .localCheckpoint(eager=False)
     )
     band_width = PH_BITS // PH_BANDS
     # Logical (unsigned) shift: phash is the signed reinterpretation of

@@ -7,14 +7,22 @@ PLATEAU instead of growing with rows processed.  That plateau is what
 makes the design viable at 100 TB/day: state is O(keys-in-watermark),
 not O(stream history).
 
-Pipeline under soak (the full ingest path, reference consumer.py:12-119
-semantics):
+Pipelines under soak (r5: THREE concurrent queries over the same
+rate-source lineage — the full dashboard path, reference
+consumer.py:12-119 + dashboard.py:117-122 semantics):
 
-    rate source -> seeded trade decoration (JVM codegen, no Python)
+  ingest:  rate source -> seeded trade decoration (JVM codegen)
       -> ~5% exact redeliveries injected (same trade_id+payload)
       -> dropDuplicatesWithinWatermark on trade_id      [state 1]
       -> per-minute count/notional aggregation          [state 2]
       -> noop sink (update mode, checkpointed)
+  hll:     same source -> HyperLogLog register maintenance
+      (streaming/windowed.py::hll_distinct_stream)      [state 3]
+      -> noop sink (update mode) — the O(M)-rows-forever counterpoint
+      to the watermark-evicted stores; its plateau is structural.
+  breaks:  same source -> break-alert standing filter
+      (windowed.py::break_alerts) -> noop sink (append) — stateless,
+      included to prove the full dashboard fan-out sustains rate.
 
 State store: RocksDB (``ingest.enable_rocksdb_state``) — the
 disk-backed provider a real deployment would run; the soak also
@@ -70,66 +78,85 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     ingest.enable_rocksdb_state(spark)
 
-    stream = generator.trades_rate_stream(
-        spark,
-        rows_per_second=args.rate,
-        dup_every_n=DUP_EVERY_N,
-        mean_interval_ms=MEAN_INTERVAL_MS,
-    )
-    deduped = ingest.dedup_trades(stream, watermark=WATERMARK)
-    per_minute = windowed.minute_activity_stream(deduped, watermark=None)
+    def mk_stream():
+        return generator.trades_rate_stream(
+            spark,
+            rows_per_second=args.rate,
+            dup_every_n=DUP_EVERY_N,
+            mean_interval_ms=MEAN_INTERVAL_MS,
+        )
 
-    ckpt = tempfile.mkdtemp(prefix="rtss_soak_ckpt_")
-    query = (
-        per_minute.writeStream.format("noop")
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(processingTime="5 seconds")
-        .start()
-    )
+    deduped = ingest.dedup_trades(mk_stream(), watermark=WATERMARK)
+    per_minute = windowed.minute_activity_stream(deduped, watermark=None)
+    hll = windowed.hll_distinct_stream(mk_stream())
+    breaks = windowed.break_alerts(mk_stream())
+
+    def start(name: str, df, mode: str):
+        ckpt = tempfile.mkdtemp(prefix=f"rtss_soak_ckpt_{name}_")
+        return (
+            df.writeStream.format("noop")
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="5 seconds")
+            .queryName(name)
+            .start()
+        )
+
+    queries = [
+        ("ingest", start("ingest", per_minute, "update")),
+        ("hll", start("hll", hll, "update")),
+        ("breaks", start("breaks", breaks, "append")),
+    ]
 
     samples: list[dict] = []
     t0 = time.monotonic()
     rows_in = 0.0
-    seen_batches: set[int] = set()
+    seen_batches: dict[str, set[int]] = {n: set() for n, _ in queries}
     try:
         while time.monotonic() - t0 < args.seconds:
             time.sleep(5)
-            if query.exception():  # fail fast, not after --seconds
-                raise RuntimeError(str(query.exception()))
-            # recentProgress, filtered by batchId: the poll cadence and
-            # the trigger interval drift, so lastProgress alone would
-            # double-count a batch seen by two polls and lose batches
-            # that completed between polls.
-            for p in query.recentProgress:
-                bid = p.get("batchId")
-                if bid is None or bid in seen_batches:
-                    continue
-                seen_batches.add(bid)
-                rows_in += p.get("numInputRows") or 0
-                samples.append(
-                    {
-                        "wall_s": round(time.monotonic() - t0, 1),
-                        "batch_id": bid,
-                        "input_rows": p.get("numInputRows"),
-                        "batch_duration_ms": (p.get("durationMs") or {}).get(
-                            "triggerExecution"
-                        ),
-                        "state_rows": [
-                            {
-                                "operator": op.get("operatorName"),
-                                "total": op.get("numRowsTotal"),
-                                "removed": op.get("numRowsRemoved"),
-                            }
-                            for op in p.get("stateOperators") or []
-                        ],
-                        "watermark": (p.get("eventTime") or {}).get("watermark"),
-                    }
-                )
-        if query.exception():
-            raise RuntimeError(str(query.exception()))
+            for name, query in queries:
+                if query.exception():  # fail fast, not after --seconds
+                    raise RuntimeError(f"{name}: {query.exception()}")
+                # recentProgress, filtered by batchId: the poll cadence
+                # and the trigger interval drift, so lastProgress alone
+                # would double-count a batch seen by two polls and lose
+                # batches that completed between polls.
+                for p in query.recentProgress:
+                    bid = p.get("batchId")
+                    if bid is None or bid in seen_batches[name]:
+                        continue
+                    seen_batches[name].add(bid)
+                    if name == "ingest":  # one stream's worth, not 3x
+                        rows_in += p.get("numInputRows") or 0
+                    samples.append(
+                        {
+                            "query": name,
+                            "wall_s": round(time.monotonic() - t0, 1),
+                            "batch_id": bid,
+                            "input_rows": p.get("numInputRows"),
+                            "batch_duration_ms": (p.get("durationMs") or {}).get(
+                                "triggerExecution"
+                            ),
+                            "state_rows": [
+                                {
+                                    "operator": op.get("operatorName"),
+                                    "total": op.get("numRowsTotal"),
+                                    "removed": op.get("numRowsRemoved"),
+                                }
+                                for op in p.get("stateOperators") or []
+                            ],
+                            "watermark": (p.get("eventTime") or {}).get(
+                                "watermark"
+                            ),
+                        }
+                    )
+        for name, query in queries:
+            if query.exception():
+                raise RuntimeError(f"{name}: {query.exception()}")
     finally:
-        query.stop()
+        for _, query in queries:
+            query.stop()
         spark.stop()
 
     # Bounded verdict: state must PLATEAU — the final-third max may
@@ -137,20 +164,28 @@ def main() -> None:
     # ramping series fails, which is correct: it means the run was too
     # short to demonstrate steady state, not that steady state exists.
     # (Comparing tail vs the overall max would be vacuously true.)
-    def series(op_idx: int) -> list[int]:
+    def series(qname: str, op_idx: int) -> list[int]:
         return [
             s["state_rows"][op_idx]["total"]
             for s in samples
-            if len(s["state_rows"]) > op_idx
+            if s["query"] == qname
+            and len(s["state_rows"]) > op_idx
             and s["state_rows"][op_idx]["total"] is not None
         ]
 
-    ops = max((len(s["state_rows"]) for s in samples), default=0)
+    keys = sorted(
+        {
+            (s["query"], i)
+            for s in samples
+            for i in range(len(s["state_rows"]))
+        }
+    )
     per_op = []
-    # Vacuous truth guard: no samples -> no evidence -> NOT bounded.
-    bounded = ops > 0
-    for i in range(ops):
-        vals = series(i)
+    # Vacuous truth guard: no stateful samples anywhere -> NOT bounded.
+    # (breaks is stateless by design and contributes no key.)
+    bounded = len(keys) > 0
+    for qname, i in keys:
+        vals = series(qname, i)
         if not vals:
             continue
         third = max(1, len(vals) // 3)
@@ -159,7 +194,7 @@ def main() -> None:
             (
                 s["state_rows"][i]["operator"]
                 for s in samples
-                if len(s["state_rows"]) > i
+                if s["query"] == qname and len(s["state_rows"]) > i
             ),
             f"op{i}",
         )
@@ -167,6 +202,7 @@ def main() -> None:
         bounded = bounded and op_bounded
         per_op.append(
             {
+                "query": qname,
                 "operator": name,
                 "max_state_rows": max(vals),
                 "final_state_rows": vals[-1],
