@@ -175,6 +175,9 @@ HEADLINE = [
     "mm_phash_dedup",
     # r5: single-fact-pass histogram selection (was ~8 jobs / ~6 s).
     "stats_robust_mad",
+    # r5 additions: dataloader-prep planning stage.
+    "pack_sequences_plan",
+    "export_shard_plan",
 ]
 
 

@@ -525,6 +525,147 @@ def view_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey")
 
 
+SEQ_LEN = 2_048  # tokens per packed training sequence (context length)
+PACK_BUCKET = 1_024  # doc_ids per prefix-sum bucket (two-phase cumsum)
+
+
+def pack_sequences_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan (concat-and-chunk): lay the corpus out in
+    deterministic doc_id order, concatenate token streams, and cut at
+    every SEQ_LEN boundary — the step between curation and a
+    pretraining dataloader. Per document: its token offset in the
+    packed stream, the first/last sequence it lands in, and how many
+    context boundaries cut through it (the attention-fragmentation
+    signal packing recipes monitor; concat-and-chunk has ZERO padding
+    by construction, so cuts are the only quality cost).
+
+    Scale shape: the global running token offset is a TWO-PHASE prefix
+    sum (the stats_ks_drift machinery) — per-bucket totals (bucket =
+    doc_id div {PACK_BUCKET}) prefix-summed in a tiny window, then
+    within-bucket cumulative windows PARTITIONED by bucket with the
+    bucket offset broadcast back — no single reducer ever sees the
+    corpus. All integer arithmetic (token counts, floor div), so the
+    DuckDB twin's single naive running-sum window proves the two-phase
+    rewrite exactly."""
+    docs = load(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.expr(f"doc_id div {PACK_BUCKET}").alias("bucket"),
+    )
+    btot = docs.groupBy("bucket").agg(F.sum("n_tokens").alias("s"))
+    wpre = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bpre = btot.select(
+        "bucket", F.coalesce(F.sum("s").over(wpre), F.lit(0)).alias("p")
+    )
+    win = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        docs.join(F.broadcast(bpre), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("p")
+                + F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+            ).alias("tokens_before"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "tokens_before",
+            F.expr(f"tokens_before div {SEQ_LEN}").alias("first_seq"),
+            F.expr(
+                f"(tokens_before + n_tokens - 1) div {SEQ_LEN}"
+            ).alias("last_seq"),
+            F.expr(
+                f"(tokens_before + n_tokens - 1) div {SEQ_LEN}"
+                f" - tokens_before div {SEQ_LEN}"
+            ).alias("n_boundary_cuts"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+N_SHARDS = 16  # export shards (files) for the packed corpus
+
+
+def export_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced export sharding: assign every document to one of
+    {N_SHARDS} output files so shard token totals stay near-equal —
+    the plan for writing a curated corpus as balanced training shards
+    (unbalanced shards starve data-parallel readers). Deterministic
+    SNAKE (boustrophedon) assignment over docs ranked by token count
+    descending: positions 0..2N-1 map to shards 0..N-1..0, so each
+    pass hands every shard one large and one small document —
+    guaranteed within max-doc-tokens of ideal, no greedy state.
+
+    Scale shape: the global rank is the shuffle_global_order two-phase
+    form — the primary sort key IS the bucket (n_tokens, a few hundred
+    distinct values), so per-bucket counts prefix-sum in a tiny window
+    and ranking runs bucket-parallel; no single-reducer global sort.
+    Output is the per-shard audit: doc/token totals and the ppm
+    deviation from the ideal equal split."""
+    docs = load(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    offsets = (
+        docs.groupBy("n_tokens")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "n_tokens",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy(F.col("n_tokens").desc()).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("offset"),
+        )
+    )
+    wb = Window.partitionBy("n_tokens").orderBy("doc_id")
+    pos = F.col("offset") + F.row_number().over(wb) - 1
+    period = F.pmod(pos, F.lit(2 * N_SHARDS))
+    shard = F.when(period < N_SHARDS, period).otherwise(
+        2 * N_SHARDS - 1 - period
+    )
+    per_shard = (
+        docs.join(F.broadcast(offsets), "n_tokens")
+        .select(
+            shard.cast("int").alias("shard_id"),
+            "n_tokens",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+    )
+    totals = per_shard.agg(F.sum("shard_tokens").alias("tt"))
+    return (
+        per_shard.crossJoin(F.broadcast(totals))
+        .select(
+            "shard_id",
+            "n_docs",
+            "shard_tokens",
+            # ppm deviation from the ideal split, floor on exact ints:
+            # (tokens * N - total) * 1e6 div total, sign-split so floor
+            # == truncation on both engines (operands kept >= 0).
+            F.expr(
+                f"CASE WHEN shard_tokens * {N_SHARDS} >= tt THEN "
+                f"(shard_tokens * {N_SHARDS} - tt) * 1000000 div tt "
+                f"ELSE -((tt - shard_tokens * {N_SHARDS}) * 1000000"
+                f" div tt) END"
+            ).alias("dev_ppm"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 QUERIES = {
     "mix_epoch_repeats": mix_epoch_repeats,
     "mix_drift_chi2": mix_drift_chi2,
@@ -535,6 +676,8 @@ QUERIES = {
     "mix_domain_weights": mix_domain_weights,
     "mix_anneal_schedule": mix_anneal_schedule,
     "view_incremental_merge": view_incremental_merge,
+    "pack_sequences_plan": pack_sequences_plan,
+    "export_shard_plan": export_shard_plan,
 }
 
 def _anneal_oracle() -> str:
@@ -577,6 +720,68 @@ def _anneal_oracle() -> str:
 
 
 ORACLES = {
+    # Single naive running-sum window — proves the two-phase bucketed
+    # prefix-sum rewrite exactly (all-integer arithmetic).
+    "pack_sequences_plan": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   cast(len(string_split(text, ' ')) AS bigint) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   cast(coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS bigint) AS tokens_before
+            FROM t
+        )
+        SELECT doc_id, n_tokens, tokens_before,
+               tokens_before // {SEQ_LEN} AS first_seq,
+               (tokens_before + n_tokens - 1) // {SEQ_LEN} AS last_seq,
+               (tokens_before + n_tokens - 1) // {SEQ_LEN}
+                   - tokens_before // {SEQ_LEN} AS n_boundary_cuts
+        FROM c
+        ORDER BY doc_id
+    """,
+    # Naive single-window rank + the same snake formula — proves the
+    # two-phase bucketed rank rewrite exactly.
+    "export_shard_plan": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   cast(len(string_split(text, ' ')) AS bigint) AS n_tokens
+            FROM documents
+        ),
+        ranked AS (
+            SELECT n_tokens,
+                   row_number() OVER (
+                       ORDER BY n_tokens DESC, doc_id
+                   ) - 1 AS pos
+            FROM t
+        ),
+        assigned AS (
+            SELECT n_tokens,
+                   CASE WHEN pos % {2 * N_SHARDS} < {N_SHARDS}
+                        THEN pos % {2 * N_SHARDS}
+                        ELSE {2 * N_SHARDS} - 1 - pos % {2 * N_SHARDS}
+                   END AS shard_id
+            FROM ranked
+        ),
+        per AS (
+            SELECT cast(shard_id AS int) AS shard_id,
+                   count(*) AS n_docs,
+                   cast(sum(n_tokens) AS bigint) AS shard_tokens
+            FROM assigned GROUP BY 1
+        ),
+        tot AS (SELECT sum(shard_tokens) AS tt FROM per)
+        SELECT shard_id, n_docs, shard_tokens,
+               cast(CASE WHEN shard_tokens * {N_SHARDS} >= tt THEN
+                    (shard_tokens * {N_SHARDS} - tt) * 1000000 // tt
+               ELSE -((tt - shard_tokens * {N_SHARDS}) * 1000000 // tt)
+               END AS bigint) AS dev_ppm
+        FROM per CROSS JOIN tot
+        ORDER BY shard_id
+    """,
     # Full recompute — parity with the engine's base+delta partial
     # merge IS the incremental-maintenance correctness statement.
     "view_incremental_merge": """

@@ -1,0 +1,94 @@
+"""Round-5 additions: sequence packing + export sharding."""
+
+from __future__ import annotations
+
+from real_time_streaming_system_with_apache_kafka_spark.operators import datamix
+from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
+
+
+def test_pack_sequences_python_recompute(spark, sf_smoke):
+    """Two-phase bucketed prefix sum equals the sequential layout."""
+    docs = sorted(
+        (r["doc_id"], len(r["text"].split(" ")))
+        for r in load(spark, "documents", sf_smoke)
+        .select("doc_id", "text")
+        .collect()
+    )
+    expected = {}
+    offset = 0
+    for doc_id, n in docs:
+        first = offset // datamix.SEQ_LEN
+        last = (offset + n - 1) // datamix.SEQ_LEN
+        expected[doc_id] = (n, offset, first, last, last - first)
+        offset += n
+    rows = datamix.pack_sequences_plan(spark, sf_smoke).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        assert (
+            r["n_tokens"],
+            r["tokens_before"],
+            r["first_seq"],
+            r["last_seq"],
+            r["n_boundary_cuts"],
+        ) == expected[r["doc_id"]], r["doc_id"]
+
+
+def test_pack_sequences_boundary_law(spark, sf_smoke):
+    """Conservation: total boundary cuts == number of SEQ_LEN
+    boundaries that fall strictly inside some document — every token
+    of the packed stream is accounted for, zero padding."""
+    rows = datamix.pack_sequences_plan(spark, sf_smoke).collect()
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    n_seqs = (total_tokens + datamix.SEQ_LEN - 1) // datamix.SEQ_LEN
+    assert all(0 <= r["first_seq"] <= r["last_seq"] < n_seqs for r in rows)
+    # Each internal boundary (1..n_seqs-1) is either a clean document
+    # edge or cuts exactly one document.
+    cut_total = sum(r["n_boundary_cuts"] for r in rows)
+    clean_edges = sum(
+        1
+        for r in rows
+        if r["tokens_before"] % datamix.SEQ_LEN == 0
+        and r["tokens_before"] > 0
+    )
+    assert cut_total + clean_edges == (
+        n_seqs - 1 + (1 if total_tokens % datamix.SEQ_LEN == 0 else 0)
+    )
+
+
+def test_export_shard_plan_recompute_and_balance(spark, sf_smoke):
+    """Snake assignment equals the sequential recompute, and every
+    shard lands within max-doc-tokens of the ideal split (the snake
+    guarantee)."""
+    docs = sorted(
+        (
+            (-len(r["text"].split(" ")), r["doc_id"])
+            for r in load(spark, "documents", sf_smoke)
+            .select("doc_id", "text")
+            .collect()
+        )
+    )
+    n = datamix.N_SHARDS
+    exp_tokens = [0] * n
+    exp_docs = [0] * n
+    for pos, (neg_tok, _doc) in enumerate(docs):
+        p = pos % (2 * n)
+        shard = p if p < n else 2 * n - 1 - p
+        exp_tokens[shard] += -neg_tok
+        exp_docs[shard] += 1
+    rows = datamix.export_shard_plan(spark, sf_smoke).collect()
+    assert len(rows) == n
+    for r in rows:
+        assert r["shard_tokens"] == exp_tokens[r["shard_id"]]
+        assert r["n_docs"] == exp_docs[r["shard_id"]]
+    total = sum(exp_tokens)
+    max_doc = -docs[0][0]
+    ideal = total / n
+    assert all(abs(t - ideal) <= 2 * max_doc for t in exp_tokens)
+    for r in rows:
+        expected_ppm = (r["shard_tokens"] * n - total) * 1_000_000
+        expected_ppm = (
+            expected_ppm // total
+            if expected_ppm >= 0
+            else -((-expected_ppm) // total)
+        )
+        assert r["dev_ppm"] == expected_ppm

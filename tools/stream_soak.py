@@ -159,11 +159,17 @@ def main() -> None:
             query.stop()
         spark.stop()
 
-    # Bounded verdict: state must PLATEAU — the final-third max may
-    # exceed the middle-third max only by jitter (20%).  A still-
-    # ramping series fails, which is correct: it means the run was too
-    # short to demonstrate steady state, not that steady state exists.
-    # (Comparing tail vs the overall max would be vacuously true.)
+    # Bounded verdict: state must PLATEAU — the final-third MEAN may
+    # exceed the middle-third MEAN only by jitter (20%, plus an 8-row
+    # absolute floor so near-empty stores aren't judged on integer
+    # noise like 10 vs 14 open windows). Means, not maxes: the series
+    # shows one-batch spikes when a large micro-batch lands between
+    # watermark updates (eviction is per-batch), e.g. a flat
+    # 60,801-row plateau with a single 129k sample that returns to
+    # plateau immediately — a max-vs-max test fails on that transient,
+    # while a genuine RAMP still fails the mean test (its tail mean
+    # exceeds any earlier mean by construction). Maxes stay in the
+    # artifact for eyeballing.
     def series(qname: str, op_idx: int) -> list[int]:
         return [
             s["state_rows"][op_idx]["total"]
@@ -190,6 +196,8 @@ def main() -> None:
             continue
         third = max(1, len(vals) // 3)
         middle, tail = vals[third : 2 * third] or vals[:third], vals[-third:]
+        mid_mean = sum(middle) / len(middle)
+        tail_mean = sum(tail) / len(tail)
         name = next(
             (
                 s["state_rows"][i]["operator"]
@@ -198,7 +206,7 @@ def main() -> None:
             ),
             f"op{i}",
         )
-        op_bounded = max(tail) <= 1.2 * max(middle)
+        op_bounded = tail_mean <= 1.2 * mid_mean + 8
         bounded = bounded and op_bounded
         per_op.append(
             {
@@ -206,7 +214,9 @@ def main() -> None:
                 "operator": name,
                 "max_state_rows": max(vals),
                 "final_state_rows": vals[-1],
+                "middle_third_mean_state_rows": round(mid_mean),
                 "middle_third_max_state_rows": max(middle),
+                "tail_mean_state_rows": round(tail_mean),
                 "tail_max_state_rows": max(tail),
                 "bounded": op_bounded,
             }
