@@ -184,6 +184,12 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session("rtss_bench")
+    # ERROR, not WARN: the JVM logger writes to THIS process's stdout,
+    # and a WARN emitted mid-print interleaves INTO the single JSON
+    # line the driver parses (BENCH_r04.json came back parsed:null
+    # exactly this way — WindowExec small-frame warnings landed inside
+    # the line).
+    spark.sparkContext.setLogLevel("ERROR")
     queries = registry.all_queries()
 
     # Warm each subsystem once (JVM + each table's scan + generator
@@ -199,14 +205,27 @@ def main() -> None:
     # Best of 2 runs per query: this box also hosts the driver's
     # periodic jobs, and a transient load spike can inflate a single
     # measurement 3-5x (observed); min-over-reps reports steady state.
+    cpu0 = _proc_stat()
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        reps = 2
+        rep = 0
+        while rep < reps:
+            q0 = _proc_stat()
             t0 = time.monotonic()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.monotonic() - t0)
+            # Steal-aware retry: if the HOST stole CPU during this
+            # query's window (shared-tenant box, measured up to ~17%
+            # under load), grant ONE extra rep so min-over-reps can
+            # find an unstolen window. No-op on a clean box.
+            noise = _steal_summary(q0, _proc_stat())
+            if reps == 2 and noise and noise["steal_pct"] > 2.0:
+                reps = 3
+            rep += 1
         times[name] = round(best, 3)
+    cpu1 = _proc_stat()
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -216,11 +235,42 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        # Host-noise fingerprint: this VM's vCPUs are host-shared, and
+        # measured steal reaches ~17% of CPU time under full load on a
+        # bad day (32-way burn degraded per-task wall 1.46 -> 3.14 s,
+        # 2026-08-15) — enough to smear every query +30-70%. steal_pct
+        # over the bench window makes the artifact self-describing:
+        # compare it before reading any round-over-round delta.
+        "host_noise": _steal_summary(cpu0, cpu1),
     }
     delta = _prev_round_delta(times, sf)
     if delta is not None:
         out["prev_round_delta"] = delta
     print(json.dumps(out))
+
+
+def _proc_stat() -> list[int] | None:
+    """Aggregate jiffies from /proc/stat (user..steal..), or None off-Linux."""
+    try:
+        with open("/proc/stat") as fh:
+            return [int(x) for x in fh.readline().split()[1:9]]
+    except Exception:
+        return None
+
+
+def _steal_summary(a: list[int] | None, b: list[int] | None) -> dict | None:
+    """CPU mix over the bench window: steal/busy/idle as % of jiffies."""
+    if not a or not b:
+        return None
+    d = [y - x for x, y in zip(a, b)]
+    tot = sum(d) or 1
+    idle = d[3] + d[4]
+    steal = d[7] if len(d) > 7 else 0
+    return {
+        "steal_pct": round(100 * steal / tot, 2),
+        "busy_pct": round(100 * (tot - idle - steal) / tot, 2),
+        "idle_pct": round(100 * idle / tot, 2),
+    }
 
 
 def _prev_round_delta(times: dict[str, float], sf: float | None) -> dict | None:
@@ -239,20 +289,29 @@ def _prev_round_delta(times: dict[str, float], sf: float | None) -> dict | None:
     )
     if not rounds:
         return None
-    try:
-        with open(os.path.join(here, rounds[-1])) as fh:
-            raw = json.load(fh)
-        prev = raw.get("parsed") or raw  # driver wraps the JSON line
-        if prev.get("sf") != sf:  # cross-scale deltas would mislead
-            return None
-        prev_q = {k: float(v) for k, v in prev["queries"].items()}
-    except Exception:
+    # Walk back past unparsable artifacts: BENCH_r04.json recorded
+    # parsed:null (log-line interleave, fixed above) with only a
+    # truncated tail — r03 is the latest with a full queries dict.
+    prev_q, vs = None, None
+    for fname in reversed(rounds):
+        try:
+            with open(os.path.join(here, fname)) as fh:
+                raw = json.load(fh)
+            prev = raw.get("parsed") or raw  # driver wraps the JSON line
+            if prev.get("sf") != sf:  # cross-scale deltas would mislead
+                continue
+            prev_q = {k: float(v) for k, v in prev["queries"].items()}
+            vs = fname
+            break
+        except Exception:
+            continue
+    if prev_q is None:
         return None
     common = sorted(set(times) & set(prev_q))
     if not common:
         return None
     return {
-        "vs": rounds[-1],
+        "vs": vs,
         "common_total_sec": round(sum(times[q] for q in common), 3),
         "prev_common_total_sec": round(sum(prev_q[q] for q in common), 3),
         "added_queries_sec": round(
