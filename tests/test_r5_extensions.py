@@ -1,9 +1,56 @@
-"""Round-5 additions: sequence packing + export sharding."""
+"""Round-5 additions: sequence packing + export sharding + the pHash
+kernel's huge-vocabulary fallback path."""
 
 from __future__ import annotations
 
-from real_time_streaming_system_with_apache_kafka_spark.operators import datamix
+import numpy as np
+import pandas as pd
+
+from real_time_streaming_system_with_apache_kafka_spark.operators import (
+    datamix,
+    multimodal,
+)
 from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
+
+
+def test_phash_fallback_equals_matmul_path():
+    """The 64-pass per-bit reduceat fallback (taken when chunk docs x
+    vocabulary exceeds the count-matrix budget) is bit-identical to
+    the BLAS-matmul path. Random binary payloads make the trigram
+    vocabulary wide: 300 docs x 3000 bytes ~ 875k distinct grams, so
+    one 300-doc chunk exceeds CM_CELLS (2^24) and takes the fallback,
+    while 2-doc batches (vocab ~6k each) take the matmul path. Driver-
+    side only — exercises the kernel closure, no Spark session."""
+    rng = np.random.default_rng(7)
+    payloads = [rng.integers(0, 256, 3000, dtype=np.uint8).tobytes() for _ in range(300)]
+    fn = multimodal.make_phash_batches()
+    big = pd.concat(
+        list(fn(iter([pd.DataFrame({"doc_id": range(300), "payload": payloads})])))
+    )
+    small_parts = []
+    for i in range(0, 300, 2):
+        small_parts.append(
+            pd.concat(
+                list(
+                    fn(
+                        iter(
+                            [
+                                pd.DataFrame(
+                                    {
+                                        "doc_id": [i, i + 1],
+                                        "payload": payloads[i : i + 2],
+                                    }
+                                )
+                            ]
+                        )
+                    )
+                )
+            )
+        )
+    small = pd.concat(small_parts)
+    merged = big.merge(small, on="doc_id", suffixes=("_fb", "_mm"))
+    assert len(merged) == 300
+    assert (merged["phash_fb"] == merged["phash_mm"]).all()
 
 
 def test_pack_sequences_python_recompute(spark, sf_smoke):

@@ -17,38 +17,63 @@ WINDOW = 50
 # The three §2 sentinels stay driver-signed every round (VERDICT r2 #3).
 SENTINELS = ["w1_minute_activity", "q0_snapshot_topk", "j1_star_join_revenue"]
 
-# Round-4 rotation: the never-driver-signed suites must be in-window
-# (TPC-H, datamix, skew, layout, extras) plus the repaired r3 red row.
+# Round-5 rotation: 47 of the 87 oracled-but-never-driver-signed
+# entries (registry.py comment documents the 40-entry r6 spill).
 ROTATED_SUITES = {
-    "repaired": ["embed_centroid_stats"],
-    "tpch": [f"q{i}_" for i in range(2, 23)],  # prefix-matched below
-    "datamix": [
-        "mix_epoch_repeats",
-        "mix_temperature_weights",
-        "mix_domain_weights",
-        "dedup_incremental_ingest",
-        "dedup_cross_source",
-        "sample_token_budget",
+    "dedup_graph": [
+        "dedup_soft_weights",
+        "dedup_prefix",
+        "dedup_lsh_verified",
+        "dedup_lsh_calibration",
+        "dedup_quality_survivor",
+        "dedup_containment",
+        "dedup_passage",
+        "dedup_semdedup",
+        "dedup_lines_c4",
+        "url_canonical_dedup",
+        "dedup_substring_spans",
+        "dedup_winnowing",
+        "er_blocked_matching",
+        "graph_pagerank_dupgraph",
+        "graph_triangle_count",
+        "graph_label_propagation",
+        "graph_kcore",
     ],
-    "skew": ["agg_salted_skew", "join_salted_skew"],
-    "layout": ["j8_bucketed_join", "layout_zorder_events"],
-    "extras": [
-        "reconcile_checksum",
-        "feature_quantile_bucketize",
-        "agg_grouping_sets",
-        "agg_stats_moments",
-        "agg_quartiles_exact",
-        "wf_share_of_total",
-        "wf_first_last_nth",
-        "agg_mode_exact",
-        "f_regexp_funcs",
-        "sql_api_snapshot",
+    "bpe_text": [
+        "vocab_bpe_pair_stats",
+        "vocab_bpe_learn_merges",
+        "tokenize_with_learned_bpe",
+        "text_ngram_diversity",
     ],
-    "windows": ["w9_cascaded_rollup", "w11_minute_distinct_users"],
-    "singles": [
-        "j7_full_outer_reconcile",
-        "f_variant_funcs",
-        "sim_ivf_kmeans_topk",
+    "similarity": [
+        "sim_pq_topk",
+        "sim_prefix_topk",
+        "sim_filtered_topk",
+        "sim_ivfpq_topk",
+        "sim_knn_join",
+        "sim_sq8_topk",
+        "sim_hard_negatives",
+        "sim_ann_recall_eval",
+        "embed_pca_power",
+        "decontaminate_semantic",
+    ],
+    "multimodal": ["mm_phash_dedup"],
+    "pipeline_analytics": [
+        "events_funnel_steps",
+        "events_retention_cohorts",
+        "basket_pair_lift",
+        "customer_rfm_segments",
+        "events_active_users_rolling",
+        "revenue_concentration_gini",
+        "experiment_ab_lift",
+        "path_topk_journeys",
+        "event_transition_matrix",
+        "agg_bitmap_distinct",
+        "pivot_status_by_day",
+        "stats_robust_mad",
+        "skyline_pareto_parts",
+        "metrics_bootstrap_ci",
+        "ts_vwap_bars",
     ],
 }
 
