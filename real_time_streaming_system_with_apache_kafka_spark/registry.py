@@ -45,8 +45,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # sample_domain_cap, shuffle_global_order, sample_curriculum_order,
 # sample_temporal_split, stats_ks_drift), mix (mix_drift_chi2,
 # mix_anneal_schedule), layout (layout_compaction_plan,
-# layout_zonemap_skipping), and view_incremental_merge — plus any
-# newly-oracled dash_* frames.
+# layout_zonemap_skipping), view_incremental_merge, the newly-oracled
+# dash_* frames + src1_trade_generator (golden-fixture twins), and the
+# r5 additions pack_sequences_plan / export_shard_plan.
 _PRIORITY: list[str] = [
     # §2 sentinels — pinned every round.
     "w1_minute_activity",
