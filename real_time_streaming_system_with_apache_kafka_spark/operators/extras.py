@@ -455,7 +455,15 @@ def _group_median(df: DataFrame, key: str, val: str) -> DataFrame:
     the sort-based percentile_disc aggregate, which funnels every
     group's full value set through one reducer — the same rewrite
     sketch_quantile_histogram documents, here in per-group form.
-    Returns (key, n, med)."""
+    Returns (key, n, med).
+
+    Kept as the REUSABLE, fully-lazy reference form of the pattern
+    (pinned against percentile_disc in
+    tests/test_r4d_extensions.py::test_group_median_histogram_selection);
+    stats_robust_mad (r5) inlines a fused driver-coordinated variant
+    because it needs the median, the MAD, and the outlier boundary
+    from shared histograms — a new single-statistic consumer should
+    call this helper, not copy that fusion."""
     bounds = df.groupBy(key).agg(
         F.min(val).alias("mn"),
         F.max(val).alias("mx"),

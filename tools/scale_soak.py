@@ -46,7 +46,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from real_time_streaming_system_with_apache_kafka_spark import registry  # noqa: E402
 from real_time_streaming_system_with_apache_kafka_spark.session import get_session  # noqa: E402
 from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load  # noqa: E402
-from bench import HEADLINE  # noqa: E402
+from bench import HEADLINE, _proc_stat, _steal_summary  # noqa: E402
 
 SRC_SF = "/root/testdata/sf0.1"
 STRIDE = 100_000_000  # far above any base key
@@ -146,13 +146,19 @@ def main() -> None:
             print(f"generating sf{s} ({s * 10} replicas) ...", flush=True)
             generate(spark, s * 10, dst)
     results = {}
+    noise = {}
     for sf, d in sorted(dirs.items()):
         print(f"bench @ sf{sf} ...", flush=True)
+        cpu0 = _proc_stat()
         results[sf] = run_bench(spark, d)
+        noise[sf] = _steal_summary(cpu0, _proc_stat())
     sfs = sorted(results)
     report = {"metric": "scale_soak", "scales": sfs}
     for sf in sfs:
         report[f"sf{sf}_total_sec"] = round(sum(results[sf].values()), 3)
+        # Same caveat as bench.py's host_noise: single-rep soak times on
+        # a shared-tenant host include whatever the host steals.
+        report[f"host_noise_sf{sf}"] = noise.get(sf)
         report[f"queries_sf{sf}"] = results[sf]
     for lo, hi in zip(sfs, sfs[1:]):
         report[f"ratio_sf{hi}_over_sf{lo}"] = {
