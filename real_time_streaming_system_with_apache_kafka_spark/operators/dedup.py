@@ -529,6 +529,87 @@ def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_TAG = "cluster_split_v1"  # salt: re-rolls the split assignment
+SPLIT_TEST_PCT = 20  # test share in percent
+
+
+def _md5_split(col, tag: str = SPLIT_TAG):
+    """Deterministic md5 split bucket (the experiment_ab_lift hash)."""
+    h6 = F.substring(
+        F.md5(F.concat_ws("#", F.lit(tag), col.cast("string"))), 1, 6
+    )
+    return F.when(
+        F.pmod(F.conv(h6, 16, 10).cast("bigint"), F.lit(100))
+        < SPLIT_TEST_PCT,
+        "test",
+    ).otherwise("train")
+
+
+def sample_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-safe train/test split: assign WHOLE near-dup clusters
+    (the dedup_cc_survivors connected components) to one side by
+    hashing the COMPONENT id, so no near-duplicate pair can straddle
+    the split — the leakage mode a naive per-document hash split
+    cannot prevent (a train doc's near-copy landing in test inflates
+    eval). Output: per-split doc/cluster counts plus the audit that IS
+    the point — the number of LSH candidate pairs crossing the split
+    under this assignment (0 BY CONSTRUCTION: both endpoints share a
+    component, components never split) next to the crossing count the
+    naive per-doc split of the SAME corpus would have admitted.
+    Companion to sample_temporal_split (which audits entity leakage
+    across a time cutoff; this audits content leakage).
+
+    Scale shape: component labels from the pointer-jumping CC; the
+    split is a per-row hash of the label (no assignment table — the
+    experiment_ab_lift property); the audit joins the LSH-bounded edge
+    set to doc-grain labels on doc_id, then one global 1-row
+    aggregate broadcast back onto the 2-row per-split summary."""
+    comp = dedup_cc_survivors(spark, sf_dir).select("doc_id", "component")
+    labeled = comp.select(
+        "doc_id",
+        "component",
+        _md5_split(F.col("component")).alias("split"),
+        _md5_split(F.col("doc_id")).alias("naive_split"),
+    ).localCheckpoint(eager=False)
+    und = _dup_edges(spark, sf_dir).filter(F.col("src") < F.col("dst"))
+    crossing = (
+        und.join(
+            labeled.select(
+                F.col("doc_id").alias("src"),
+                F.col("split").alias("sa"),
+                F.col("naive_split").alias("na"),
+            ),
+            "src",
+        )
+        .join(
+            labeled.select(
+                F.col("doc_id").alias("dst"),
+                F.col("split").alias("sb"),
+                F.col("naive_split").alias("nb"),
+            ),
+            "dst",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_pairs"),
+            F.count_if(F.col("sa") != F.col("sb")).alias(
+                "cross_pairs_cluster"
+            ),
+            F.count_if(F.col("na") != F.col("nb")).alias(
+                "cross_pairs_naive"
+            ),
+        )
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("component").alias("n_components"),
+        )
+        .crossJoin(F.broadcast(crossing))
+        .orderBy("split")
+    )
+
+
 def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware survivor selection: within each near-dup cluster
     (the same connected components as ``dedup_cc_survivors``), keep the
@@ -1566,6 +1647,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_cc_survivors": dedup_cc_survivors,
+    "sample_cluster_safe_split": sample_cluster_safe_split,
     "dedup_quality_survivor": dedup_quality_survivor,
     "dedup_containment": dedup_containment,
     "dedup_passage": dedup_passage,
@@ -1927,6 +2009,56 @@ ORACLES = {
                coalesce(c.component, d.doc_id) AS component,
                coalesce(c.component, d.doc_id) = d.doc_id AS is_survivor
         FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+    "sample_cluster_safe_split": f"""
+        WITH RECURSIVE {_ORACLE_LSH_EDGES},
+        reach(n, m) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src
+            WHERE e.dst <> r.n
+        ),
+        comp AS (
+            SELECT n AS doc_id, least(n, min(m)) AS component
+            FROM reach GROUP BY n
+        ),
+        lab AS (
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp c USING (doc_id)
+        ),
+        lab2 AS (
+            SELECT doc_id, component,
+                   CASE WHEN cast(concat('0x', substr(md5('{SPLIT_TAG}'
+                            || '#' || cast(component AS varchar)), 1, 6))
+                            AS bigint) % 100 < {SPLIT_TEST_PCT}
+                        THEN 'test' ELSE 'train' END AS split,
+                   CASE WHEN cast(concat('0x', substr(md5('{SPLIT_TAG}'
+                            || '#' || cast(doc_id AS varchar)), 1, 6))
+                            AS bigint) % 100 < {SPLIT_TEST_PCT}
+                        THEN 'test' ELSE 'train' END AS naive_split
+            FROM lab
+        ),
+        und AS (SELECT src, dst FROM edges WHERE src < dst),
+        x AS (
+            SELECT cast(count(*) AS bigint) AS n_dup_pairs,
+                   cast(sum(CASE WHEN a.split <> b.split
+                                 THEN 1 ELSE 0 END) AS bigint)
+                       AS cross_pairs_cluster,
+                   cast(sum(CASE WHEN a.naive_split <> b.naive_split
+                                 THEN 1 ELSE 0 END) AS bigint)
+                       AS cross_pairs_naive
+            FROM und
+            JOIN lab2 a ON und.src = a.doc_id
+            JOIN lab2 b ON und.dst = b.doc_id
+        )
+        SELECT l.split, cast(count(*) AS bigint) AS n_docs,
+               cast(count(DISTINCT l.component) AS bigint) AS n_components,
+               x.n_dup_pairs, x.cross_pairs_cluster, x.cross_pairs_naive
+        FROM lab2 l CROSS JOIN x
+        GROUP BY l.split, x.n_dup_pairs, x.cross_pairs_cluster,
+                 x.cross_pairs_naive
+        ORDER BY split
     """,
     "dedup_quality_survivor": f"""
         WITH RECURSIVE {_ORACLE_LSH_EDGES},

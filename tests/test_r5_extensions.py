@@ -102,6 +102,55 @@ def test_pack_sequences_boundary_law(spark, sf_smoke):
     )
 
 
+def test_cluster_safe_split_no_crossing_and_recompute(spark, sf_smoke):
+    """The cluster-keyed split admits ZERO crossing near-dup pairs (by
+    construction — both endpoints share a component), and every audit
+    number matches a python recompute from the component labels and
+    the edge set."""
+    import hashlib
+
+    from real_time_streaming_system_with_apache_kafka_spark.operators import dedup
+
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in dedup.dedup_cc_survivors(spark, sf_smoke)
+        .select("doc_id", "component")
+        .collect()
+    }
+    edges = {
+        (r["src"], r["dst"])
+        for r in dedup._dup_edges(spark, sf_smoke).collect()
+        if r["src"] < r["dst"]
+    }
+
+    def split_of(x):
+        h = hashlib.md5(
+            f"{dedup.SPLIT_TAG}#{x}".encode()
+        ).hexdigest()[:6]
+        return "test" if int(h, 16) % 100 < dedup.SPLIT_TEST_PCT else "train"
+
+    exp_cross_naive = sum(
+        1 for a, b in edges if split_of(a) != split_of(b)
+    )
+    exp_cross_cluster = sum(
+        1 for a, b in edges if split_of(comp[a]) != split_of(comp[b])
+    )
+    assert exp_cross_cluster == 0  # components never straddle
+    per_split = {"train": [0, set()], "test": [0, set()]}
+    for d, c in comp.items():
+        s = split_of(c)
+        per_split[s][0] += 1
+        per_split[s][1].add(c)
+    rows = dedup.sample_cluster_safe_split(spark, sf_smoke).collect()
+    assert {r["split"] for r in rows} <= {"train", "test"}
+    for r in rows:
+        assert r["cross_pairs_cluster"] == 0
+        assert r["cross_pairs_naive"] == exp_cross_naive
+        assert r["n_dup_pairs"] == len(edges)
+        assert r["n_docs"] == per_split[r["split"]][0]
+        assert r["n_components"] == len(per_split[r["split"]][1])
+
+
 def test_export_shard_plan_recompute_and_balance(spark, sf_smoke):
     """Snake assignment equals the sequential recompute, and every
     shard lands within max-doc-tokens of the ideal split (the snake
