@@ -47,7 +47,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # mix_anneal_schedule), layout (layout_compaction_plan,
 # layout_zonemap_skipping), view_incremental_merge, the newly-oracled
 # dash_* frames + src1_trade_generator (golden-fixture twins), and the
-# r5 additions pack_sequences_plan / export_shard_plan.
+# r5 additions pack_sequences_plan / export_shard_plan /
+# sample_cluster_safe_split.
 _PRIORITY: list[str] = [
     # §2 sentinels — pinned every round.
     "w1_minute_activity",
