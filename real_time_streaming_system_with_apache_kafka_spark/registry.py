@@ -18,94 +18,91 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # The external correctness harness certifies the FIRST 50 ``queries()``
 # entries per round (dict insertion order). Rounds 1-2 signed the
 # SURVEY §2 relational core; round 3 the LLM-data-pipeline suite;
-# round 4 the TPC-H batch (q2-q22) + datamix / skew / layout / extras.
-# Round 5 rotates in 47 of the 87 oracled-but-never-signed entries:
-# the dedup extension batch + dup-graph algorithms, engine-native BPE,
-# the similarity remainder, the 64-bit-respec'd mm_phash_dedup, and
-# the pipeline-analytics batch. The three §2 sentinels stay pinned so
-# the core never goes a round unsigned. Entries NOT listed keep module
-# order after the priority block and stay covered every round by the
-# local parity suite (tests/test_oracle_parity.py) and the
-# representation audit (tools/canon_check.py — run it before rotating
-# anything in).
+# round 4 the TPC-H batch (q2-q22) + datamix / skew / layout / extras;
+# round 5 the dedup-extension / dup-graph / BPE / similarity-remainder
+# / pipeline-analytics batch. Round 6 rotates in 47 more of the
+# never-driver-signed entries: the 11 golden-fixture oracles (the 10
+# dash_* frames + src1_trade_generator — src1 upgrades its r1-r4
+# rows-only signature to a hash signature), retrieval, sketches,
+# sampling (incl. the r5-added sample_cluster_safe_split), mix,
+# layout, view_incremental_merge, the pack/export dataloader pair,
+# and 11 of the 18 curation remainder. The three §2 sentinels stay
+# pinned so the core never goes a round unsigned. Entries NOT listed
+# keep module order after the priority block and stay covered every
+# round by the local parity suite (tests/test_oracle_parity.py) and
+# the representation audit (tools/canon_check.py — run it before
+# rotating anything in).
 #
-# Round-6 rotation candidates (oracled, never driver-signed — the 40
-# spilled from r5): the curation remainder (text_boilerplate_strip,
-# profile_schema_stats, quality_gopher_gates, tokens_context_audit,
-# embed_outlier_scores, profile_table_stats, text_inverted_index,
-# text_rarity_score, profile_dup_rate_by_source, chunk_documents,
-# quality_weighted_terms, quality_lm_surprise,
+# Round-7 rotation candidates (the 10 left unsigned after r6): the
+# curation-remainder tail (quality_lm_surprise,
 # quality_domain_calibrated, quality_classifier_eval, mask_span_plan,
-# curation_funnel, decontaminate_span_lengths, profile_source_overlap),
-# retrieval (search_bm25_topk, dsir_importance, search_hybrid_rrf,
-# search_mmr_diversify, search_prf_expand), sketches
-# (sketch_cms_heavy_hitters, sketch_bloom_decontaminate,
-# sketch_hll_distinct, sketch_kmv_overlap, sketch_quantile_histogram),
-# sampling (sample_kcenter_coreset, sample_importance_weighted,
-# sample_domain_cap, shuffle_global_order, sample_curriculum_order,
-# sample_temporal_split, stats_ks_drift), mix (mix_drift_chi2,
-# mix_anneal_schedule), layout (layout_compaction_plan,
-# layout_zonemap_skipping), view_incremental_merge, the newly-oracled
-# dash_* frames + src1_trade_generator (golden-fixture twins), and the
-# r5 additions pack_sequences_plan / export_shard_plan /
-# sample_cluster_safe_split.
+# curation_funnel, decontaminate_span_lengths, profile_source_overlap)
+# and the 3 by-design rows-only entries (mm_feature_extract,
+# approx_hll_partials, approx_aggregates — no oracle; the driver
+# records the weaker rows-only check for these).
 _PRIORITY: list[str] = [
     # §2 sentinels — pinned every round.
     "w1_minute_activity",
     "q0_snapshot_topk",
     "j1_star_join_revenue",
-    # Dedup extension batch + dup-graph algorithms.
-    "dedup_soft_weights",
-    "dedup_prefix",
-    "dedup_lsh_verified",
-    "dedup_lsh_calibration",
-    "dedup_quality_survivor",
-    "dedup_containment",
-    "dedup_passage",
-    "dedup_semdedup",
-    "dedup_lines_c4",
-    "url_canonical_dedup",
-    "dedup_substring_spans",
-    "dedup_winnowing",
-    "er_blocked_matching",
-    "graph_pagerank_dupgraph",
-    "graph_triangle_count",
-    "graph_label_propagation",
-    "graph_kcore",
-    # Engine-native BPE.
-    "vocab_bpe_pair_stats",
-    "vocab_bpe_learn_merges",
-    "tokenize_with_learned_bpe",
-    "text_ngram_diversity",
-    # Similarity remainder.
-    "sim_pq_topk",
-    "sim_prefix_topk",
-    "sim_filtered_topk",
-    "sim_ivfpq_topk",
-    "sim_knn_join",
-    "sim_sq8_topk",
-    "sim_hard_negatives",
-    "sim_ann_recall_eval",
-    "embed_pca_power",
-    "decontaminate_semantic",
-    # Multimodal pHash — 64-bit vectorized respec this round.
-    "mm_phash_dedup",
-    # Pipeline-analytics batch.
-    "events_funnel_steps",
-    "events_retention_cohorts",
-    "basket_pair_lift",
-    "customer_rfm_segments",
-    "events_active_users_rolling",
-    "revenue_concentration_gini",
-    "experiment_ab_lift",
-    "path_topk_journeys",
-    "event_transition_matrix",
-    "agg_bitmap_distinct",
-    "pivot_status_by_day",
-    "stats_robust_mad",
-    "skyline_pareto_parts",
-    "metrics_bootstrap_ci",
-    "ts_vwap_bars",
+    # Golden-fixture oracles: the 10 dashboard frames + the generator
+    # itself (DuckDB twins over tests/fixtures/trades_seed42_n20000
+    # .parquet, bit-pinned to the live generator by pytest).
+    "dash_kpis",
+    "dash_status_distribution",
+    "dash_asset_class_exposure",
+    "dash_counterparty_top10",
+    "dash_venue_distribution",
+    "dash_fee_mix",
+    "dash_side_split",
+    "dash_minute_activity",
+    "dash_breaks_table",
+    "dash_recent_trades",
+    "src1_trade_generator",
+    # Retrieval suite.
+    "search_bm25_topk",
+    "dsir_importance",
+    "search_hybrid_rrf",
+    "search_mmr_diversify",
+    "search_prf_expand",
+    # Sketches.
+    "sketch_cms_heavy_hitters",
+    "sketch_bloom_decontaminate",
+    "sketch_hll_distinct",
+    "sketch_kmv_overlap",
+    "sketch_quantile_histogram",
+    # Sampling / splits.
+    "sample_kcenter_coreset",
+    "sample_importance_weighted",
+    "sample_domain_cap",
+    "shuffle_global_order",
+    "sample_curriculum_order",
+    "sample_temporal_split",
+    "stats_ks_drift",
+    "sample_cluster_safe_split",
+    # Data-mix.
+    "mix_drift_chi2",
+    "mix_anneal_schedule",
+    # Layout.
+    "layout_compaction_plan",
+    "layout_zonemap_skipping",
+    # Incremental view maintenance.
+    "view_incremental_merge",
+    # Dataloader prep (r5 additions).
+    "pack_sequences_plan",
+    "export_shard_plan",
+    # Curation remainder (11 of 18; tail spills to r7).
+    "text_boilerplate_strip",
+    "profile_schema_stats",
+    "quality_gopher_gates",
+    "tokens_context_audit",
+    "embed_outlier_scores",
+    "profile_table_stats",
+    "text_inverted_index",
+    "text_rarity_score",
+    "profile_dup_rate_by_source",
+    "chunk_documents",
+    "quality_weighted_terms",
 ]
 
 _MODULES: list[str] = [

@@ -17,63 +17,72 @@ WINDOW = 50
 # The three §2 sentinels stay driver-signed every round (VERDICT r2 #3).
 SENTINELS = ["w1_minute_activity", "q0_snapshot_topk", "j1_star_join_revenue"]
 
-# Round-5 rotation: 47 of the 87 oracled-but-never-driver-signed
-# entries (registry.py comment documents the 40-entry r6 spill).
+# Round-6 rotation: 47 more never-driver-signed entries — the 11
+# golden-fixture oracles, retrieval, sketches, sampling, mix, layout,
+# view_incremental_merge, the pack/export pair, and 11 of the 18
+# curation remainder (registry.py comment documents the 10-entry r7
+# spill: 7 curation tail + 3 by-design rows-only).
 ROTATED_SUITES = {
-    "dedup_graph": [
-        "dedup_soft_weights",
-        "dedup_prefix",
-        "dedup_lsh_verified",
-        "dedup_lsh_calibration",
-        "dedup_quality_survivor",
-        "dedup_containment",
-        "dedup_passage",
-        "dedup_semdedup",
-        "dedup_lines_c4",
-        "url_canonical_dedup",
-        "dedup_substring_spans",
-        "dedup_winnowing",
-        "er_blocked_matching",
-        "graph_pagerank_dupgraph",
-        "graph_triangle_count",
-        "graph_label_propagation",
-        "graph_kcore",
+    "golden_fixture": [
+        "dash_kpis",
+        "dash_status_distribution",
+        "dash_asset_class_exposure",
+        "dash_counterparty_top10",
+        "dash_venue_distribution",
+        "dash_fee_mix",
+        "dash_side_split",
+        "dash_minute_activity",
+        "dash_breaks_table",
+        "dash_recent_trades",
+        "src1_trade_generator",
     ],
-    "bpe_text": [
-        "vocab_bpe_pair_stats",
-        "vocab_bpe_learn_merges",
-        "tokenize_with_learned_bpe",
-        "text_ngram_diversity",
+    "retrieval": [
+        "search_bm25_topk",
+        "dsir_importance",
+        "search_hybrid_rrf",
+        "search_mmr_diversify",
+        "search_prf_expand",
     ],
-    "similarity": [
-        "sim_pq_topk",
-        "sim_prefix_topk",
-        "sim_filtered_topk",
-        "sim_ivfpq_topk",
-        "sim_knn_join",
-        "sim_sq8_topk",
-        "sim_hard_negatives",
-        "sim_ann_recall_eval",
-        "embed_pca_power",
-        "decontaminate_semantic",
+    "sketches": [
+        "sketch_cms_heavy_hitters",
+        "sketch_bloom_decontaminate",
+        "sketch_hll_distinct",
+        "sketch_kmv_overlap",
+        "sketch_quantile_histogram",
     ],
-    "multimodal": ["mm_phash_dedup"],
-    "pipeline_analytics": [
-        "events_funnel_steps",
-        "events_retention_cohorts",
-        "basket_pair_lift",
-        "customer_rfm_segments",
-        "events_active_users_rolling",
-        "revenue_concentration_gini",
-        "experiment_ab_lift",
-        "path_topk_journeys",
-        "event_transition_matrix",
-        "agg_bitmap_distinct",
-        "pivot_status_by_day",
-        "stats_robust_mad",
-        "skyline_pareto_parts",
-        "metrics_bootstrap_ci",
-        "ts_vwap_bars",
+    "sampling": [
+        "sample_kcenter_coreset",
+        "sample_importance_weighted",
+        "sample_domain_cap",
+        "shuffle_global_order",
+        "sample_curriculum_order",
+        "sample_temporal_split",
+        "stats_ks_drift",
+        "sample_cluster_safe_split",
+    ],
+    "mix_layout_view": [
+        "mix_drift_chi2",
+        "mix_anneal_schedule",
+        "layout_compaction_plan",
+        "layout_zonemap_skipping",
+        "view_incremental_merge",
+    ],
+    "dataloader": [
+        "pack_sequences_plan",
+        "export_shard_plan",
+    ],
+    "curation": [
+        "text_boilerplate_strip",
+        "profile_schema_stats",
+        "quality_gopher_gates",
+        "tokens_context_audit",
+        "embed_outlier_scores",
+        "profile_table_stats",
+        "text_inverted_index",
+        "text_rarity_score",
+        "profile_dup_rate_by_source",
+        "chunk_documents",
+        "quality_weighted_terms",
     ],
 }
 
