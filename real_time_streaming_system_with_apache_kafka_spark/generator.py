@@ -24,11 +24,25 @@ Two deliberate departures from the reference, both scale-driven:
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from real_time_streaming_system_with_apache_kafka_spark.schemas import TRADE_SCHEMA
+
+# Committed golden fixture: the live generator's output at seed=42,
+# n=20000, bit-pinned by tests/test_dashboard_oracles.py. Single source
+# for every fixture-backed oracle (dashboard.py imports it from here).
+TRADES_FIXTURE = os.path.abspath(
+    os.path.join(
+        os.path.dirname(__file__),
+        "..",
+        "tests",
+        "fixtures",
+        "trades_seed42_n20000.parquet",
+    )
+)
 
 ASSET_CLASSES = ["Equity", "Fixed Income", "Derivative", "FX", "Commodity"]
 SIDES = ["Buy", "Sell"]
@@ -329,20 +343,6 @@ QUERIES = {
 }
 
 
-def _fixture_path() -> str:
-    import os
-
-    return os.path.abspath(
-        os.path.join(
-            os.path.dirname(__file__),
-            "..",
-            "tests",
-            "fixtures",
-            "trades_seed42_n20000.parquet",
-        )
-    )
-
-
 ORACLES: dict[str, str] = {
     # Golden-fixture oracle (src1 docstring): the generator itself,
     # hash-checked end to end. w4 stays rows-only (wire encode/decode
@@ -359,7 +359,7 @@ ORACLES: dict[str, str] = {
                cast(exchange_fee AS double) AS exchange_fee,
                cast(total_fees AS double) AS total_fees,
                priority, stp_eligible, timestamp, processed_by
-        FROM read_parquet('{_fixture_path()}')
+        FROM read_parquet('{TRADES_FIXTURE}')
         ORDER BY timestamp
         LIMIT 10000
     """,

@@ -20,24 +20,11 @@ logic == SQL twin (driver hash).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from real_time_streaming_system_with_apache_kafka_spark.functions.exact import dsum, ratio
-from real_time_streaming_system_with_apache_kafka_spark.generator import trades
-
-TRADES_FIXTURE = os.path.abspath(
-    os.path.join(
-        os.path.dirname(__file__),
-        "..",
-        "..",
-        "tests",
-        "fixtures",
-        "trades_seed42_n20000.parquet",
-    )
-)
+from real_time_streaming_system_with_apache_kafka_spark.generator import TRADES_FIXTURE, trades
 
 N_TRADES = 20_000
 

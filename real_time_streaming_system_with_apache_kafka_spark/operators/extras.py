@@ -537,7 +537,15 @@ def stats_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct integers per slice), never by n — the same
     O(model)-collect contract as the k-means codebooks. At 100 TB the
     sketch path (approx_percentile) takes over and this exact form is
-    its validation twin, same contract as agg_quartiles_exact."""
+    its validation twin, same contract as agg_quartiles_exact.
+
+    Contract note: unlike the rest of the registry this query is EAGER
+    — the rank walks are driver logic, so the histogram jobs run at
+    call time and the return value is a driver-materialized frame
+    (same registry-level exemption as the k-means model fits, whose
+    codebooks also collect at call time). Plan-only consumers that
+    need a lazy equivalent should use ``_group_median`` above. An
+    empty fact table returns an empty frame with the same schema."""
     width = 1 << 16  # bucket width in cents; <=170 buckets at TPC-H prices
     hist = (
         load_rebalanced(spark, "lineitem", sf_dir)
@@ -561,9 +569,15 @@ def stats_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             cum += h[key]
         raise ValueError("rank beyond histogram")
 
+    def _q(g: str) -> str:
+        """SQL string literal for a group value. Group values here are
+        l_returnflag ('A'/'N'/'R'), but escape quotes so the builder
+        stays safe if reused on arbitrary string groups."""
+        return "'" + str(g).replace("'", "''") + "'"
+
     def case_expr(mapping: dict) -> str:
         arms = " ".join(
-            f"WHEN '{g}' THEN {v}L" for g, v in mapping.items()
+            f"WHEN {_q(g)} THEN {v}L" for g, v in mapping.items()
         )
         return f"CASE l_returnflag {arms} END"
 
@@ -583,7 +597,7 @@ def stats_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         df: DataFrame, val: str, want: dict[str, set]
     ) -> dict[str, dict[int, int]]:
         cond = " OR ".join(
-            f"(l_returnflag = '{g}' AND ({val}) div {width} IN "
+            f"(l_returnflag = {_q(g)} AND ({val}) div {width} IN "
             f"({', '.join(str(b) for b in sorted(bs))}))"
             for g, bs in want.items()
         )
@@ -599,6 +613,12 @@ def stats_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Job 1 (the only fact scan materializes here): coarse cents bins.
     bins1 = coarse(hist, "cents")
+    out_schema = (
+        "l_returnflag string, n bigint, med_cents bigint, "
+        "mad_cents bigint, n_outliers bigint, outlier_ppm bigint"
+    )
+    if not bins1:  # empty fact table: no groups, empty result
+        return spark.createDataFrame([], out_schema)
     n_by_g = {g: sum(h.values()) for g, h in bins1.items()}
     k_by_g = {g: (n + 1) // 2 for g, n in n_by_g.items()}
     bstar = {g: rank_walk(bins1[g], k_by_g[g]) for g in bins1}
@@ -647,11 +667,7 @@ def stats_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             (g, n, med[g], mad, n_out, n_out * 1_000_000 // n)
         )
-    return spark.createDataFrame(
-        rows,
-        "l_returnflag string, n bigint, med_cents bigint, "
-        "mad_cents bigint, n_outliers bigint, outlier_ppm bigint",
-    ).orderBy("l_returnflag")
+    return spark.createDataFrame(rows, out_schema).orderBy("l_returnflag")
 
 
 def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
