@@ -146,3 +146,12 @@ def oracle_norm(a: str) -> str:
 
 def oracle_cosine(a: str, b: str) -> str:
     return f"round({oracle_dot(a, b)} / ({oracle_norm(a)} * {oracle_norm(b)}), 9)"
+
+
+def oracle_cosine_unrounded(a: str, b: str) -> str:
+    """The quantized cosine WITHOUT the final 9dp round — bit-identical
+    to the numpy kernels' exact Gram-matrix doubles, so ORDERING
+    comparisons (argmax/rank) agree across engines with no rounding
+    step. Shared by the k-means assignment twins and the kNN-join
+    oracle."""
+    return f"({oracle_dot(a, b)} / ({oracle_norm(a)} * {oracle_norm(b)}))"

@@ -34,7 +34,9 @@ from real_time_streaming_system_with_apache_kafka_spark.functions.arrays import 
     oracle_cosine,
 )
 from real_time_streaming_system_with_apache_kafka_spark.functions.blocks import (
+    block_cells_oracle_ctes,
     salted_block_union,
+    with_block_cells,
 )
 from real_time_streaming_system_with_apache_kafka_spark.functions.ngrams import (
     regex_word_ngrams,
@@ -296,8 +298,8 @@ def make_block_cosine_kernel(threshold: float):
     self-contained closure (unpickled by value on workers; must not
     reference this package, see functions/arrays.py:make_qcosine_udf).
 
-    Per (label, salt) group: probe rows (this salt's vectors) x all
-    label vectors, quantized to 7dp integers and pushed through one
+    Per (block, salt) group: probe rows (this salt's vectors) x all
+    block vectors, quantized to 7dp integers and pushed through one
     BLAS matmul. All products/partial sums are integer-valued float64
     < 2**53, so the Gram matrix is EXACT and bit-identical to the
     DuckDB decimal(9,7) oracle. Emits only pairs with raw cosine above
@@ -311,7 +313,7 @@ def make_block_cosine_kernel(threshold: float):
 
         empty = pd.DataFrame(
             {
-                "label": pd.Series([], dtype="int32"),
+                "block": pd.Series([], dtype="int32"),
                 "vec_a": pd.Series([], dtype="int64"),
                 "vec_b": pd.Series([], dtype="int64"),
                 "cos": pd.Series([], dtype="float64"),
@@ -335,13 +337,13 @@ def make_block_cosine_kernel(threshold: float):
         C = (G / 1e14) / np.outer(na, nb)
         ids_a, ids_b = a["vec_id"].values, b["vec_id"].values
         # Emit (x, y) only when x < y and x is a probe row: each pair
-        # surfaces in exactly one (label, salt(x)) group.
+        # surfaces in exactly one (block, salt(x)) group.
         ii, jj = np.nonzero((ids_a[:, None] < ids_b[None, :]) & (C >= threshold - 1e-9))
         if len(ii) == 0:
             return empty
         return pd.DataFrame(
             {
-                "label": np.full(len(ii), pdf["label"].iloc[0]),
+                "block": np.full(len(ii), pdf["block"].iloc[0]),
                 "vec_a": ids_a[ii],
                 "vec_b": ids_b[jj],
                 "cos": C[ii, jj],
@@ -352,18 +354,24 @@ def make_block_cosine_kernel(threshold: float):
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: same-label blocking (IVF-style — at
-    scale the block id comes from a coarse quantizer), then exact
-    quantized cosine >= 0.95 inside each block via a blocked-GEMM
-    ``applyInPandas`` kernel.
+    """Embedding near-dup pairs: learned coarse-quantizer blocking
+    (re-specced r6, VERDICT r5 #2 — cells from the count-derived
+    spherical k-means in functions/blocks.py, k = ceil(sqrt(N)), not
+    the fixture's fixed-cardinality ``label``), then exact quantized
+    cosine >= threshold inside each cell via a blocked-GEMM
+    ``applyInPandas`` kernel. Near-dup pairs straddling a cell
+    boundary are the deliberate IVF recall tradeoff — measured by the
+    recall audit in tests/test_r3_extensions.py, not asserted away.
 
-    Scale shape: side A carries a deterministic salt, side B is
-    replicated across all salts, so each (label, salt) group is one
-    Arrow batch -> one BLAS matmul. The quadratic pair set exists only
-    inside numpy — never shuffled, never materialized as Spark rows —
-    and the group output is just the surviving near-dup pairs. Shuffle
-    volume is O(corpus x n_salts) narrow rows, the same guard a
-    coarse-quantizer block join needs at 100 TB.
+    Scale shape: per-cell GEMM work is O(cell^2) with cell ~ sqrt(N),
+    so total work is O(N^1.5) and the last-decade ratio stays bounded
+    where label blocking went quadratic. Side A carries a
+    deterministic salt, side B is replicated across all salts, so
+    each (block, salt) group is one Arrow batch -> one BLAS matmul.
+    The quadratic pair set exists only inside numpy — never shuffled,
+    never materialized as Spark rows — and the group output is just
+    the surviving near-dup pairs. Shuffle volume is
+    O(corpus x n_salts) narrow rows.
     """
     return _cosine_pairs(spark, sf_dir, COSINE_THRESHOLD)
 
@@ -376,23 +384,26 @@ def _cosine_pairs(
 ) -> DataFrame:
     """Shared salted-block GEMM pair derivation (see
     dedup_embedding_cosine for the shape argument): exact quantized
-    cosine pairs (vec_a < vec_b) at ``threshold``, rounded JVM-side.
-    Callers that already hold the embeddings scan pass it via ``emb``
-    so one job never reads the corpus twice."""
+    cosine pairs (vec_a < vec_b) at ``threshold`` within learned
+    quantizer cells, rounded JVM-side. Callers that already hold the
+    embeddings scan pass it via ``emb`` so one job never reads the
+    corpus twice."""
     if emb is None:
         emb = load(spark, "embeddings", sf_dir)
     raw = (
-        salted_block_union(emb, spark.sparkContext.defaultParallelism)
-        .groupBy("label", "salt")
+        salted_block_union(
+            with_block_cells(emb), spark.sparkContext.defaultParallelism
+        )
+        .groupBy("block", "salt")
         .applyInPandas(
             make_block_cosine_kernel(threshold),
-            "label int, vec_a long, vec_b long, cos double",
+            "block int, vec_a long, vec_b long, cos double",
         )
     )
     return (
         raw.withColumn("cos", F.round("cos", 9))
         .filter(F.col("cos") >= threshold)
-        .select("label", "vec_a", "vec_b", "cos")
+        .select(F.col("block").alias("cell"), "vec_a", "vec_b", "cos")
     )
 
 
@@ -408,13 +419,16 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector is DROPPED when some lower-id cell-mate sits above the
     cosine threshold (deterministic min-id survivor per near-dup
     relation), giving a per-vector keep/drop decision table rather
-    than a pair list.
+    than a pair list. Since r6 the cells are the LEARNED count-derived
+    k-means cells (functions/blocks.py) — exactly the paper's
+    formulation, which clusters the corpus and dedups within clusters,
+    rather than the r3-r5 stand-in that reused the fixture ``label``.
 
     Scale shape: the same salted-block GEMM as dedup_embedding_cosine
-    (quadratic work confined to per-block numpy), then one distinct on
-    the dropped side and a left anti-ish join back to the corpus spine
-    — shuffles are O(pairs above threshold) + O(corpus), never
-    O(corpus^2)."""
+    (quadratic work confined to per-cell numpy, O(N^1.5) total under
+    k = ceil(sqrt(N))), then one distinct on the dropped side and a
+    left anti-ish join back to the corpus spine — shuffles are
+    O(pairs above threshold) + O(corpus), never O(corpus^2)."""
     emb = load(spark, "embeddings", sf_dir)
     dropped = (
         _cosine_pairs(spark, sf_dir, SEMDEDUP_THRESHOLD, emb=emb)
@@ -2041,12 +2055,14 @@ ORACLES = {
         ),
         und AS (SELECT src, dst FROM edges WHERE src < dst),
         x AS (
+            -- coalesce: over an EMPTY edge set sum() is NULL while
+            -- Spark's count_if is 0 — pin the zero-row semantics.
             SELECT cast(count(*) AS bigint) AS n_dup_pairs,
-                   cast(sum(CASE WHEN a.split <> b.split
-                                 THEN 1 ELSE 0 END) AS bigint)
+                   cast(coalesce(sum(CASE WHEN a.split <> b.split
+                                 THEN 1 ELSE 0 END), 0) AS bigint)
                        AS cross_pairs_cluster,
-                   cast(sum(CASE WHEN a.naive_split <> b.naive_split
-                                 THEN 1 ELSE 0 END) AS bigint)
+                   cast(coalesce(sum(CASE WHEN a.naive_split <> b.naive_split
+                                 THEN 1 ELSE 0 END), 0) AS bigint)
                        AS cross_pairs_naive
             FROM und
             JOIN lab2 a ON und.src = a.doc_id
@@ -2110,18 +2126,30 @@ ORACLES = {
         SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
         FROM sims GROUP BY simhash
     """,
+    # Learned-quantizer twins: `cells` comes from the unrolled-Lloyd
+    # CTE chain in functions/blocks.py (count-derived k, hash-ordered
+    # init/sample, decimal-exact means, unrounded-cosine argmax).
     "dedup_embedding_cosine": f"""
-        SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        WITH {block_cells_oracle_ctes()}
+        SELECT cast(ca.cell AS int) AS cell,
+               a.vec_id AS vec_a, b.vec_id AS vec_b,
                {oracle_cosine('a.embedding', 'b.embedding')} AS cos
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM embeddings a
+        JOIN cells ca ON a.vec_id = ca.vec_id
+        JOIN cells cb ON ca.cell = cb.cell
+        JOIN embeddings b
+          ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
         WHERE {oracle_cosine('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
     """,
     "dedup_semdedup": f"""
-        WITH dropped AS (
+        WITH {block_cells_oracle_ctes()},
+        dropped AS (
             SELECT DISTINCT b.vec_id
-            FROM embeddings a JOIN embeddings b
-              ON a.label = b.label AND a.vec_id < b.vec_id
+            FROM embeddings a
+            JOIN cells ca ON a.vec_id = ca.vec_id
+            JOIN cells cb ON ca.cell = cb.cell
+            JOIN embeddings b
+              ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
             WHERE {oracle_cosine('a.embedding', 'b.embedding')}
                   >= {SEMDEDUP_THRESHOLD}
         )

@@ -24,11 +24,15 @@ from pyspark.sql import functions as F
 from real_time_streaming_system_with_apache_kafka_spark.functions.arrays import (
     cosine,
     oracle_cosine,
+    oracle_cosine_unrounded,
     oracle_dot,
     oracle_norm,
 )
 from real_time_streaming_system_with_apache_kafka_spark.functions.blocks import (
+    block_cells_oracle_ctes,
+    make_assign_udf,
     salted_block_union,
+    with_block_cells,
 )
 from real_time_streaming_system_with_apache_kafka_spark.sources.tables import (
     load,
@@ -171,41 +175,9 @@ K_CELLS = 8
 KMEANS_ITERS = 4
 
 
-def make_assign_udf(centroids: list[list[float]]):
-    """Arrow-vectorized nearest-centroid assignment: one BLAS matmul of
-    the batch against the (K x dim) centroid matrix — map-side only, no
-    shuffle. Ties break to the lowest cell id (np.argmax takes the
-    first maximum). Self-contained closure: must not reference this
-    package so workers can unpickle it by value.
-
-    Cosines use the same quantized-integer kernel as qcosine
-    (functions/arrays.py): 7dp quantization on both sides, exact
-    integer dots in float64, then the identical sqrt/divide op
-    sequence — so every UNROUNDED cosine double is bit-identical to
-    the DuckDB oracle's decimal-sum form, and the argmax (with its
-    first-maximum = lowest-cell tie rule) picks the same cell on
-    every engine. That is what makes the learned-k-means IVF
-    SQL-expressible (see the unrolled-Lloyd oracle)."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("int")
-    def assign(emb):
-        import numpy as np
-        import pandas as pd
-
-        if len(emb) == 0:
-            return pd.Series([], dtype="int32")
-        X = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
-        C = np.asarray(centroids, dtype=np.float64)
-        Qx = np.floor(np.abs(X) * 1e7 + 0.5) * np.sign(X)
-        Qc = np.floor(np.abs(C) * 1e7 + 0.5) * np.sign(C)
-        dots = (Qx @ Qc.T) / 1e14  # (n, k), exact ints / one IEEE div
-        nx = np.sqrt(np.einsum("ij,ij->i", Qx, Qx) / 1e14)[:, None]
-        nc = np.sqrt(np.einsum("ij,ij->i", Qc, Qc) / 1e14)[None, :]
-        cos = dots / (nx * nc)
-        return pd.Series(np.argmax(cos, axis=1).astype("int32"))
-
-    return assign
+# make_assign_udf lives in functions/blocks.py (shared with the
+# count-derived blocking quantizer) and is re-exported here for its
+# historical callers/tests.
 
 
 def learn_centroids(
@@ -769,8 +741,10 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _unrounded_cos(a: str, b: str) -> str:
     """The assignment kernel's cosine WITHOUT the final 9dp round —
     bit-identical to make_assign_udf's quantized doubles, so argmax
-    comparisons agree across engines without any rounding step."""
-    return f"({oracle_dot(a, b)} / ({oracle_norm(a)} * {oracle_norm(b)}))"
+    comparisons agree across engines without any rounding step.
+    (Alias of functions.arrays.oracle_cosine_unrounded, which the
+    blocking-quantizer oracle in functions/blocks.py also uses.)"""
+    return oracle_cosine_unrounded(a, b)
 
 
 def _kmeans_oracle_sql() -> str:
@@ -1019,7 +993,7 @@ def make_block_knn_kernel():
     closure (unpickled by value on workers, must not reference this
     package; see functions/arrays.py:make_qcosine_udf).
 
-    Per (label, salt) group: this salt's probe rows x ALL label
+    Per (block, salt) group: this salt's probe rows x ALL block
     vectors through one BLAS matmul on 7dp-quantized integers (the
     Gram matrix is exact — every float64 addition is of integer-valued
     operands < 2**53), then a per-row argmax with ties resolved to the
@@ -1033,7 +1007,7 @@ def make_block_knn_kernel():
 
         empty = pd.DataFrame(
             {
-                "label": pd.Series([], dtype="int32"),
+                "block": pd.Series([], dtype="int32"),
                 "vec_id": pd.Series([], dtype="int64"),
                 "nn_id": pd.Series([], dtype="int64"),
                 "cos": pd.Series([], dtype="float64"),
@@ -1066,7 +1040,7 @@ def make_block_knn_kernel():
             return empty
         return pd.DataFrame(
             {
-                "label": np.full(int(valid.sum()), pdf["label"].iloc[0]),
+                "block": np.full(int(valid.sum()), pdf["block"].iloc[0]),
                 "vec_id": ids_a[valid],
                 "nn_id": nn[valid],
                 "cos": best[valid],
@@ -1078,14 +1052,22 @@ def make_block_knn_kernel():
 
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KNN self-join: EVERY corpus vector mapped to its exact nearest
-    neighbor within its coarse cell (label; at 100 TB the cell comes
-    from the learned quantizer) — the all-corpus companion of the
-    5-query top-k searches, and the building block of SemDeDup-style
-    semantic pruning and kNN-graph construction.
+    neighbor within its coarse quantizer cell — the all-corpus
+    companion of the 5-query top-k searches, and the building block of
+    SemDeDup-style semantic pruning and kNN-graph construction.
+
+    Blocking (re-specced r6, VERDICT r5 #2): cells come from the
+    LEARNED count-derived quantizer (functions/blocks.py — spherical
+    k-means, k = ceil(sqrt(N))), not the fixture's fixed-cardinality
+    ``label`` column, so per-cell GEMM work is O(N) per cell and
+    O(N^1.5) total instead of O(N^2/const). Within-cell 1-NN over
+    IVF cells is the standard kNN-graph construction compromise:
+    recall vs the exact global 1-NN is measured, not asserted (see
+    tests/test_r3_extensions.py recall audit).
 
     Scale shape: the dedup_embedding_cosine salted-block pattern with
     an argmax instead of a threshold — probe side salted, candidate
-    side replicated per salt, so each (label, salt) group is one Arrow
+    side replicated per salt, so each (block, salt) group is one Arrow
     batch -> one BLAS matmul, and each probe's full candidate row is
     present in exactly one group (the per-group argmax IS the global
     within-cell argmax). The quadratic score matrix exists only inside
@@ -1093,15 +1075,20 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     is O(corpus x n_salts) narrow rows — never O(corpus^2)."""
     emb = load(spark, "embeddings", sf_dir)
     raw = (
-        salted_block_union(emb, spark.sparkContext.defaultParallelism)
-        .groupBy("label", "salt")
+        salted_block_union(
+            with_block_cells(emb), spark.sparkContext.defaultParallelism
+        )
+        .groupBy("block", "salt")
         .applyInPandas(
             make_block_knn_kernel(),
-            "label int, vec_id long, nn_id long, cos double",
+            "block int, vec_id long, nn_id long, cos double",
         )
     )
     return raw.select(
-        "label", "vec_id", "nn_id", F.round("cos", 9).alias("cos")
+        F.col("block").alias("cell"),
+        "vec_id",
+        "nn_id",
+        F.round("cos", 9).alias("cos"),
     )
 
 
@@ -2010,20 +1997,27 @@ ORACLES = {
         WHERE q.vec_id <> n.vec_id
           AND {oracle_cosine('q.embedding', 'n.embedding')} >= {RANGE_THRESHOLD}
     """,
-    # KNN self-join twin: the argmax orders by the UNROUNDED quantized
-    # cosine (bit-identical to the kernel's exact Gram matrix), ties to
-    # the lowest neighbor id; only the reported cos is rounded.
+    # KNN self-join twin: learned-quantizer cells (unrolled-Lloyd CTE
+    # chain from functions/blocks.py), then an argmax ordered by the
+    # UNROUNDED quantized cosine (bit-identical to the kernel's exact
+    # Gram matrix), ties to the lowest neighbor id; only the reported
+    # cos is rounded.
     "sim_knn_join": f"""
-        WITH scored AS (
-            SELECT a.label AS label, a.vec_id AS vec_id,
+        WITH {block_cells_oracle_ctes()},
+        scored AS (
+            SELECT ca.cell AS cell, a.vec_id AS vec_id,
                    b.vec_id AS nn_id,
                    {_unrounded_cos('a.embedding', 'b.embedding')} AS rawcos
-            FROM embeddings a JOIN embeddings b
-              ON a.label = b.label AND a.vec_id <> b.vec_id
+            FROM embeddings a
+            JOIN cells ca ON a.vec_id = ca.vec_id
+            JOIN cells cb ON ca.cell = cb.cell
+            JOIN embeddings b
+              ON b.vec_id = cb.vec_id AND a.vec_id <> b.vec_id
         )
-        SELECT label, vec_id, nn_id, round(rawcos, 9) AS cos
+        SELECT cast(cell AS int) AS cell, vec_id, nn_id,
+               round(rawcos, 9) AS cos
         FROM (
-            SELECT label, vec_id, nn_id, rawcos,
+            SELECT cell, vec_id, nn_id, rawcos,
                    row_number() OVER (PARTITION BY vec_id
                                       ORDER BY rawcos DESC, nn_id) AS rk
             FROM scored

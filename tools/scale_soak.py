@@ -83,6 +83,39 @@ def generate(spark, n_replicas: int, dst: str) -> None:
             df = df.withColumn(
                 "label", F.col("label") + F.col("rep") * F.lit(LABEL_STRIDE)
             )
+            # Per-stripe DIMENSION PERMUTATION (orthogonal transform):
+            # within-stripe cosines are preserved EXACTLY (both sides
+            # permute the same way) while byte-identical cross-stripe
+            # twins decorrelate. Without this, every stripe's copy of a
+            # vector lands in the same learned quantizer cell at
+            # cosine 1.0 and the near-dup pair OUTPUT grows
+            # quadratically in the replica count by data construction
+            # (the embedding twin of the documents vocabulary
+            # bijection above — measured r6: 18.8M pairs at sf10, ~94%
+            # of them cross-stripe identity pairs). Stripe 0 stays
+            # byte-identical to the source.
+            dim_perm = F.transform(
+                F.array_sort(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0), F.size("embedding") - F.lit(1)
+                        ),
+                        lambda d: F.struct(
+                            F.xxhash64(F.col("rep"), d).alias("k"),
+                            d.alias("d"),
+                        ),
+                    )
+                ),
+                lambda s: F.element_at(
+                    F.col("embedding"), s.getField("d") + F.lit(1)
+                ),
+            )
+            df = df.withColumn(
+                "embedding",
+                F.when(F.col("rep") == 0, F.col("embedding")).otherwise(
+                    dim_perm
+                ),
+            )
         if t == "documents":
             # Vocabulary bijection per stripe (see module docstring);
             # stripe 0 stays byte-identical to the source.
