@@ -23,6 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from real_time_streaming_system_with_apache_kafka_spark import registry
 from real_time_streaming_system_with_apache_kafka_spark.session import get_session
 
+# How many of the slowest queries the compact stdout line carries;
+# sized so the line stays well under the harness's ~2000-char tail
+# capture (the full table goes to BENCH_LOCAL_r<N>.json).
+_COMPACT_TOP_QUERIES = 12
+
 HEADLINE = [
     "w1_minute_activity",
     "q0_snapshot_topk",
@@ -246,7 +251,54 @@ def main() -> None:
     delta = _prev_round_delta(times, sf)
     if delta is not None:
         out["prev_round_delta"] = delta
-    print(json.dumps(out))
+
+    # The external harness captures only a TAIL of stdout (~2000
+    # chars): BENCH_r04/r05 both came back parsed:null because the
+    # full 108-query artifact is one ~5 KB JSON line. So: write the
+    # FULL artifact to a committed BENCH_LOCAL_r<N>.json, and print a
+    # compact line (total, host noise, the slowest queries, top
+    # regressions) that fits the tail capture whole.
+    here = os.path.dirname(os.path.abspath(__file__))
+    nxt = 1 + max(
+        (
+            int(re.search(r"\d+", f).group())
+            for f in os.listdir(here)
+            if re.fullmatch(r"BENCH_r\d+\.json", f)
+        ),
+        default=0,
+    )
+    local_name = f"BENCH_LOCAL_r{nxt}.json"
+    with open(os.path.join(here, local_name), "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+
+    top = dict(
+        sorted(times.items(), key=lambda kv: -kv[1])[:_COMPACT_TOP_QUERIES]
+    )
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "host_noise": out["host_noise"],
+        "queries": top,  # the slowest N; full table in `artifact`
+        "queries_omitted": len(times) - len(top),
+        "artifact": local_name,
+    }
+    if delta is not None:
+        regressions = dict(
+            sorted(
+                delta["per_query_delta_sec"].items(), key=lambda kv: -kv[1]
+            )[:5]
+        )
+        compact["prev_round_delta"] = {
+            "vs": delta["vs"],
+            "common_total_sec": delta["common_total_sec"],
+            "prev_common_total_sec": delta["prev_common_total_sec"],
+            "added_queries_sec": delta["added_queries_sec"],
+            "top_regressions_sec": regressions,
+        }
+    print(json.dumps(compact))
 
 
 def _proc_stat() -> list[int] | None:
