@@ -493,7 +493,33 @@ def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, "documents", sf_dir)
     edges = _dup_edges(spark, sf_dir)
-    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    return _cc_labels(docs, edges).select(
+        "doc_id",
+        F.col("label").alias("component"),
+        (F.col("doc_id") == F.col("label")).alias("is_survivor"),
+    )
+
+
+def _cc_labels(docs: DataFrame, edges: DataFrame) -> DataFrame:
+    """Pointer-jumping min-label propagation over a PRE-MATERIALIZED
+    edge set (see dedup_cc_survivors for the algorithm argument).
+    Factored out so callers that also need the raw edges (the
+    cluster-safe split's leakage audit) run the LSH banding join ONCE
+    and share the checkpointed edge frame between the components and
+    their own joins.
+
+    The iteration runs over the DUP SUBGRAPH only — vertices with at
+    least one LSH edge — because a singleton's label is its own id
+    forever; the corpus spine joins back in once at the end. On a real
+    corpus the LSH edge set is sparse (near-dup docs are a small
+    fraction), so the per-round joins touch a frame orders of
+    magnitude smaller than the corpus — the difference between
+    iterating over 100 TB twelve times and iterating over the dup
+    graph twelve times."""
+    verts = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = verts.select(
+        "doc_id", F.col("doc_id").alias("label")
+    ).localCheckpoint(eager=True)
     for _ in range(CC_MAX_ITERS):
         nbr_min = (
             edges.join(
@@ -507,11 +533,14 @@ def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         stepped = labels.join(nbr_min, "doc_id", "left").select(
             "doc_id",
+            F.col("label").alias("old_label"),
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
         )
         # Pointer jumping: label <- label(label); halves path lengths.
+        # old_label rides along so the convergence test is a plain
+        # filter over the checkpointed rows — no extra join per round.
         jumped = (
             stepped.alias("s")
             .join(
@@ -523,23 +552,18 @@ def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(
                 F.col("s.doc_id").alias("doc_id"),
+                F.col("s.old_label").alias("old_label"),
                 F.coalesce("l_label", "s.label").alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter(F.col("label") != F.col("old_label")).count()
+        labels = jumped.select("doc_id", "label")
         if changed == 0:
             break
-    return labels.select(
-        "doc_id",
-        F.col("label").alias("component"),
-        (F.col("doc_id") == F.col("label")).alias("is_survivor"),
+    # Singletons rejoin the spine with label = their own id.
+    return docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("label")
     )
 
 
@@ -577,15 +601,23 @@ def sample_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split is a per-row hash of the label (no assignment table — the
     experiment_ab_lift property); the audit joins the LSH-bounded edge
     set to doc-grain labels on doc_id, then one global 1-row
-    aggregate broadcast back onto the 2-row per-split summary."""
-    comp = dedup_cc_survivors(spark, sf_dir).select("doc_id", "component")
+    aggregate broadcast back onto the 2-row per-split summary. The
+    LSH banding join that produces the edges runs ONCE: the same
+    checkpointed edge frame feeds both the CC rounds (via _cc_labels)
+    and the audit's crossing join — the r5 form recomputed it for the
+    audit and paid the whole banding stage twice."""
+    docs = load(spark, "documents", sf_dir)
+    edges = _dup_edges(spark, sf_dir)
+    comp = _cc_labels(docs, edges).select(
+        "doc_id", F.col("label").alias("component")
+    )
     labeled = comp.select(
         "doc_id",
         "component",
         _md5_split(F.col("component")).alias("split"),
         _md5_split(F.col("doc_id")).alias("naive_split"),
     ).localCheckpoint(eager=False)
-    und = _dup_edges(spark, sf_dir).filter(F.col("src") < F.col("dst"))
+    und = edges.filter(F.col("src") < F.col("dst"))
     crossing = (
         und.join(
             labeled.select(
