@@ -7,9 +7,10 @@ PLATEAU instead of growing with rows processed.  That plateau is what
 makes the design viable at 100 TB/day: state is O(keys-in-watermark),
 not O(stream history).
 
-Pipelines under soak (r5: THREE concurrent queries over the same
+Pipelines under soak (r6: FOUR concurrent queries over the same
 rate-source lineage — the full dashboard path, reference
-consumer.py:12-119 + dashboard.py:117-122 semantics):
+consumer.py:12-119 + dashboard.py:117-122 semantics, plus the W7
+stream-stream join, the one stateful surface never soaked before r6):
 
   ingest:  rate source -> seeded trade decoration (JVM codegen)
       -> ~5% exact redeliveries injected (same trade_id+payload)
@@ -23,6 +24,12 @@ consumer.py:12-119 + dashboard.py:117-122 semantics):
   breaks:  same source -> break-alert standing filter
       (windowed.py::break_alerts) -> noop sink (append) — stateless,
       included to prove the full dashboard fan-out sustains rate.
+  ssjoin:  same source self-joined — breaks matched to same-cpty
+      settlements within 10 min (enrich.join_breaks_to_settlements),
+      both sides watermarked                            [state 4+]
+      -> noop sink (append) — the symmetric-hash-join buffers are the
+      join-specific eviction path (state expires by watermark + range
+      predicate, not by key dedup), bounded like the rest.
 
 State store: RocksDB (``ingest.enable_rocksdb_state``) — the
 disk-backed provider a real deployment would run; the soak also
@@ -55,6 +62,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from real_time_streaming_system_with_apache_kafka_spark import generator
 from real_time_streaming_system_with_apache_kafka_spark.session import get_session
 from real_time_streaming_system_with_apache_kafka_spark.streaming import (
+    enrich,
     ingest,
     windowed,
 )
@@ -90,6 +98,7 @@ def main() -> None:
     per_minute = windowed.minute_activity_stream(deduped, watermark=None)
     hll = windowed.hll_distinct_stream(mk_stream())
     breaks = windowed.break_alerts(mk_stream())
+    ssjoin = enrich.join_breaks_to_settlements(mk_stream())
 
     def start(name: str, df, mode: str):
         ckpt = tempfile.mkdtemp(prefix=f"rtss_soak_ckpt_{name}_")
@@ -106,6 +115,7 @@ def main() -> None:
         ("ingest", start("ingest", per_minute, "update")),
         ("hll", start("hll", hll, "update")),
         ("breaks", start("breaks", breaks, "append")),
+        ("ssjoin", start("ssjoin", ssjoin, "append")),
     ]
 
     samples: list[dict] = []
