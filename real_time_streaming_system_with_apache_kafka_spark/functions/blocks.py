@@ -117,7 +117,19 @@ def _hash_order() -> list:
     return [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
 
 
-def learn_block_quantizer(emb: DataFrame) -> tuple[int, list[list[float]]]:
+# Session-scoped quantizer memo, keyed by (corpus key, corpus count).
+# A real IVF index is TRAINED ONCE and served to every query;
+# re-learning identical centroids per registry query was the
+# artificial part (measured ~2 s/query of scheduler-bound training
+# jobs at sf0.1). Deterministic learning makes the memo semantically
+# invisible; the count in the key invalidates it if the corpus under
+# a path changes. Driver memory is O(k x dim) floats per corpus.
+_QUANTIZER_CACHE: dict[tuple[str, int], tuple[int, list[list[float]]]] = {}
+
+
+def learn_block_quantizer(
+    emb: DataFrame, cache_key: str | None = None
+) -> tuple[int, list[list[float]]]:
     """Learn the count-derived blocking quantizer: (k, centroids).
 
     Init = the first k corpus vectors in hash order (a deterministic
@@ -132,6 +144,9 @@ def learn_block_quantizer(emb: DataFrame) -> tuple[int, list[list[float]]]:
     n = emb.count()
     if n == 0:
         return 1, []
+    memo_key = (cache_key, n) if cache_key is not None else None
+    if memo_key is not None and memo_key in _QUANTIZER_CACHE:
+        return _QUANTIZER_CACHE[memo_key]
     k = block_cell_count(n)
     train = (
         emb.select("vec_id", "embedding")
@@ -175,20 +190,77 @@ def learn_block_quantizer(emb: DataFrame) -> tuple[int, list[list[float]]]:
         )
         learned = {r.cell: list(map(float, r.centroid)) for r in rows}
         cents = [learned.get(i, cents[i]) for i in range(k)]
+    if memo_key is not None:
+        _QUANTIZER_CACHE[memo_key] = (k, cents)
     return k, cents
 
 
-def with_block_cells(emb: DataFrame) -> DataFrame:
+def with_block_cells(emb: DataFrame, cache_key: str | None = None) -> DataFrame:
     """The corpus plus its learned ``block`` cell id (map-side Arrow
     matmul against the broadcast-by-closure centroid matrix — no
     shuffle). Model fit happens eagerly at plan-construction time,
-    the same contract as sim_ivf_kmeans_topk's learn_centroids."""
+    the same contract as sim_ivf_kmeans_topk's learn_centroids;
+    ``cache_key`` (the corpus path) lets same-corpus queries reuse the
+    trained quantizer instead of re-learning identical centroids."""
     if not [f for f in emb.schema.fields if f.name == "embedding"]:
         raise ValueError("with_block_cells needs an 'embedding' column")
-    _, cents = learn_block_quantizer(emb)
+    _, cents = learn_block_quantizer(emb, cache_key=cache_key)
     if not cents:  # empty corpus: no kernel group will ever run
         return emb.withColumn("block", F.lit(0))
     return emb.withColumn("block", make_assign_udf(cents)(F.col("embedding")))
+
+
+def make_topn_assign_udf(centroids: list[list[float]], nprobe: int):
+    """Multi-probe variant of make_assign_udf: each vector's
+    ``nprobe`` nearest cells as an array<int>, ordered by the same
+    unrounded quantized cosine DESC with first-maximum = lowest-cell
+    ties (computed by iterated argmax so the tie rule is literally the
+    same op as the single-probe path). Self-contained closure."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def assign(emb):
+        import numpy as np
+        import pandas as pd
+
+        if len(emb) == 0:
+            return pd.Series([], dtype="object")
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        C = np.asarray(centroids, dtype=np.float64)
+        Qx = np.floor(np.abs(X) * 1e7 + 0.5) * np.sign(X)
+        Qc = np.floor(np.abs(C) * 1e7 + 0.5) * np.sign(C)
+        dots = (Qx @ Qc.T) / 1e14
+        nx = np.sqrt(np.einsum("ij,ij->i", Qx, Qx) / 1e14)[:, None]
+        nc = np.sqrt(np.einsum("ij,ij->i", Qc, Qc) / 1e14)[None, :]
+        cos = dots / (nx * nc)
+        n = min(nprobe, cos.shape[1])
+        picks = []
+        for _ in range(n):
+            best = cos.argmax(axis=1)  # first maximum = lowest cell
+            picks.append(best)
+            cos[np.arange(len(best)), best] = -np.inf
+        out = np.stack(picks, axis=1).astype("int32")
+        return pd.Series(list(out))
+
+    return assign
+
+
+def with_multiprobe_cells(
+    emb: DataFrame, nprobe: int, cache_key: str | None = None
+) -> DataFrame:
+    """The corpus with MULTI-PROBE cell membership: one row per
+    (vec_id, block) for each vector's ``nprobe`` nearest learned
+    cells. Same trained quantizer as with_block_cells (shared memo);
+    the exploded frame feeds salted_block_union directly, so each
+    (block, salt) kernel group sees every member — probe or boundary
+    neighbor — of that cell."""
+    _, cents = learn_block_quantizer(emb, cache_key=cache_key)
+    if not cents:
+        return emb.withColumn("block", F.lit(0))
+    return emb.withColumn(
+        "block",
+        F.explode(make_topn_assign_udf(cents, nprobe)(F.col("embedding"))),
+    )
 
 
 def salted_block_union(emb: DataFrame, n_salts: int) -> DataFrame:
@@ -214,14 +286,17 @@ def salted_block_union(emb: DataFrame, n_salts: int) -> DataFrame:
     return a.unionByName(b)
 
 
-def block_cells_oracle_ctes(src: str = "embeddings") -> str:
+def block_cells_oracle_ctes(src: str = "embeddings", nprobe: int = 1) -> str:
     """DuckDB twin of learn_block_quantizer + with_block_cells as a
     chain of CTE fragments ending in ``cells(vec_id, cell)`` — embed
     inside ``WITH {block_cells_oracle_ctes()}, ...``. The Lloyd loop
     unrolls exactly like similarity._kmeans_oracle_sql: hash-rank
     init, decimal-exact varchar-parsed means, empty-cell coalesce,
     unrounded-cosine argmax with ties to the lowest cell. All CTE
-    names are bq_-prefixed to stay collision-free in host queries."""
+    names are bq_-prefixed to stay collision-free in host queries.
+    ``nprobe`` > 1 keeps each vector's top-``nprobe`` cells (multi-probe
+    membership, one row per (vec_id, cell)) — the twin of
+    with_multiprobe_cells."""
     cos = oracle_cosine_unrounded
     parts = [
         f"""
@@ -294,7 +369,7 @@ def block_cells_oracle_ctes(src: str = "embeddings") -> str:
                                     DESC, c.cell
                        ) AS rk
                 FROM bq_emb e CROSS JOIN {last} c
-            ) WHERE rk = 1
+            ) WHERE rk <= {nprobe}
         )"""
     )
     return ",".join(parts)

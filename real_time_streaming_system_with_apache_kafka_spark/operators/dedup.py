@@ -37,6 +37,7 @@ from real_time_streaming_system_with_apache_kafka_spark.functions.blocks import 
     block_cells_oracle_ctes,
     salted_block_union,
     with_block_cells,
+    with_multiprobe_cells,
 )
 from real_time_streaming_system_with_apache_kafka_spark.functions.ngrams import (
     regex_word_ngrams,
@@ -392,7 +393,8 @@ def _cosine_pairs(
         emb = load(spark, "embeddings", sf_dir)
     raw = (
         salted_block_union(
-            with_block_cells(emb), spark.sparkContext.defaultParallelism
+            with_block_cells(emb, cache_key=sf_dir),
+            spark.sparkContext.defaultParallelism,
         )
         .groupBy("block", "salt")
         .applyInPandas(
@@ -404,6 +406,46 @@ def _cosine_pairs(
         raw.withColumn("cos", F.round("cos", 9))
         .filter(F.col("cos") >= threshold)
         .select(F.col("block").alias("cell"), "vec_a", "vec_b", "cos")
+    )
+
+
+DEDUP_NPROBE = 2  # multi-probe cell memberships per vector
+
+
+def dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe embedding near-dup pairs: each vector belongs to
+    its DEDUP_NPROBE nearest quantizer cells, so near-dup pairs that
+    straddle a single-probe cell boundary are recovered whenever the
+    two vectors share ANY of their cells — the standard IVF recall
+    knob (Faiss ``nprobe``), exposed as its own operator so the
+    recall/cost tradeoff against dedup_embedding_cosine is a measured
+    choice, not a buried constant.
+
+    Scale shape: identical to the single-probe kernel except the
+    blocked corpus carries nprobe rows per vector — work and shuffle
+    scale by the nprobe factor (2x here), still O(N^1.5) total under
+    k = ceil(sqrt(N)). A pair sharing BOTH cells is emitted twice with
+    bit-identical cosines (same exact integer Gram arithmetic in both
+    groups), so the final ``distinct`` is an exact dedup, never a
+    value merge. Output drops the cell id (a pair's witness cell is
+    not unique under multi-probe)."""
+    emb = load(spark, "embeddings", sf_dir)
+    raw = (
+        salted_block_union(
+            with_multiprobe_cells(emb, DEDUP_NPROBE, cache_key=sf_dir),
+            spark.sparkContext.defaultParallelism,
+        )
+        .groupBy("block", "salt")
+        .applyInPandas(
+            make_block_cosine_kernel(COSINE_THRESHOLD),
+            "block int, vec_a long, vec_b long, cos double",
+        )
+    )
+    return (
+        raw.withColumn("cos", F.round("cos", 9))
+        .filter(F.col("cos") >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", "cos")
+        .distinct()
     )
 
 
@@ -1692,6 +1734,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_multiprobe": dedup_embedding_multiprobe,
     "dedup_cc_survivors": dedup_cc_survivors,
     "sample_cluster_safe_split": sample_cluster_safe_split,
     "dedup_quality_survivor": dedup_quality_survivor,
@@ -2165,6 +2208,17 @@ ORACLES = {
         WITH {block_cells_oracle_ctes()}
         SELECT cast(ca.cell AS int) AS cell,
                a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {oracle_cosine('a.embedding', 'b.embedding')} AS cos
+        FROM embeddings a
+        JOIN cells ca ON a.vec_id = ca.vec_id
+        JOIN cells cb ON ca.cell = cb.cell
+        JOIN embeddings b
+          ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+        WHERE {oracle_cosine('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
+    """,
+    "dedup_embedding_multiprobe": f"""
+        WITH {block_cells_oracle_ctes(nprobe=DEDUP_NPROBE)}
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
                {oracle_cosine('a.embedding', 'b.embedding')} AS cos
         FROM embeddings a
         JOIN cells ca ON a.vec_id = ca.vec_id

@@ -1076,7 +1076,8 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, "embeddings", sf_dir)
     raw = (
         salted_block_union(
-            with_block_cells(emb), spark.sparkContext.defaultParallelism
+            with_block_cells(emb, cache_key=sf_dir),
+            spark.sparkContext.defaultParallelism,
         )
         .groupBy("block", "salt")
         .applyInPandas(
