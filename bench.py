@@ -183,6 +183,8 @@ HEADLINE = [
     # r5 additions: dataloader-prep planning stage.
     "pack_sequences_plan",
     "export_shard_plan",
+    # r6: multi-probe recall knob over the learned blocking quantizer.
+    "dedup_embedding_multiprobe",
 ]
 
 

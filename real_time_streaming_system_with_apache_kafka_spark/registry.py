@@ -39,7 +39,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # curation_funnel, decontaminate_span_lengths, profile_source_overlap)
 # and the 3 by-design rows-only entries (mm_feature_extract,
 # approx_hll_partials, approx_aggregates — no oracle; the driver
-# records the weaker rows-only check for these).
+# records the weaker rows-only check for these), plus the r6-added
+# dedup_embedding_multiprobe (oracled, canon-clean, never signed).
 _PRIORITY: list[str] = [
     # §2 sentinels — pinned every round.
     "w1_minute_activity",

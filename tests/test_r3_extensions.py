@@ -579,3 +579,45 @@ def test_soft_weights_conserve_group_mass(spark, sf_dir):
         assert n % k == 0, (k, n)
         total_ppm = k * (1_000_000 // k)
         assert 1_000_000 - k < total_ppm <= 1_000_000
+
+
+def test_multiprobe_pairs_superset_of_single_probe(spark, sf_smoke):
+    """Every single-probe pair is a multi-probe pair (each vector's
+    rk-1 cell is among its nprobe cells), and multi-probe recovers
+    strictly more of the brute-force ground truth on the fixture —
+    the measured recall knob the operator exists to expose."""
+    from real_time_streaming_system_with_apache_kafka_spark.functions.arrays import (
+        cosine,
+    )
+    from real_time_streaming_system_with_apache_kafka_spark.operators.dedup import (
+        COSINE_THRESHOLD,
+        dedup_embedding_cosine,
+        dedup_embedding_multiprobe,
+    )
+
+    single = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup_embedding_cosine(spark, sf_smoke).collect()
+    }
+    multi = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup_embedding_multiprobe(spark, sf_smoke).collect()
+    }
+    assert single <= multi, sorted(single - multi)[:5]
+
+    emb = load(spark, "embeddings", sf_smoke)
+    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    truth = {
+        (r["va"], r["vb"])
+        for r in a.crossJoin(b)
+        .filter(F.col("va") < F.col("vb"))
+        .withColumn("cos", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos") >= COSINE_THRESHOLD)
+        .select("va", "vb")
+        .collect()
+    }
+    assert multi <= truth  # blocking never invents pairs
+    recall_single = len(single & truth) / len(truth)
+    recall_multi = len(multi & truth) / len(truth)
+    assert recall_multi > recall_single, (recall_multi, recall_single)
