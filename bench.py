@@ -338,9 +338,23 @@ def _prev_round_delta(times: dict[str, float], sf: float | None) -> dict | None:
     newly added queries listed separately.
     """
     here = os.path.dirname(os.path.abspath(__file__))
-    rounds = sorted(
-        f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)
-    )
+    # Candidates in preference order per round: the committed
+    # BENCH_LOCAL_r<N>.json (full 100+-query table) over the driver's
+    # BENCH_r<N>.json (since r6 that holds only the compact top-12
+    # line; before r6 it may be parsed:null entirely).
+    by_round: dict[int, list[str]] = {}
+    for f in os.listdir(here):
+        m = re.fullmatch(r"BENCH(_LOCAL)?_r0*(\d+)\.json", f)
+        if m:
+            by_round.setdefault(int(m.group(2)), []).append(f)
+    # Built ascending; consumed via reversed() below — so within a
+    # round, LOCAL must come LAST here to be tried FIRST after the
+    # reversal.
+    rounds = [
+        f
+        for n in sorted(by_round)
+        for f in sorted(by_round[n], key=lambda x: "LOCAL" in x)
+    ]
     if not rounds:
         return None
     # Walk back past unparsable artifacts: BENCH_r04.json recorded
