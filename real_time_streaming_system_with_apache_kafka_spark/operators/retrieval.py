@@ -362,16 +362,28 @@ def search_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Mine expansion terms from the feedback docs: new terms only,
     # rarity-weighted exactly.
-    df_all = toks.groupBy("term").agg(
-        F.count_distinct("doc_id").alias("df")
-    )
-    cand = (
+    cand_tf = (
         F.broadcast(fb)
         .join(toks.select("doc_id", "term"), "doc_id")
         .join(qterms, ["query_id", "term"], "left_anti")
         .groupBy("query_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .join(df_all, "term")
+        # Queries x feedback-vocab rows (small); referenced twice
+        # (term-set broadcast + scoring join).
+        .localCheckpoint(eager=True)
+    )
+    # Document frequency ONLY for the candidate terms: the broadcast
+    # semi-prune reaches the token stream map-side, so the df shuffle
+    # carries candidate-term postings instead of the WHOLE vocabulary
+    # (df values are identical — pruning the groupBy input to the
+    # terms we keep cannot change any kept term's count).
+    df_cand = (
+        toks.join(F.broadcast(cand_tf.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    cand = (
+        cand_tf.join(df_cand, "term")
         .crossJoin(F.broadcast(totals.select("n_docs")))
         .select(
             "query_id",
