@@ -621,3 +621,56 @@ def test_multiprobe_pairs_superset_of_single_probe(spark, sf_smoke):
     recall_single = len(single & truth) / len(truth)
     recall_multi = len(multi & truth) / len(truth)
     assert recall_multi > recall_single, (recall_multi, recall_single)
+
+
+def test_block_quantizer_partition_independent(spark, sf_smoke):
+    """The learned blocking quantizer's docstring claims determinism
+    under any partitioning (hash-ordered init/sample, decimal-exact
+    means). Pin it: the same corpus through different partition
+    counts must learn IDENTICAL centroids and assign IDENTICAL cells."""
+    from real_time_streaming_system_with_apache_kafka_spark.functions.blocks import (
+        learn_block_quantizer,
+        make_assign_udf,
+    )
+
+    emb = load(spark, "embeddings", sf_smoke)
+    k1, c1 = learn_block_quantizer(emb.repartition(3))
+    k2, c2 = learn_block_quantizer(emb.repartition(13))
+    assert k1 == k2
+    assert c1 == c2  # float-exact: every mean is decimal-exact
+    a1 = {
+        r["vec_id"]: r["cell"]
+        for r in emb.repartition(5)
+        .withColumn("cell", make_assign_udf(c1)(F.col("embedding")))
+        .select("vec_id", "cell")
+        .collect()
+    }
+    a2 = {
+        r["vec_id"]: r["cell"]
+        for r in emb.coalesce(1)
+        .withColumn("cell", make_assign_udf(c2)(F.col("embedding")))
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert a1 == a2
+
+
+def test_block_quantizer_memo_keys_do_not_collide_across_corpora(spark):
+    """sf0.001 and sf0.01 embeddings both hold 500 vectors but are
+    different corpora: the (path, count) memo key must keep their
+    trained quantizers separate."""
+    from real_time_streaming_system_with_apache_kafka_spark.functions.blocks import (
+        learn_block_quantizer,
+    )
+
+    a = "/root/testdata/sf0.001"
+    b = "/root/testdata/sf0.01"
+    emb_a = load(spark, "embeddings", a)
+    emb_b = load(spark, "embeddings", b)
+    ka, ca = learn_block_quantizer(emb_a, cache_key=a)
+    kb, cb = learn_block_quantizer(emb_b, cache_key=b)
+    assert ka == kb == 23  # ceil(sqrt(500))
+    assert ca != cb, "different corpora must learn different centroids"
+    # And the memo returns the SAME object on a repeat call.
+    ka2, ca2 = learn_block_quantizer(emb_a, cache_key=a)
+    assert ca2 is ca
