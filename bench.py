@@ -185,6 +185,13 @@ HEADLINE = [
     "export_shard_plan",
     # r6: multi-probe recall knob over the learned blocking quantizer.
     "dedup_embedding_multiprobe",
+    # r7: the iterative-graph family was absent from the headline, so
+    # regressions there were invisible round-over-round (VERDICT r6
+    # item 5) — the CC survivor pass, the cluster-safe split built on
+    # it, and the count-derived-quantizer IVF re-specified this round.
+    "dedup_cc_survivors",
+    "sample_cluster_safe_split",
+    "sim_ivf_kmeans_topk",
 ]
 
 
@@ -261,13 +268,27 @@ def main() -> None:
     # compact line (total, host noise, the slowest queries, top
     # regressions) that fits the tail capture whole.
     here = os.path.dirname(os.path.abspath(__file__))
-    nxt = 1 + max(
-        (
-            int(re.search(r"\d+", f).group())
-            for f in os.listdir(here)
-            if re.fullmatch(r"BENCH_r\d+\.json", f)
-        ),
-        default=0,
+    # Current round = 1 + latest DRIVER-written round. The driver
+    # writes BENCH_r<N> and CORRECTNESS_r<N> together at end-of-round,
+    # so scan BOTH families: if one ever fails to land, the other
+    # still advances the counter instead of silently overwriting the
+    # prior round's committed BENCH_LOCAL artifact. A same-round
+    # re-run refreshing its own BENCH_LOCAL_r<N> stays intended
+    # behavior (and records itself in the "vs" delta field).
+    def _rounds(pattern: str) -> int:
+        return max(
+            (
+                int(re.search(r"\d+", f).group())
+                for f in os.listdir(here)
+                if re.fullmatch(pattern, f)
+            ),
+            default=0,
+        )
+
+    nxt = max(
+        1 + _rounds(r"BENCH_r\d+\.json"),
+        1 + _rounds(r"CORRECTNESS_r\d+\.json"),
+        _rounds(r"BENCH_LOCAL_r\d+\.json"),
     )
     local_name = f"BENCH_LOCAL_r{nxt}.json"
     with open(os.path.join(here, local_name), "w") as fh:

@@ -117,14 +117,32 @@ def _hash_order() -> list:
     return [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
 
 
-# Session-scoped quantizer memo, keyed by (corpus key, corpus count).
-# A real IVF index is TRAINED ONCE and served to every query;
-# re-learning identical centroids per registry query was the
+# Session-scoped quantizer memo, keyed by (corpus key, corpus
+# fingerprint). A real IVF index is TRAINED ONCE and served to every
+# query; re-learning identical centroids per registry query was the
 # artificial part (measured ~2 s/query of scheduler-bound training
 # jobs at sf0.1). Deterministic learning makes the memo semantically
-# invisible; the count in the key invalidates it if the corpus under
-# a path changes. Driver memory is O(k x dim) floats per corpus.
-_QUANTIZER_CACHE: dict[tuple[str, int], tuple[int, list[list[float]]]] = {}
+# invisible; the fingerprint is CONTENT-derived (count + a commutative
+# xxhash64 sum over (vec_id, embedding)), so a corpus rewritten in
+# place — same path, same row count, different vectors — retrains
+# instead of serving stale centroids. One extra agg in the same job
+# that already computed count(). Driver memory is O(k x dim) floats
+# per corpus.
+_QUANTIZER_CACHE: dict[tuple[str, int, int], tuple[int, list[list[float]]]] = {}
+
+
+def _corpus_fingerprint(emb: DataFrame) -> tuple[int, int]:
+    """(count, content hash) in ONE job: sum of per-row xxhash64 over
+    (vec_id, embedding) is order/partitioning-independent and changes
+    if any row's id or vector changes."""
+    row = emb.select(
+        F.count(F.lit(1)).alias("n"),
+        # decimal accumulator: a long sum of ±2^63 hashes would
+        # overflow (and THROW under Spark 4's default ANSI mode);
+        # decimal(38,0) holds 10^12 rows' worth with headroom.
+        F.sum(F.xxhash64("vec_id", "embedding").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"] or 0)
 
 
 def learn_block_quantizer(
@@ -133,7 +151,7 @@ def learn_block_quantizer(
     """Learn the count-derived blocking quantizer: (k, centroids).
 
     Init = the first k corpus vectors in hash order (a deterministic
-    uniform sample — unlike learn_centroids' lowest-vec_id init, which
+    uniform sample — unlike a lowest-vec_id init, which
     would bias toward whatever the low ids happen to contain when ids
     correlate with content). Each Lloyd round assigns the hash-ordered
     training sample (k * BLOCK_TRAIN_PER_CELL vectors) via the Arrow
@@ -141,24 +159,28 @@ def learn_block_quantizer(
     keep their previous centroid. Deterministic under any partitioning
     or executor count; the only driver traffic is the O(k x dim)
     centroid matrix per round."""
-    n = emb.count()
+    if not [f for f in emb.schema.fields if f.name == "embedding"]:
+        raise ValueError("learn_block_quantizer needs an 'embedding' column")
+    n, content_h = _corpus_fingerprint(emb)
     if n == 0:
         return 1, []
-    memo_key = (cache_key, n) if cache_key is not None else None
+    memo_key = (cache_key, n, content_h) if cache_key is not None else None
     if memo_key is not None and memo_key in _QUANTIZER_CACHE:
         return _QUANTIZER_CACHE[memo_key]
     k = block_cell_count(n)
+    # The full-corpus hash-order sort is the expensive stage of
+    # training — run it ONCE: checkpoint the k*BLOCK_TRAIN_PER_CELL
+    # training sample (also keeps the Lloyd rounds from re-executing
+    # the sort per iteration), then derive the k init vectors by
+    # re-sorting just that tiny sample (they are by construction its
+    # first k rows in hash order).
     train = (
         emb.select("vec_id", "embedding")
         .orderBy(*_hash_order())
         .limit(k * BLOCK_TRAIN_PER_CELL)
+        .localCheckpoint()
     )
-    init = (
-        emb.select("vec_id", "embedding")
-        .orderBy(*_hash_order())
-        .limit(k)
-        .collect()
-    )
+    init = train.orderBy(*_hash_order()).limit(k).collect()
     cents = [list(map(float, r.embedding)) for r in init]
     for _ in range(BLOCK_KMEANS_ITERS):
         assigned = train.withColumn(
@@ -199,7 +221,8 @@ def with_block_cells(emb: DataFrame, cache_key: str | None = None) -> DataFrame:
     """The corpus plus its learned ``block`` cell id (map-side Arrow
     matmul against the broadcast-by-closure centroid matrix — no
     shuffle). Model fit happens eagerly at plan-construction time,
-    the same contract as sim_ivf_kmeans_topk's learn_centroids;
+    the same contract as sim_ivf_kmeans_topk (which shares this
+    quantizer since r7);
     ``cache_key`` (the corpus path) lets same-corpus queries reuse the
     trained quantizer instead of re-learning identical centroids."""
     if not [f for f in emb.schema.fields if f.name == "embedding"]:

@@ -316,12 +316,22 @@ def src1_trade_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def w4_wire_roundtrip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry (rows-only): the full ingest pipeline in batch
-    mode — trades + injected duplicates -> JSON wire encode ->
-    ``from_json`` decode -> first-write-wins dedup (SRC5 + W4/SNK2,
-    reference consumer.py:17/:78). The identical expressions run as a
-    Structured Streaming plan in streaming/ingest.py (tests/
-    test_streaming.py asserts batch/stream equivalence)."""
+    """Registry entry: the full ingest pipeline in batch mode — trades
+    + injected duplicates -> JSON wire encode -> ``from_json`` decode
+    -> first-write-wins dedup (SRC5 + W4/SNK2, reference
+    consumer.py:17/:78). The identical expressions run as a Structured
+    Streaming plan in streaming/ingest.py (tests/test_streaming.py
+    asserts batch/stream equivalence).
+
+    Hash-grade oracle (since r7): first-write-wins keeps the ORIGINAL
+    copy of every duplicated trade (the injected dup is +1 s later), so
+    the deduped roundtrip output is by construction the seeded
+    generator's 10k trades — the same committed golden fixture that
+    oracles src1. Either the JSON encode/decode round-trips every field
+    bit-for-bit (microsecond timestamps, fixed-scale decimals, dates)
+    or the value hash fails. Decimals cast to double on both sides for
+    the same representation reason as src1 (exact: scaled units < 2^53).
+    """
     from real_time_streaming_system_with_apache_kafka_spark.streaming import ingest
 
     base = with_duplicates(trades(spark, 10_000), every_n=20)
@@ -330,10 +340,21 @@ def w4_wire_roundtrip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dropDuplicates keeps an arbitrary copy (partition-order-
     # dependent); min_by on event time keeps the original.
     cols = decoded.columns
-    return (
+    deduped = (
         decoded.groupBy("trade_id")
         .agg(F.min_by(F.struct(*cols), F.col("timestamp")).alias("r"))
         .select("r.*")
+    )
+    dec_cols = {
+        f.name
+        for f in deduped.schema.fields
+        if f.dataType.typeName().startswith("decimal")
+    }
+    return deduped.select(
+        *[
+            F.col(c).cast("double").alias(c) if c in dec_cols else F.col(c)
+            for c in deduped.columns
+        ]
     )
 
 
@@ -343,11 +364,7 @@ QUERIES = {
 }
 
 
-ORACLES: dict[str, str] = {
-    # Golden-fixture oracle (src1 docstring): the generator itself,
-    # hash-checked end to end. w4 stays rows-only (wire encode/decode
-    # exercises from_json, which has no DuckDB twin).
-    "src1_trade_generator": f"""
+_GOLDEN_10K_SQL = f"""
         SELECT trade_id, asset_class, instrument, side,
                cast(quantity AS double) AS quantity,
                cast(price AS double) AS price,
@@ -362,5 +379,14 @@ ORACLES: dict[str, str] = {
         FROM read_parquet('{TRADES_FIXTURE}')
         ORDER BY timestamp
         LIMIT 10000
-    """,
+    """
+
+ORACLES: dict[str, str] = {
+    # Golden-fixture oracles (src1 docstring): the generator itself,
+    # hash-checked end to end. w4's deduped roundtrip equals the same
+    # 10k trades (first-write-wins keeps the original copy), so the
+    # fixture is its oracle too — the encode/decode either round-trips
+    # bit-for-bit or the hash fails (w4 docstring).
+    "w4_wire_roundtrip_dedup": _GOLDEN_10K_SQL,
+    "src1_trade_generator": _GOLDEN_10K_SQL,
 }

@@ -18,6 +18,8 @@ cells are probed on any engine/run order.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -29,8 +31,11 @@ from real_time_streaming_system_with_apache_kafka_spark.functions.arrays import 
     oracle_norm,
 )
 from real_time_streaming_system_with_apache_kafka_spark.functions.blocks import (
+    BLOCK_KMEANS_ITERS,
     block_cells_oracle_ctes,
+    learn_block_quantizer,
     make_assign_udf,
+    make_topn_assign_udf,
     salted_block_union,
     with_block_cells,
 )
@@ -170,80 +175,55 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The IVF variant above reuses the corpus's own ``label`` as the cell
 # id; this is the honest version where the cells are LEARNED from the
 # embedding column, the way a real IVF index is built when no cluster
-# structure is given.
-K_CELLS = 8
-KMEANS_ITERS = 4
+# structure is given. Since r7 the quantizer IS the shared
+# count-derived blocking quantizer (functions/blocks.py): r3-r6 used
+# a fixed K_CELLS=8, so per-cell candidate lists grew O(N/8) and the
+# probe scan O(N^2) — the same fixed-cardinality defect class the r6
+# dedup-GEMM fix eliminated. k = ceil(sqrt(N)) keeps per-query probe
+# cost at O(NPROBE * sqrt(N)).
 
 
-# make_assign_udf lives in functions/blocks.py (shared with the
-# count-derived blocking quantizer) and is re-exported here for its
-# historical callers/tests.
+IVF_CORPUS_PROBES = 2  # corpus-side multi-assignment (cells per vector)
 
 
-def learn_centroids(
-    emb: DataFrame, k: int = K_CELLS, iters: int = KMEANS_ITERS
-) -> list[list[float]]:
-    """Spherical k-means via DataFrame ops (Lloyd's iterations).
-
-    Per iteration: map-side Arrow assignment (no shuffle), then one
-    posexplode -> groupBy(cell, dim) shuffle for the decimal-exact mean
-    recompute — the same per-iteration cost profile as distributed
-    k-means in Spark MLlib (clustering/KMeans.scala runs the identical
-    assign/recompute loop). The ONLY driver traffic is the centroid
-    matrix itself: O(k x dim) floats per iteration — model state, not
-    data — which every distributed k-means must round-trip to close the
-    loop. Init is deterministic (the k lowest vec_ids) and the mean
-    recompute is decimal-exact, so the learned cells are identical
-    under any partitioning or executor count. Empty cells keep their
-    previous centroid.
-    """
-    init = (
-        emb.orderBy("vec_id")
-        .limit(k)
-        .select("embedding")
-        .collect()
-    )
-    cents = [list(map(float, r.embedding)) for r in init]
-    for _ in range(iters):
-        assigned = emb.withColumn("cell", make_assign_udf(cents)(F.col("embedding")))
-        per_dim = assigned.select(
-            "cell", F.posexplode("embedding").alias("dim", "x")
-        ).groupBy("cell", "dim").agg(
-            (
-                F.sum(F.col("x").cast("double").cast("decimal(30,15)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("mean_x")
-        )
-        rows = per_dim.groupBy("cell").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("dim"), F.col("mean_x")))),
-                lambda s: s.getField("mean_x"),
-            ).alias("centroid")
-        ).collect()
-        learned = {r.cell: list(map(float, r.centroid)) for r in rows}
-        cents = [learned.get(i, cents[i]) for i in range(k)]
-    return cents
+def ivf_query_nprobe(k: int) -> int:
+    """Count-derived query probe width: ceil(sqrt(k)), floor 2. With
+    k = ceil(sqrt(N)) cells this keeps the per-query candidate scan at
+    O(IVF_CORPUS_PROBES * N / sqrt(k)) = O(N^0.75) — sublinear, the
+    standard 'nprobe grows with nlist' IVF sizing rule."""
+    return max(2, math.ceil(math.sqrt(k)))
 
 
 def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k over LEARNED cells: spherical k-means coarse quantizer
-    (K_CELLS cells, KMEANS_ITERS Lloyd's iterations), then the standard
-    IVF probe — queries search the NPROBE nearest cells by centroid
-    cosine, exact cosine within those cells. Fully oracled since r3:
-    the quantized assignment kernel makes every Lloyd iteration
-    bit-reproducible, so the DuckDB twin unrolls the loop as chained
-    CTEs (_kmeans_oracle_sql) and matches exactly; the
+    """IVF top-k over LEARNED cells: the shared count-derived spherical
+    k-means coarse quantizer (k = ceil(sqrt(N)) cells trained on a
+    hash-ordered BLOCK_TRAIN_PER_CELL-per-cell sample,
+    functions/blocks.py), then the standard IVF probe — queries search
+    their ivf_query_nprobe(k) nearest cells by centroid cosine, exact
+    cosine within those cells. Recall knobs are BOTH count-derived:
+    corpus vectors carry multi-assignment to their IVF_CORPUS_PROBES
+    nearest cells (boundary neighbors stay findable as cells shrink
+    relative to neighborhoods) and query probe width grows as
+    ceil(sqrt(k)). Fully oracled: hash-order init + decimal-exact
+    means + the quantized assignment kernel make every Lloyd round
+    bit-reproducible, so the DuckDB twin embeds
+    block_cells_oracle_ctes and matches exactly; the
     recall-vs-bruteforce contract lives in tests/test_similarity.py.
     """
     emb = load(spark, "embeddings", sf_dir).filter(
         F.size("embedding") == EMBEDDING_DIM
     )
-    cents = learn_centroids(emb)
-    corpus = emb.withColumn("cell", make_assign_udf(cents)(F.col("embedding")))
+    k, cents = learn_block_quantizer(emb, cache_key=sf_dir)
+    corpus = emb.withColumn(
+        "cell",
+        F.explode(
+            make_topn_assign_udf(cents, IVF_CORPUS_PROBES)(F.col("embedding"))
+        ),
+    )
     cents_df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<double>"
     )
-    q = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     probe_w = Window.partitionBy("query_id").orderBy(
@@ -254,15 +234,25 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cents_df))
         .withColumn("cent_cos", cosine(F.col("qe"), F.col("centroid")))
         .withColumn("cell_rank", F.row_number().over(probe_w))
-        .filter(F.col("cell_rank") <= NPROBE)
+        .filter(F.col("cell_rank") <= ivf_query_nprobe(k))
         .select("query_id", "qe", "cell")
     )
-    candidates = probed.join(
-        corpus.select(
-            "cell", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
-        ),
-        "cell",
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    candidates = (
+        probed.join(
+            corpus.select(
+                "cell",
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("ne"),
+            ),
+            "cell",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        # multi-assignment can surface the same (query, neighbor) via
+        # two shared cells; the copies are bit-identical (cos is
+        # computed from the embeddings, not the cell), so this is an
+        # exact dedup, never a value merge.
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     return _rank_topk(candidates)
 
 
@@ -290,7 +280,7 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector's scalar c_i = y_i . v (codegen'd array aggregate over a
     literal v), one posexplode + groupBy(dim) shuffle computes
     u = sum c_i * y_i, and only u — O(dim) model state, the same
-    driver traffic contract as learn_centroids — returns to the
+    driver traffic contract as learn_block_quantizer — returns to the
     driver to renormalize. The centered matrix is localCheckpointed
     once (rebalanced load first: a degenerate single-rowgroup input
     would otherwise pin all {PCA_ITERS} rounds to one task's
@@ -748,90 +738,44 @@ def _unrounded_cos(a: str, b: str) -> str:
 
 
 def _kmeans_oracle_sql() -> str:
-    """DuckDB twin of sim_ivf_kmeans_topk: Lloyd's loop UNROLLED as
-    {KMEANS_ITERS} chained CTE stages. Each stage re-assigns every
-    vector to its argmax-cosine cell (unrounded quantized doubles,
-    ties to the lowest cell — the exact numpy first-maximum rule) and
-    recomputes decimal-exact means (varchar-parsed decimal->double =
-    Spark's correctly-rounded BigDecimal cast); empty cells keep the
-    previous centroid via the left-join coalesce. The final probe and
-    in-cell rank mirror the label-IVF oracle. Iterative operators
-    normally settle for rows-only checks; deterministic init (lowest
-    vec_ids) + exact arithmetic make the full loop SQL-expressible."""
-    cos_assign = _unrounded_cos("e.embedding", "c.centroid")
-    stages = [
-        f"""
-        emb AS (
-            SELECT vec_id, embedding FROM embeddings
-            WHERE len(embedding) = {EMBEDDING_DIM}
-        ),
-        cents0 AS (
-            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-                   list_transform(embedding, x -> cast(x AS double))
-                       AS centroid
-            FROM emb ORDER BY vec_id LIMIT {K_CELLS}
-        )"""
-    ]
-    for i in range(1, KMEANS_ITERS + 1):
-        p = i - 1
-        stages.append(
-            f"""
-        assign{i} AS (
-            SELECT vec_id, embedding, cell FROM (
-                SELECT e.vec_id, e.embedding, c.cell,
-                       row_number() OVER (
-                           PARTITION BY e.vec_id
-                           ORDER BY {cos_assign} DESC, c.cell
-                       ) AS rk
-                FROM emb e CROSS JOIN cents{p} c
-            ) WHERE rk = 1
-        ),
-        perdim{i} AS (
-            SELECT cell, dim,
-                   cast(cast(sum(cast(cast(x AS double) AS decimal(30,15)))
-                             AS varchar) AS double) / count(*) AS mean_x
-            FROM (
-                SELECT cell,
-                       unnest(embedding) AS x,
-                       unnest(generate_series(1, len(embedding))) AS dim
-                FROM assign{i}
-            ) GROUP BY cell, dim
-        ),
-        newc{i} AS (
-            SELECT cell, list(mean_x ORDER BY dim) AS centroid
-            FROM perdim{i} GROUP BY cell
-        ),
-        cents{i} AS (
-            SELECT p.cell, coalesce(n.centroid, p.centroid) AS centroid
-            FROM cents{p} p LEFT JOIN newc{i} n USING (cell)
-        )"""
-        )
-    last = f"cents{KMEANS_ITERS}"
-    tail = f"""
+    """DuckDB twin of sim_ivf_kmeans_topk: embeds the shared
+    blocking-quantizer CTE chain (block_cells_oracle_ctes — hash-rank
+    init, k = ceil(sqrt(N)), decimal-exact varchar-parsed means,
+    empty-cell coalesce, unrounded-cosine argmax with ties to the
+    lowest cell; corpus multi-assignment via nprobe=IVF_CORPUS_PROBES),
+    then mirrors the label-IVF probe: rank cells per query by rounded
+    centroid cosine with the count-derived probe width
+    greatest(2, ceil(sqrt(k))), exact cosine within the probed cells
+    (DISTINCT collapses pairs witnessed by two shared cells), top-K
+    per query. Iterative operators normally
+    settle for rows-only checks; deterministic init + exact arithmetic
+    make the full loop SQL-expressible."""
+    src = (
+        "(SELECT vec_id, embedding FROM embeddings "
+        f"WHERE len(embedding) = {EMBEDDING_DIM})"
+    )
+    cents = f"bq_cents{BLOCK_KMEANS_ITERS}"
+    return f"""
+        WITH {block_cells_oracle_ctes(src=src, nprobe=IVF_CORPUS_PROBES)},
         corpus AS (
-            SELECT vec_id, embedding, cell FROM (
-                SELECT e.vec_id, e.embedding, c.cell,
-                       row_number() OVER (
-                           PARTITION BY e.vec_id
-                           ORDER BY {cos_assign} DESC, c.cell
-                       ) AS rk
-                FROM emb e CROSS JOIN {last} c
-            ) WHERE rk = 1
+            SELECT e.vec_id, e.embedding, c.cell
+            FROM bq_emb e JOIN cells c USING (vec_id)
         ),
         probed AS (
             SELECT query_id, qe, cell FROM (
                 SELECT q.vec_id AS query_id, q.embedding AS qe, c.cell,
+                       kp.k,
                        row_number() OVER (
                            PARTITION BY q.vec_id
                            ORDER BY {oracle_cosine('q.embedding', 'c.centroid')}
                                     DESC, c.cell
                        ) AS cell_rank
-                FROM emb q CROSS JOIN {last} c
+                FROM bq_emb q CROSS JOIN {cents} c CROSS JOIN bq_kp kp
                 WHERE q.vec_id < {N_QUERIES}
-            ) WHERE cell_rank <= {NPROBE}
+            ) WHERE cell_rank <= greatest(2, cast(ceil(sqrt(k)) AS bigint))
         ),
         scored AS (
-            SELECT p.query_id, n.vec_id AS neighbor_id,
+            SELECT DISTINCT p.query_id, n.vec_id AS neighbor_id,
                    {oracle_cosine('p.qe', 'n.embedding')} AS cos
             FROM probed p JOIN corpus n USING (cell)
             WHERE p.query_id <> n.vec_id
@@ -846,7 +790,6 @@ def _kmeans_oracle_sql() -> str:
         )
         WHERE rank <= {TOP_K}
     """
-    return "WITH " + ",".join(stages) + "," + tail
 
 
 def _lsh_sql_parts() -> tuple[str, str, str]:

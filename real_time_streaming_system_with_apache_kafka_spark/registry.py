@@ -33,77 +33,82 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # the representation audit (tools/canon_check.py — run it before
 # rotating anything in).
 #
-# Round-7 rotation candidates (the 10 left unsigned after r6): the
-# curation-remainder tail (quality_lm_surprise,
-# quality_domain_calibrated, quality_classifier_eval, mask_span_plan,
-# curation_funnel, decontaminate_span_lengths, profile_source_overlap)
-# and the 3 by-design rows-only entries (mm_feature_extract,
-# approx_hll_partials, approx_aggregates — no oracle; the driver
-# records the weaker rows-only check for these), plus the r6-added
-# dedup_embedding_multiprobe (oracled, canon-clean, never signed).
+# Round-7 rotation closes the certification ledger: the 11 entries
+# never driver-signed after r6 (the 7-entry curation-remainder tail,
+# the 3 by-design rows-only entries — no oracle; the driver records
+# the weaker rows-only check for these — and the r6-added
+# dedup_embedding_multiprobe), plus w4_wire_roundtrip_dedup (upgraded
+# rows-only -> golden-fixture HASH oracle this round) and
+# sim_ivf_kmeans_topk (quantizer re-specified to the count-derived
+# blocks.py machinery this round — a materially new plan needs a
+# fresh signature). The remaining 34 slots re-sign the §2 relational
+# core last signed in r1/r2, BEFORE the r3+ session-default changes:
+# predicates, projections, aggregates, sorts, scalar functions, and a
+# joins/setops/window-function sample. With this window every one of
+# the registry's entries has been driver-signed at least once
+# (cumulative distinct-signed = 244/244).
 _PRIORITY: list[str] = [
     # §2 sentinels — pinned every round.
     "w1_minute_activity",
     "q0_snapshot_topk",
     "j1_star_join_revenue",
-    # Golden-fixture oracles: the 10 dashboard frames + the generator
-    # itself (DuckDB twins over tests/fixtures/trades_seed42_n20000
-    # .parquet, bit-pinned to the live generator by pytest).
-    "dash_kpis",
-    "dash_status_distribution",
-    "dash_asset_class_exposure",
-    "dash_counterparty_top10",
-    "dash_venue_distribution",
-    "dash_fee_mix",
-    "dash_side_split",
-    "dash_minute_activity",
-    "dash_breaks_table",
-    "dash_recent_trades",
-    "src1_trade_generator",
-    # Retrieval suite.
-    "search_bm25_topk",
-    "dsir_importance",
-    "search_hybrid_rrf",
-    "search_mmr_diversify",
-    "search_prf_expand",
-    # Sketches.
-    "sketch_cms_heavy_hitters",
-    "sketch_bloom_decontaminate",
-    "sketch_hll_distinct",
-    "sketch_kmv_overlap",
-    "sketch_quantile_histogram",
-    # Sampling / splits.
-    "sample_kcenter_coreset",
-    "sample_importance_weighted",
-    "sample_domain_cap",
-    "shuffle_global_order",
-    "sample_curriculum_order",
-    "sample_temporal_split",
-    "stats_ks_drift",
-    "sample_cluster_safe_split",
-    # Data-mix.
-    "mix_drift_chi2",
-    "mix_anneal_schedule",
-    # Layout.
-    "layout_compaction_plan",
-    "layout_zonemap_skipping",
-    # Incremental view maintenance.
-    "view_incremental_merge",
-    # Dataloader prep (r5 additions).
-    "pack_sequences_plan",
-    "export_shard_plan",
-    # Curation remainder (11 of 18; tail spills to r7).
-    "text_boilerplate_strip",
-    "profile_schema_stats",
-    "quality_gopher_gates",
-    "tokens_context_audit",
-    "embed_outlier_scores",
-    "profile_table_stats",
-    "text_inverted_index",
-    "text_rarity_score",
-    "profile_dup_rate_by_source",
-    "chunk_documents",
-    "quality_weighted_terms",
+    # Never-signed tail: curation remainder (7, all oracled).
+    "quality_lm_surprise",
+    "quality_domain_calibrated",
+    "quality_classifier_eval",
+    "mask_span_plan",
+    "curation_funnel",
+    "decontaminate_span_lengths",
+    "profile_source_overlap",
+    # Never-signed tail: by-design rows-only (no oracle).
+    "mm_feature_extract",
+    "approx_hll_partials",
+    "approx_aggregates",
+    # Never-signed tail: r6-added multiprobe dedup (oracled).
+    "dedup_embedding_multiprobe",
+    # Upgraded / re-specified this round.
+    "w4_wire_roundtrip_dedup",
+    "sim_ivf_kmeans_topk",
+    # §2 core re-signs (last signed r1/r2): predicates.
+    "p1_equality_filter",
+    "p2_substring_filter",
+    "p3_boolean_rate",
+    "p4_set_membership",
+    "p5_numeric_threshold",
+    # Projections.
+    "pr1_projection",
+    "pr2_derived_columns",
+    "pr3_type_casts",
+    "pr4_display_format",
+    # Aggregates.
+    "a1_count",
+    "a2_totals",
+    "a3_conditional_counts",
+    "a4_boolean_mean",
+    "a5_derived_ratios",
+    "a7_groupby_sum",
+    "a9_unpivot_fee_mix",
+    # Sorts / top-k.
+    "s2_top10_by_aggregate",
+    "s3_sort_by_aggregate",
+    "s4_head_after_sort",
+    "s5_value_counts",
+    # Scalar functions.
+    "f_string_funcs",
+    "f_hash_id",
+    "f_date_arithmetic",
+    "f_date_format",
+    "f_timestamp_parts",
+    "f_rounding_math",
+    "f_conditional",
+    "f_json_extract",
+    # Joins / setops / window-functions sample.
+    "agg_rollup",
+    "agg_cube",
+    "j4_range_join",
+    "asof_join_events",
+    "wf_lag_lead_running",
+    "setop_union_distinct",
 ]
 
 _MODULES: list[str] = [

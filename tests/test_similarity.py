@@ -132,13 +132,21 @@ def test_ivf_kmeans_recall_and_determinism(spark, sf_dir):
 
 
 def test_kmeans_cells_are_balanced(spark, sf_dir):
-    """No empty or degenerate cells: the probe math (corpus/cells x
-    nprobe) only holds if the quantizer actually spreads the corpus."""
+    """No collapsed quantizer: since r7 the IVF quantizer is the shared
+    count-derived blocking quantizer (k = ceil(sqrt(N))); the probe
+    math (corpus/cells x nprobe) only holds if it actually spreads the
+    corpus. Cells may legitimately be empty (k grows with N and the
+    training sample is finite), so the contract is on spread — no cell
+    hoards the corpus — and on the count-derived sizing itself."""
     from pyspark.sql import functions as F
 
+    from real_time_streaming_system_with_apache_kafka_spark.functions import blocks
+
     emb = similarity.load(spark, "embeddings", sf_dir)
-    cents = similarity.learn_centroids(emb)
-    assert len(cents) == similarity.K_CELLS
+    n = emb.count()
+    k, cents = blocks.learn_block_quantizer(emb, cache_key=sf_dir)
+    assert k == blocks.block_cell_count(n)  # count-derived, not fixed
+    assert len(cents) == k
     counts = {
         r["cell"]: r["c"]
         for r in emb.withColumn(
@@ -148,9 +156,9 @@ def test_kmeans_cells_are_balanced(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     }
-    n = sum(counts.values())
-    assert len(counts) == similarity.K_CELLS  # every cell populated
-    assert max(counts.values()) <= 0.5 * n  # no collapsed quantizer
+    assert sum(counts.values()) == n
+    assert len(counts) >= 0.5 * k  # most cells populated
+    assert max(counts.values()) <= 0.25 * n  # no collapsed quantizer
 
 
 def test_pq_rerank_recall_and_exact_values(spark, sf_dir):
