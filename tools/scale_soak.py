@@ -18,13 +18,17 @@ Replication model (one replica = one key-space stripe):
   quantizer behaves when the corpus grows (more cells, same cell
   occupancy). vec_id 0..4 (the demo query vectors) exist only in
   stripe 0, as in a real query workload.
-- documents in stripe r>0 get every word suffixed with ``_r<r>`` — a
-  per-replica VOCABULARY BIJECTION. Within-stripe shingle overlap
-  (and therefore Jaccard/minhash dup-group structure) is preserved
-  exactly; cross-stripe overlap drops to zero. Without this,
-  byte-identical replicas form dup groups whose size grows with the
-  replica count and the pair OUTPUT grows quadratically by data
-  construction, which would masquerade as super-linear operator cost.
+- documents in stripe r>0 pass through a seeded per-stripe
+  ALPHABET-PERMUTATION cipher — a per-replica VOCABULARY BIJECTION.
+  Within-stripe shingle AND character-gram statistics (and therefore
+  Jaccard/minhash/simhash dup-group structure) are preserved exactly;
+  cross-stripe overlap drops to zero. Without this, byte-identical
+  replicas form dup groups whose size grows with the replica count
+  and the pair OUTPUT grows quadratically by data construction, which
+  would masquerade as super-linear operator cost. (The r2-r6 word-
+  suffix variant of this bijection preserved shingles but skewed the
+  character-gram mass toward the suffix grams, degenerating gram-vote
+  hashes — see the documents branch in generate().)
 
 Usage: python tools/scale_soak.py [--skip-generate] [--scales 1,10]
 Writes SOAK_r2.json at the repo root.
@@ -67,15 +71,19 @@ COPY_AS_IS = ["region", "nation"]
 PARTITIONS = {"lineitem": 16, "orders": 8, "events": 8}
 
 
-def generate(spark, n_replicas: int, dst: str) -> None:
+def generate(spark, n_replicas: int, dst: str, only: set[str] | None = None) -> None:
     os.makedirs(dst, exist_ok=True)
     for t in COPY_AS_IS:
+        if only and t not in only:
+            continue
         shutil.copyfile(
             os.path.join(SRC_SF, f"{t}.parquet"), os.path.join(dst, f"{t}.parquet")
         )
         print(f"  {t}: copied (SF-invariant)", flush=True)
     reps = F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1))).alias("rep")
     for t, keys in KEYED.items():
+        if only and t not in only:
+            continue
         df = load(spark, t, SRC_SF).select("*", reps)
         for k in keys:
             df = df.withColumn(k, F.col(k) + F.col("rep").cast("long") * STRIDE)
@@ -117,20 +125,37 @@ def generate(spark, n_replicas: int, dst: str) -> None:
                 ),
             )
         if t == "documents":
-            # Vocabulary bijection per stripe (see module docstring);
-            # stripe 0 stays byte-identical to the source.
-            suffix = F.concat(F.lit("_r"), F.col("rep").cast("string"))
-            df = df.withColumn(
-                "text",
-                F.when(F.col("rep") == 0, F.col("text")).otherwise(
-                    F.concat(
-                        F.regexp_replace(
-                            "text", " ", F.concat(suffix, F.lit(" "))
-                        ),
-                        suffix,
-                    )
-                ),
-            )
+            # Per-stripe ALPHABET-PERMUTATION cipher (r7, replacing the
+            # r2-r6 word-suffix bijection). The suffix transform
+            # concentrated ~40% of a short doc's character 3-grams on
+            # ~6 suffix gram types, so gram-VOTE hashes (simhash/pHash)
+            # degenerated into stripe-wide mega-clusters and the pair
+            # OUTPUT grew quadratically by data construction (measured
+            # r7: 93M mm_phash pairs at sf10 vs 131 at sf0.1 — a
+            # 196x/decade output explosion no real corpus exhibits). A
+            # seeded per-stripe bijective letter substitution preserves
+            # word lengths, token counts, within-stripe shingle AND
+            # gram statistics EXACTLY (bijection on characters =>
+            # bijection on grams/shingles/words), while cross-stripe
+            # vocabularies stay disjoint. Stripe 0 is byte-identical to
+            # the source; every other stripe gets its own permutation
+            # (never a repeat, unlike a Caesar rotation which would
+            # collide every 26 stripes and reintroduce byte-identical
+            # cross-stripe twins).
+            import random as _random
+
+            lower = "abcdefghijklmnopqrstuvwxyz"
+            upper = lower.upper()
+            cipher = F.col("text")
+            for r in range(n_replicas - 1, 0, -1):
+                perm = list(lower)
+                _random.Random(0xC1F3 + r).shuffle(perm)
+                p = "".join(perm)
+                cipher = F.when(
+                    F.col("rep") == r,
+                    F.translate("text", lower + upper, p + p.upper()),
+                ).otherwise(cipher)
+            df = df.withColumn("text", cipher)
         parts = PARTITIONS.get(t, 4) * max(1, n_replicas // 10)
         df = df.drop("rep").repartition(parts)
         out = os.path.join(dst, f"{t}.parquet")
