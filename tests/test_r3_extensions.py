@@ -674,3 +674,36 @@ def test_block_quantizer_memo_keys_do_not_collide_across_corpora(spark):
     # And the memo returns the SAME object on a repeat call.
     ka2, ca2 = learn_block_quantizer(emb_a, cache_key=a)
     assert ca2 is ca
+
+
+def test_quantizer_memo_invalidated_by_content_rewrite(spark, tmp_path):
+    """r7 ADVICE fix: the memo key is CONTENT-derived, not just
+    (path, count). A corpus rewritten in place — same path, same
+    vec_ids, same row count, different vectors — must retrain instead
+    of serving stale centroids (which would silently diverge from the
+    DuckDB oracle, which always retrains on live data)."""
+    from pyspark.sql import functions as F
+
+    from real_time_streaming_system_with_apache_kafka_spark.functions.blocks import (
+        learn_block_quantizer,
+    )
+
+    path = str(tmp_path / "corpus")
+    src = load(spark, "embeddings", "/root/testdata/sf0.001")
+    src.write.mode("overwrite").parquet(path)
+    emb1 = spark.read.parquet(path)
+    k1, c1 = learn_block_quantizer(emb1, cache_key=path)
+    # Rewrite IN PLACE: same vec_ids/count, every vector negated.
+    rewritten = src.withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    rewritten.write.mode("overwrite").parquet(path)
+    emb2 = spark.read.parquet(path)
+    k2, c2 = learn_block_quantizer(emb2, cache_key=path)
+    assert k2 == k1  # same count -> same cell count
+    assert c2 != c1, "content rewrite must invalidate the memo"
+    # And the fresh centroids really come from the rewritten data:
+    # negation flips no cosine (cos(-a,-c) = cos(a,c)), so training
+    # follows identical assignments and every decimal-exact mean is
+    # exactly negated — float-exact, no tolerance.
+    assert c2 == [[-x for x in v] for v in c1]
