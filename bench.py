@@ -192,6 +192,10 @@ HEADLINE = [
     "dedup_cc_survivors",
     "sample_cluster_safe_split",
     "sim_ivf_kmeans_topk",
+    # r7: the OTHER gram-vote hash operator (mm_phash's text cousin) —
+    # the family the scale-replica cipher fix was about; headline
+    # membership keeps its decade ratio visible round-over-round.
+    "dedup_simhash",
 ]
 
 
