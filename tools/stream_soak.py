@@ -79,6 +79,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=int, default=300)
     ap.add_argument("--rate", type=int, default=20_000)
+    ap.add_argument(
+        "--trigger", type=int, default=5,
+        help="micro-batch trigger interval in seconds (throughput/"
+        "latency knob: larger batches amortize per-batch overhead, "
+        "raising the sustainable rate at the cost of update latency)",
+    )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -106,7 +112,7 @@ def main() -> None:
             df.writeStream.format("noop")
             .outputMode(mode)
             .option("checkpointLocation", ckpt)
-            .trigger(processingTime="5 seconds")
+            .trigger(processingTime=f"{args.trigger} seconds")
             .queryName(name)
             .start()
         )
@@ -240,6 +246,7 @@ def main() -> None:
         "achieved_rate_rows_per_s": round(rows_in / max(1e-9, time.monotonic() - t0)),
         "state_store": "rocksdb",
         "watermark": WATERMARK,
+        "trigger_interval_s": args.trigger,
         "dup_every_n": DUP_EVERY_N,
         "bounded": bounded,
         "state_operators": per_op,
