@@ -80,6 +80,12 @@ def main() -> None:
     ap.add_argument("--seconds", type=int, default=300)
     ap.add_argument("--rate", type=int, default=20_000)
     ap.add_argument(
+        "--shuffle-partitions", type=int, default=None,
+        help="override spark.sql.shuffle.partitions (= number of "
+        "parallel state stores; the per-box lever for the join's "
+        "eviction throughput ceiling)",
+    )
+    ap.add_argument(
         "--trigger", type=int, default=5,
         help="micro-batch trigger interval in seconds (throughput/"
         "latency knob: larger batches amortize per-batch overhead, "
@@ -89,6 +95,12 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_session("rtss_stream_soak")
+    if args.shuffle_partitions:
+        # Must be set BEFORE any stream starts: streaming aggregation
+        # state partitioning is fixed at first checkpoint.
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(args.shuffle_partitions)
+        )
     spark.sparkContext.setLogLevel("ERROR")
     ingest.enable_rocksdb_state(spark)
 
@@ -247,6 +259,7 @@ def main() -> None:
         "state_store": "rocksdb",
         "watermark": WATERMARK,
         "trigger_interval_s": args.trigger,
+        "shuffle_partitions": args.shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions")),
         "dup_every_n": DUP_EVERY_N,
         "bounded": bounded,
         "state_operators": per_op,
