@@ -127,28 +127,55 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FEATURE_SCHEMA = (
+    "n_bytes double, byte_sum_997 double, first_byte double, "
+    "last_byte double, distinct_ratio double"
+)
+
+
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-payload feature vector via a scalar pandas UDF (Arrow
+    """Per-payload feature extraction via a scalar pandas UDF (Arrow
     vectorized): deterministic byte statistics standing in for a model
-    embedding — same signature a real encoder UDF would have."""
+    embedding — same signature a real encoder UDF would have.
+
+    The UDF returns a STRUCT of five named double features (not
+    ``array<double>``): the r7 driver window proved an array column is
+    un-canonicalizable by a pandas-based hasher (``sort_values`` dies
+    on the unhashable ndarray), and named scalar columns are both
+    hashable and DuckDB-oracle-able. A real encoder with a wide vector
+    output would posexplode to (doc_id, feature_idx, value) rows for
+    the same reason.
+    """
     docs = load(spark, "documents", sf_dir)
 
-    @F.pandas_udf("array<double>")
-    def byte_features(payload: pd.Series) -> pd.Series:
-        def feats(b: bytes) -> list[float]:
+    @F.pandas_udf(FEATURE_SCHEMA)
+    def byte_features(payload: pd.Series) -> pd.DataFrame:
+        def feats(b: bytes) -> tuple[float, float, float, float, float]:
             n = len(b) or 1
-            return [
+            return (
                 float(len(b)),
                 float(sum(b) % 997) / 997.0,
                 float(b[0] if b else 0) / 255.0,
                 float(b[-1] if b else 0) / 255.0,
                 float(len(set(b))) / n,
-            ]
+            )
 
-        return payload.map(feats)
+        return pd.DataFrame(
+            payload.map(feats).tolist(),
+            columns=[
+                "n_bytes",
+                "byte_sum_997",
+                "first_byte",
+                "last_byte",
+                "distinct_ratio",
+            ],
+            index=payload.index,
+        )
 
-    return with_binary_payload(docs).select(
-        "doc_id", byte_features(F.col("payload")).alias("features")
+    return (
+        with_binary_payload(docs)
+        .select("doc_id", byte_features(F.col("payload")).alias("f"))
+        .select("doc_id", "f.*")
     )
 
 
@@ -400,8 +427,37 @@ ORACLES = {
                unnest(range(0, octet_length(encode(text)) % 24 + 1, 6)) AS frame_idx
         FROM documents
     """,
-    # mm_feature_extract: rows-only (float list built in Python; the
-    # features are asserted deterministic in tests/test_multimodal.py).
+    # mm_feature_extract: the stub features are pure byte statistics of
+    # the utf-8 payload and the corpus is ASCII (asserted by the phash
+    # oracle below), so every feature is recomputable from per-character
+    # ascii() codes. Each division pairs an exactly-representable
+    # integer numerator with the same double denominator on both
+    # engines, so the doubles are bit-identical.
+    "mm_feature_extract": """
+        WITH ch AS (
+            SELECT doc_id, text,
+                   unnest(range(1, length(text) + 1)) AS i
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   sum(ascii(substr(text, cast(i AS int), 1))) AS byte_sum,
+                   count(DISTINCT substr(text, cast(i AS int), 1)) AS n_distinct
+            FROM ch
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               cast(octet_length(encode(d.text)) AS double) AS n_bytes,
+               cast(s.byte_sum % 997 AS double) / 997.0 AS byte_sum_997,
+               cast(ascii(substr(d.text, 1, 1)) AS double) / 255.0
+                   AS first_byte,
+               cast(ascii(substr(d.text, length(d.text), 1)) AS double)
+                   / 255.0 AS last_byte,
+               cast(s.n_distinct AS double)
+                   / cast(octet_length(encode(d.text)) AS double)
+                   AS distinct_ratio
+        FROM documents d JOIN s USING (doc_id)
+    """,
     #
     # mm_phash_dedup: the fixture payload is the utf-8 text and the
     # corpus is ASCII, so byte 3-grams == character 3-grams and the

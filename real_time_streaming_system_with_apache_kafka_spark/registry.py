@@ -33,82 +33,89 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # the representation audit (tools/canon_check.py — run it before
 # rotating anything in).
 #
-# Round-7 rotation closes the certification ledger: the 11 entries
-# never driver-signed after r6 (the 7-entry curation-remainder tail,
-# the 3 by-design rows-only entries — no oracle; the driver records
-# the weaker rows-only check for these — and the r6-added
-# dedup_embedding_multiprobe), plus w4_wire_roundtrip_dedup (upgraded
-# rows-only -> golden-fixture HASH oracle this round) and
-# sim_ivf_kmeans_topk (quantizer re-specified to the count-derived
-# blocks.py machinery this round — a materially new plan needs a
-# fresh signature). The remaining 34 slots re-sign the §2 relational
-# core last signed in r1/r2, BEFORE the r3+ session-default changes:
-# predicates, projections, aggregates, sorts, scalar functions, and a
-# joins/setops/window-function sample. With this window every one of
-# the registry's entries has been driver-signed at least once
-# (cumulative distinct-signed = 244/244).
+# Round-7 closed the certification ledger at 243/244 distinct-signed:
+# 241 hash-green at least once, 2 rows-only witnessed (the approx
+# sketches), and mm_feature_extract CRASHED the driver's canonicalizer
+# (array<double> output -> unhashable ndarray; CORRECTNESS_r07
+# spark_rows: null) — the one entry with zero driver evidence.
+#
+# Round-8 rotation: (a) the three entries upgraded this round get
+# fresh signatures — mm_feature_extract (array output replaced with
+# five named double columns + a full DuckDB oracle) and the two
+# approx-sketch entries (raw estimates replaced with exact values +
+# deterministic tolerance booleans, both now oracled — nothing in the
+# registry is rows-only any more); (b) the remaining 44 slots re-sign
+# the stalest signatures: the r3-signed dedup/similarity/text/
+# timeseries/sampling block, untouched by any window since
+# (w1_tumbling_window and w6_sliding_window yield their slots — their
+# §2 components keep the pinned w1_minute_activity sentinel, the
+# streaming pytest suite, and the stream-soak artifacts as coverage).
+# If every r8 row signs, cumulative distinct-signed reaches 244/244
+# for real.
 _PRIORITY: list[str] = [
     # §2 sentinels — pinned every round.
     "w1_minute_activity",
     "q0_snapshot_topk",
     "j1_star_join_revenue",
-    # Never-signed tail: curation remainder (7, all oracled).
-    "quality_lm_surprise",
-    "quality_domain_calibrated",
-    "quality_classifier_eval",
-    "mask_span_plan",
-    "curation_funnel",
-    "decontaminate_span_lengths",
-    "profile_source_overlap",
-    # Never-signed tail: by-design rows-only (no oracle).
+    # Upgraded this round — first-ever hash-grade signatures.
     "mm_feature_extract",
     "approx_hll_partials",
     "approx_aggregates",
-    # Never-signed tail: r6-added multiprobe dedup (oracled).
-    "dedup_embedding_multiprobe",
-    # Upgraded / re-specified this round.
-    "w4_wire_roundtrip_dedup",
-    "sim_ivf_kmeans_topk",
-    # §2 core re-signs (last signed r1/r2): predicates.
-    "p1_equality_filter",
-    "p2_substring_filter",
-    "p3_boolean_rate",
-    "p4_set_membership",
-    "p5_numeric_threshold",
-    # Projections.
-    "pr1_projection",
-    "pr2_derived_columns",
-    "pr3_type_casts",
-    "pr4_display_format",
-    # Aggregates.
-    "a1_count",
-    "a2_totals",
-    "a3_conditional_counts",
-    "a4_boolean_mean",
-    "a5_derived_ratios",
-    "a7_groupby_sum",
-    "a9_unpivot_fee_mix",
-    # Sorts / top-k.
-    "s2_top10_by_aggregate",
-    "s3_sort_by_aggregate",
-    "s4_head_after_sort",
-    "s5_value_counts",
-    # Scalar functions.
-    "f_string_funcs",
-    "f_hash_id",
-    "f_date_arithmetic",
-    "f_date_format",
-    "f_timestamp_parts",
-    "f_rounding_math",
-    "f_conditional",
-    "f_json_extract",
-    # Joins / setops / window-functions sample.
-    "agg_rollup",
-    "agg_cube",
-    "j4_range_join",
-    "asof_join_events",
-    "wf_lag_lead_running",
-    "setop_union_distinct",
+    # r3-signed re-signs: dedup family.
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_cc_survivors",
+    # Similarity family.
+    "sim_bruteforce_topk",
+    "sim_ivf_topk",
+    "sim_lsh_topk",
+    "sim_range_search",
+    # Text / curation family.
+    "corpus_curation_pipeline",
+    "text_stats_quality",
+    "text_langid",
+    "text_langid_confusion",
+    "text_fingerprint",
+    "text_token_stats_by_lang",
+    "decontaminate_holdout",
+    "pack_sequences",
+    "text_tfidf_terms",
+    "text_pii_redact",
+    "tokens_top_terms",
+    "text_repetition_signals",
+    # Sampling / profiling / splits.
+    "profile_length_histogram",
+    "split_train_holdout",
+    "sample_events_deterministic",
+    "agg_distinct_twophase",
+    "sample_stratified_balanced",
+    # Behavioral analytics.
+    "funnel_conversion",
+    "cohort_retention",
+    "sessionize_events",
+    "scd2_user_state",
+    # Time series.
+    "ts_resample_locf",
+    "ts_ohlc_bars",
+    "ts_gap_stats",
+    "anomaly_zscore",
+    "ts_ewma_exact",
+    # Window functions.
+    "wf_range_frame",
+    "wf_rank_family",
+    # Multimodal (re-sign beside the mm_feature_extract fix).
+    "mm_decode_metadata",
+    "mm_frame_sample",
+    # Collection/map scalar functions (r2 red rows, r3 green — keep
+    # their stringified representations under driver observation).
+    "f_map_funcs",
+    "f_array_funcs",
+    "agg_collections",
+    # Batch analytics headline.
+    "q1_pricing_summary",
 ]
 
 _MODULES: list[str] = [

@@ -29,13 +29,36 @@ def test_frame_sample_counts(spark, sf_dir):
         assert sorted(idxs) == list(range(0, max(idxs) + 1, 6))
 
 
+FEATURE_COLS = [
+    "n_bytes",
+    "byte_sum_997",
+    "first_byte",
+    "last_byte",
+    "distinct_ratio",
+]
+
+
 def test_feature_extract_deterministic_and_shaped(spark, sf_dir):
-    a = {r["doc_id"]: r["features"] for r in multimodal.mm_feature_extract(spark, sf_dir).collect()}
-    b = {r["doc_id"]: r["features"] for r in multimodal.mm_feature_extract(spark, sf_dir).collect()}
+    def run():
+        return {
+            r["doc_id"]: tuple(r[c] for c in FEATURE_COLS)
+            for r in multimodal.mm_feature_extract(spark, sf_dir).collect()
+        }
+
+    a, b = run(), run()
     assert a == b
-    assert all(len(v) == 5 for v in a.values())
+    # The r8 driver-contract shape: five named scalar double columns,
+    # no complex types (an array column crashed the r7 harness canon).
+    schema = multimodal.mm_feature_extract(spark, sf_dir).schema
+    assert [f.name for f in schema.fields] == ["doc_id"] + FEATURE_COLS
+    assert all(
+        f.dataType.simpleString() == "double"
+        for f in schema.fields
+        if f.name != "doc_id"
+    )
     n_chars = {
         r["doc_id"]: r["n_chars"] for r in load(spark, "documents", sf_dir).collect()
     }
     for doc_id, feats in list(a.items())[:25]:
         assert feats[0] == float(n_chars[doc_id])  # ascii text: bytes == chars
+        assert 0.0 < feats[4] <= 1.0  # distinct_ratio bounded

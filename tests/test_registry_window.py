@@ -17,65 +17,65 @@ WINDOW = 50
 # The three §2 sentinels stay driver-signed every round (VERDICT r2 #3).
 SENTINELS = ["w1_minute_activity", "q0_snapshot_topk", "j1_star_join_revenue"]
 
-# Round-7 rotation: the 11 entries never driver-signed after r6, the
-# two entries upgraded/re-specified this round, and a §2-core re-sign
-# block (last signed r1/r2). With this window, cumulative
-# distinct-signed = 244/244.
+# Round-8 rotation: the three entries upgraded to hash-grade this
+# round (mm_feature_extract's array output replaced with scalar
+# feature columns; the approx-sketch pair's raw estimates replaced
+# with exact values + tolerance booleans — all three newly oracled),
+# plus the stalest block: 44 of the 46 entries signed in r3 and never
+# re-signed since. If every row signs, cumulative distinct-signed
+# reaches 244/244 (r7 closed at 243 — mm_feature_extract crashed the
+# driver's canonicalizer).
 ROTATED_SUITES = {
-    "never_signed_oracled": [
-        "quality_lm_surprise",
-        "quality_domain_calibrated",
-        "quality_classifier_eval",
-        "mask_span_plan",
-        "curation_funnel",
-        "decontaminate_span_lengths",
-        "profile_source_overlap",
-        "dedup_embedding_multiprobe",
-    ],
-    "never_signed_rows_only": [
+    "upgraded_this_round": [
         "mm_feature_extract",
         "approx_hll_partials",
         "approx_aggregates",
     ],
-    "upgraded_this_round": [
-        "w4_wire_roundtrip_dedup",  # rows-only -> golden-fixture hash
-        "sim_ivf_kmeans_topk",  # count-derived quantizer re-spec
-    ],
-    "core_resign": [
-        "p1_equality_filter",
-        "p2_substring_filter",
-        "p3_boolean_rate",
-        "p4_set_membership",
-        "p5_numeric_threshold",
-        "pr1_projection",
-        "pr2_derived_columns",
-        "pr3_type_casts",
-        "pr4_display_format",
-        "a1_count",
-        "a2_totals",
-        "a3_conditional_counts",
-        "a4_boolean_mean",
-        "a5_derived_ratios",
-        "a7_groupby_sum",
-        "a9_unpivot_fee_mix",
-        "s2_top10_by_aggregate",
-        "s3_sort_by_aggregate",
-        "s4_head_after_sort",
-        "s5_value_counts",
-        "f_string_funcs",
-        "f_hash_id",
-        "f_date_arithmetic",
-        "f_date_format",
-        "f_timestamp_parts",
-        "f_rounding_math",
-        "f_conditional",
-        "f_json_extract",
-        "agg_rollup",
-        "agg_cube",
-        "j4_range_join",
-        "asof_join_events",
-        "wf_lag_lead_running",
-        "setop_union_distinct",
+    "r3_resign": [
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+        "dedup_cc_survivors",
+        "sim_bruteforce_topk",
+        "sim_ivf_topk",
+        "sim_lsh_topk",
+        "sim_range_search",
+        "corpus_curation_pipeline",
+        "text_stats_quality",
+        "text_langid",
+        "text_langid_confusion",
+        "text_fingerprint",
+        "text_token_stats_by_lang",
+        "decontaminate_holdout",
+        "pack_sequences",
+        "text_tfidf_terms",
+        "text_pii_redact",
+        "tokens_top_terms",
+        "text_repetition_signals",
+        "profile_length_histogram",
+        "split_train_holdout",
+        "sample_events_deterministic",
+        "agg_distinct_twophase",
+        "sample_stratified_balanced",
+        "funnel_conversion",
+        "cohort_retention",
+        "sessionize_events",
+        "scd2_user_state",
+        "ts_resample_locf",
+        "ts_ohlc_bars",
+        "ts_gap_stats",
+        "anomaly_zscore",
+        "ts_ewma_exact",
+        "wf_range_frame",
+        "wf_rank_family",
+        "mm_decode_metadata",
+        "mm_frame_sample",
+        "f_map_funcs",
+        "f_array_funcs",
+        "agg_collections",
+        "q1_pricing_summary",
     ],
 }
 
@@ -116,18 +116,15 @@ def test_priority_keys_all_exist():
 def test_no_complex_typed_outputs_in_window(spark, window):
     """Array/map/struct outputs break the harness's pandas canonicalizer
     (CORRECTNESS_r02: f_map_funcs red row) — nothing in the window may
-    emit one."""
+    emit one. NO rows-only exemption: r7 proved the driver sorts EVERY
+    windowed result through pandas before recording even spark_rows
+    (mm_feature_extract's array<double> died in sort_values with
+    'unhashable type: numpy.ndarray' and got a null-rows crash row), so
+    the lint applies to oracled and rows-only entries alike."""
     queries = registry.all_queries()
-    oracles = registry.all_oracles()
     sf = "/root/testdata/sf0.001"
     offenders = {}
     for name in window:
-        if name not in oracles:
-            # Rows-only entries are never canonicalized — the driver
-            # records only spark_rows + err='no_oracle' (CORRECTNESS_r01
-            # w4 row), so a complex column can't hash-mismatch. The lint
-            # protects the hasher; it doesn't apply here.
-            continue
         schema = queries[name](spark, sf).schema
         complex_cols = [
             f"{f.name}:{f.dataType.simpleString()}"
