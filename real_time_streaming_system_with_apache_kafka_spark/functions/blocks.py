@@ -212,7 +212,16 @@ def learn_block_quantizer(
         )
         learned = {r.cell: list(map(float, r.centroid)) for r in rows}
         cents = [learned.get(i, cents[i]) for i in range(k)]
+    train.unpersist()  # release the localCheckpoint blocks post-fit
     if memo_key is not None:
+        # Evict stale fingerprints for the same corpus key (a rewritten
+        # path would otherwise accumulate one dead entry per rewrite).
+        for old in [
+            key
+            for key in _QUANTIZER_CACHE
+            if key[0] == cache_key and key != memo_key
+        ]:
+            del _QUANTIZER_CACHE[old]
         _QUANTIZER_CACHE[memo_key] = (k, cents)
     return k, cents
 

@@ -49,6 +49,18 @@ def join_breaks_to_settlements(trades: DataFrame, max_lag: str = "10 minutes") -
     range, so Spark can expire buffered state on both sides — the
     requirement for an unbounded stream-stream join to run with finite
     memory.
+
+    State sizing (the r8 envelope investigation): Spark keeps ONE
+    global watermark per query — with the default
+    ``spark.sql.streaming.multipleWatermarkPolicy=min`` the two sides'
+    delays collapse to the minimum, so ASYMMETRIC per-side watermark
+    delays do NOT shrink join state (and policy=max trades correctness
+    for it). The state knobs that actually work are (a) the range
+    predicate — break-side buffers hold ``max_lag + delay`` of event
+    time, settle-side ``delay`` — and (b) the watermark delay itself.
+    Measured r7/r8: at 9-10k rows/s the buffers plateau in the
+    single-digit thousands of rows (KBs of state); the 10k divergence
+    was CPU, not state — see STREAM_SOAK_r8.json's join-lag A/B.
     """
     breaks = (
         trades.filter(F.col("status").contains("Break"))

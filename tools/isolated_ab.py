@@ -91,17 +91,33 @@ def main() -> None:
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default=os.path.join(REPO, "SOAK_r7_isolated.json"))
+    ap.add_argument(
+        "--scales",
+        default="0.1,1,10",
+        help="comma list of scale factors; '0.1'-only runs the "
+        "same-host A/B against a bench artifact without replicas",
+    )
     args = ap.parse_args()
-    scales = {
+    all_scales = {
         "0.1": "/root/testdata/sf0.1",
         "1": os.path.join(REPO, ".scale", "sf1"),
         "10": os.path.join(REPO, ".scale", "sf10"),
     }
+    scales = {s.strip(): all_scales[s.strip()] for s in args.scales.split(",")}
     for sf, d in scales.items():
-        if not os.path.isdir(d) and not os.path.isfile(
-            os.path.join(d, "lineitem.parquet")
-        ) and not os.path.exists(d):
-            raise SystemExit(f"missing scale dir {d}; run tools/scale_soak.py first")
+        # Require the actual inputs the measured operators read — an
+        # existing-but-empty or partially generated scale dir must fail
+        # here, not mid-measurement.
+        missing = [
+            t
+            for t in ("lineitem", "documents", "embeddings", "events")
+            if not os.path.exists(os.path.join(d, f"{t}.parquet"))
+        ]
+        if missing:
+            raise SystemExit(
+                f"scale dir {d} missing tables {missing}; "
+                "run tools/scale_soak.py first"
+            )
     report: dict = {
         "metric": "isolated_per_operator_scale_ab",
         "protocol": (
@@ -118,8 +134,14 @@ def main() -> None:
             row[f"sf{sf}"] = measure(name, d, args.reps)
             print(f"  -> {row[f'sf{sf}']}", flush=True)
         b = {sf: row[f"sf{sf}"]["best_sec"] for sf in scales}
-        row["ratio_sf1_over_sf0.1"] = round(b["1"] / b["0.1"], 2) if b["0.1"] else None
-        row["ratio_sf10_over_sf1"] = round(b["10"] / b["1"], 2) if b["1"] else None
+        if "1" in b and "0.1" in b:
+            row["ratio_sf1_over_sf0.1"] = (
+                round(b["1"] / b["0.1"], 2) if b["0.1"] else None
+            )
+        if "10" in b and "1" in b:
+            row["ratio_sf10_over_sf1"] = (
+                round(b["10"] / b["1"], 2) if b["1"] else None
+            )
         report["queries"][name] = row
     with open(args.out, "w") as fh:
         json.dump(report, fh, indent=1, sort_keys=True)

@@ -142,18 +142,32 @@ def generate(spark, n_replicas: int, dst: str, only: set[str] | None = None) -> 
             # (never a repeat, unlike a Caesar rotation which would
             # collide every 26 stripes and reintroduce byte-identical
             # cross-stripe twins).
+            # The bijection covers letters AND digits (r7's version
+            # left digits untouched, so purely numeric tokens/grams
+            # stayed byte-identical across stripes — a residual
+            # cross-stripe dup overlap contradicting the disjointness
+            # contract). Punctuation/whitespace remain fixed points by
+            # design: they are gram DELIMITERS, not vocabulary, and
+            # permuting them would break tokenization structure.
             import random as _random
 
             lower = "abcdefghijklmnopqrstuvwxyz"
             upper = lower.upper()
+            digits = "0123456789"
             cipher = F.col("text")
             for r in range(n_replicas - 1, 0, -1):
+                rng = _random.Random(0xC1F3 + r)
                 perm = list(lower)
-                _random.Random(0xC1F3 + r).shuffle(perm)
+                rng.shuffle(perm)
                 p = "".join(perm)
+                dperm = list(digits)
+                rng.shuffle(dperm)
+                dp = "".join(dperm)
                 cipher = F.when(
                     F.col("rep") == r,
-                    F.translate("text", lower + upper, p + p.upper()),
+                    F.translate(
+                        "text", lower + upper + digits, p + p.upper() + dp
+                    ),
                 ).otherwise(cipher)
             df = df.withColumn("text", cipher)
         parts = PARTITIONS.get(t, 4) * max(1, n_replicas // 10)

@@ -91,6 +91,13 @@ def main() -> None:
         "latency knob: larger batches amortize per-batch overhead, "
         "raising the sustainable rate at the cost of update latency)",
     )
+    ap.add_argument(
+        "--join-lag", default="10 minutes",
+        help="stream-stream join range predicate (the state knob that "
+        "actually works — per-side watermark asymmetry doesn't, since "
+        "multipleWatermarkPolicy=min collapses the delays); break-side "
+        "buffers hold join-lag + watermark of event time",
+    )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -116,7 +123,7 @@ def main() -> None:
     per_minute = windowed.minute_activity_stream(deduped, watermark=None)
     hll = windowed.hll_distinct_stream(mk_stream())
     breaks = windowed.break_alerts(mk_stream())
-    ssjoin = enrich.join_breaks_to_settlements(mk_stream())
+    ssjoin = enrich.join_breaks_to_settlements(mk_stream(), max_lag=args.join_lag)
 
     def start(name: str, df, mode: str):
         ckpt = tempfile.mkdtemp(prefix=f"rtss_soak_ckpt_{name}_")
@@ -259,6 +266,7 @@ def main() -> None:
         "state_store": "rocksdb",
         "watermark": WATERMARK,
         "trigger_interval_s": args.trigger,
+        "join_lag": args.join_lag,
         "shuffle_partitions": args.shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions")),
         "dup_every_n": DUP_EVERY_N,
         "bounded": bounded,
