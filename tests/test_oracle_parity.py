@@ -18,10 +18,11 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert_parity(df, _ORACLES[name], sf_dir, name=name)
 
 
-@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
-def test_rows_only_queries_run(spark, sf_dir, name):
-    df = _QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
+def test_every_query_has_an_oracle():
+    """244/244 since r8 (mm_feature_extract and the approx-sketch pair
+    were the last rows-only entries) — a new query without a DuckDB
+    twin is a regression, not a category."""
+    assert sorted(set(_QUERIES) - set(_ORACLES)) == []
 
 
 def test_entry_smoke(spark):
