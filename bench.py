@@ -199,6 +199,22 @@ HEADLINE = [
 ]
 
 
+def _sweep_persisted(spark) -> None:
+    """Unpersist every cached/localCheckpointed RDD between queries.
+
+    Several operators localCheckpoint intermediates (iterative dedup,
+    BPE vocab, retrieval passes) and those blocks pin executor storage
+    for the session lifetime — across 113 headline queries x 2 reps the
+    accumulation creates the memory/GC pressure behind the in-session
+    elevation of late-list queries (r8: curation_funnel 4.6 s
+    in-session vs 0.88 s isolated on the SAME host). Safe between
+    queries: every registry call rebuilds its plan from scratch, and
+    the quantizer/merge memos store plain Python data, not DataFrames.
+    """
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        rdd.unpersist(False)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session("rtss_bench")
@@ -243,6 +259,7 @@ def main() -> None:
                 reps = 3
             rep += 1
         times[name] = round(best, 3)
+        _sweep_persisted(spark)
     cpu1 = _proc_stat()
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
