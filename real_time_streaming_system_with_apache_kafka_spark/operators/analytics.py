@@ -240,16 +240,26 @@ def approx_hll_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output (hash-grade since r8): one row per event_type plus the
     '(all)' union row, each carrying the EXACT distinct and two
     deterministic booleans — ``hll_within_5pct`` (estimate vs exact)
-    and, on the '(all)' row, ``merge_within_1pct`` (union-of-partials
-    estimate within 1% of one direct whole-table sketch; exact
-    equality is NOT an invariant — the Datasketches union gadget works
-    in HLL_8 and its round-trip can shift the estimate, measured 0.7%
-    at sf0.1 — but 1% consistency is). Datasketches HLL is
-    deterministic for fixed data, so the booleans hash stably and the
-    DuckDB twin pins them true while recomputing the exact side. Two
-    scans of events (per-type agg; direct sketch + global exact in one
-    pass) — certification shape only; the production pattern stores
-    the per-segment sketches and never rescans."""
+    and, on the '(all)' row, ``merge_within_rse`` (union-of-partials
+    estimate vs one direct whole-table sketch). Exact merge equality
+    is NOT an invariant — the Datasketches union gadget works in HLL_8
+    and its round-trip can shift the estimate (measured 0.7% at sf0.1)
+    — and the r8 contract's empirical 1% was a single measured point,
+    not a bound (r9 ADVICE). The tolerance is now derived from the
+    estimator: RSE of Datasketches HLL at lgConfigK=12 (Spark's
+    default) is 1.04/sqrt(2^12) ≈ 1.63%, and both estimates see the
+    SAME data, so 2×RSE ≈ 3.25% covers the union round-trip shift at
+    any SF with formal headroom rather than an extrapolated point.
+    Datasketches HLL is deterministic for fixed data, so the booleans
+    hash stably and the DuckDB twin pins them true while recomputing
+    the exact side. Two scans of events (per-type agg; direct sketch +
+    global exact in one pass) — certification shape only; the
+    production pattern stores the per-segment sketches and never
+    rescans."""
+    # 2x the HLL estimator RSE at Spark's default lgConfigK=12:
+    # 2 * 1.04 / sqrt(2**12) — a bound that holds at any SF, vs the
+    # r8 contract's single 0.7%-at-sf0.1 measurement.
+    merge_tol = 2 * 1.04 / (2**12) ** 0.5
     ev = load(spark, "events", sf_dir)
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
@@ -262,7 +272,7 @@ def approx_hll_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
             <= 0.05 * F.col("n_exact")
         ).alias("hll_within_5pct"),
-        F.lit(True).alias("merge_within_1pct"),
+        F.lit(True).alias("merge_within_rse"),
     )
     glob = ev.agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct"),
@@ -280,8 +290,8 @@ def approx_hll_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hll_within_5pct"),
         (
             F.abs(F.col("merged") - F.col("direct"))
-            <= 0.01 * F.col("direct")
-        ).alias("merge_within_1pct"),
+            <= merge_tol * F.col("direct")
+        ).alias("merge_within_rse"),
     )
     return typed.unionByName(all_row).orderBy("event_type")
 
@@ -1368,14 +1378,14 @@ ORACLES = {
         SELECT event_type,
                count(DISTINCT user_id) AS n_exact,
                TRUE AS hll_within_5pct,
-               TRUE AS merge_within_1pct
+               TRUE AS merge_within_rse
         FROM events
         GROUP BY event_type
         UNION ALL
         SELECT '(all)' AS event_type,
                count(DISTINCT user_id) AS n_exact,
                TRUE AS hll_within_5pct,
-               TRUE AS merge_within_1pct
+               TRUE AS merge_within_rse
         FROM events
         ORDER BY event_type
     """,

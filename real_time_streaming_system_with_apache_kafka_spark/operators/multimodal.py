@@ -432,7 +432,13 @@ ORACLES = {
     # oracle below), so every feature is recomputable from per-character
     # ascii() codes. Each division pairs an exactly-representable
     # integer numerator with the same double denominator on both
-    # engines, so the doubles are bit-identical.
+    # engines, so the doubles are bit-identical. The per-character CTE
+    # `s` has no row for an EMPTY text (range(1,1) is empty), so the
+    # join is LEFT + COALESCE and the distinct_ratio denominator is
+    # greatest(n,1) — mirroring the kernel's `len(b) or 1` guard, which
+    # yields the all-zero feature row (ascii('') is 0 in DuckDB, same
+    # as the kernel's `b[0] if b else 0`). Current fixtures contain no
+    # empty doc, but the twin must agree on any corpus.
     "mm_feature_extract": """
         WITH ch AS (
             SELECT doc_id, text,
@@ -448,15 +454,17 @@ ORACLES = {
         )
         SELECT d.doc_id,
                cast(octet_length(encode(d.text)) AS double) AS n_bytes,
-               cast(s.byte_sum % 997 AS double) / 997.0 AS byte_sum_997,
+               cast(coalesce(s.byte_sum, 0) % 997 AS double) / 997.0
+                   AS byte_sum_997,
                cast(ascii(substr(d.text, 1, 1)) AS double) / 255.0
                    AS first_byte,
                cast(ascii(substr(d.text, length(d.text), 1)) AS double)
                    / 255.0 AS last_byte,
-               cast(s.n_distinct AS double)
-                   / cast(octet_length(encode(d.text)) AS double)
+               cast(coalesce(s.n_distinct, 0) AS double)
+                   / cast(greatest(octet_length(encode(d.text)), 1)
+                          AS double)
                    AS distinct_ratio
-        FROM documents d JOIN s USING (doc_id)
+        FROM documents d LEFT JOIN s USING (doc_id)
     """,
     #
     # mm_phash_dedup: the fixture payload is the utf-8 text and the

@@ -62,3 +62,40 @@ def test_feature_extract_deterministic_and_shaped(spark, sf_dir):
     for doc_id, feats in list(a.items())[:25]:
         assert feats[0] == float(n_chars[doc_id])  # ascii text: bytes == chars
         assert 0.0 < feats[4] <= 1.0  # distinct_ratio bounded
+
+
+def test_feature_extract_oracle_agrees_on_empty_doc(spark, sf_dir, tmp_path):
+    """r9 ADVICE regression: the DuckDB twin's per-character CTE emits
+    no row for an empty text, so a plain inner join dropped that doc
+    and the old distinct_ratio divided by octet_length = 0. The twin is
+    now LEFT JOIN + COALESCE with a greatest(n, 1) denominator,
+    mirroring the kernel's ``len(b) or 1`` guard — both engines must
+    emit the all-zero feature row for an empty payload. Current
+    fixtures have no empty doc, so this builds a corpus that does."""
+    import shutil
+
+    from real_time_streaming_system_with_apache_kafka_spark.schemas import STAR_TABLES
+    from tests.parity import assert_parity
+
+    aug = tmp_path / "sf_empty_doc"
+    aug.mkdir()
+    for t in STAR_TABLES:
+        shutil.copyfile(f"{sf_dir}/{t}.parquet", aug / f"{t}.parquet")
+    docs = load(spark, "documents", sf_dir).limit(5)
+    extra = spark.createDataFrame(
+        [(10_000_001, "", "en", "synthetic", 0)], schema=docs.schema
+    )
+    docs.unionByName(extra).coalesce(1).toPandas().to_parquet(
+        aug / "documents.parquet", index=False
+    )
+    df = multimodal.mm_feature_extract(spark, str(aug))
+    feats = {r["doc_id"]: r for r in df.collect()}
+    empty = feats[10_000_001]
+    assert empty["n_bytes"] == 0.0
+    assert empty["distinct_ratio"] == 0.0  # 0 / max(0, 1), not NULL
+    assert_parity(
+        df,
+        multimodal.ORACLES["mm_feature_extract"],
+        str(aug),
+        name="mm_feature_extract[empty-doc]",
+    )

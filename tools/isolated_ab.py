@@ -103,7 +103,14 @@ def main() -> None:
         "1": os.path.join(REPO, ".scale", "sf1"),
         "10": os.path.join(REPO, ".scale", "sf10"),
     }
-    scales = {s.strip(): all_scales[s.strip()] for s in args.scales.split(",")}
+    tokens = [s.strip() for s in args.scales.split(",") if s.strip()]
+    unknown = [s for s in tokens if s not in all_scales]
+    if unknown or not tokens:
+        raise SystemExit(
+            f"--scales: unknown scale(s) {unknown or ['<empty>']}; "
+            f"valid: {sorted(all_scales)} (comma-separated)"
+        )
+    scales = {s: all_scales[s] for s in tokens}
     for sf, d in scales.items():
         # Require the actual inputs the measured operators read — an
         # existing-but-empty or partially generated scale dir must fail
@@ -134,14 +141,17 @@ def main() -> None:
             row[f"sf{sf}"] = measure(name, d, args.reps)
             print(f"  -> {row[f'sf{sf}']}", flush=True)
         b = {sf: row[f"sf{sf}"]["best_sec"] for sf in scales}
-        if "1" in b and "0.1" in b:
-            row["ratio_sf1_over_sf0.1"] = (
-                round(b["1"] / b["0.1"], 2) if b["0.1"] else None
-            )
-        if "10" in b and "1" in b:
-            row["ratio_sf10_over_sf1"] = (
-                round(b["10"] / b["1"], 2) if b["1"] else None
-            )
+        # Ratio fields are always present (null when a scale pair was
+        # not measured) so the artifact schema is stable across
+        # partial-scale runs.
+        row["ratio_sf1_over_sf0.1"] = (
+            round(b["1"] / b["0.1"], 2)
+            if "1" in b and b.get("0.1")
+            else None
+        )
+        row["ratio_sf10_over_sf1"] = (
+            round(b["10"] / b["1"], 2) if "10" in b and b.get("1") else None
+        )
         report["queries"][name] = row
     with open(args.out, "w") as fh:
         json.dump(report, fh, indent=1, sort_keys=True)

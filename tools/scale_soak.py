@@ -70,6 +70,36 @@ COPY_AS_IS = ["region", "nation"]
 # Output partitions per 10 replicas, sized for ~10-60 MB files.
 PARTITIONS = {"lineitem": 16, "orders": 8, "events": 8}
 
+# Generator/cipher contract version, written into every generated
+# scale dir (r9 ADVICE): bump whenever the striping transform changes
+# meaning. v1 = r7 letters-only alphabet permutation; v2 = r8
+# letters+digits bijection (numeric tokens stripe-disjoint). A
+# --skip-generate run against a dir with a missing or older marker
+# would silently measure data with a DIFFERENT disjointness contract —
+# fail instead.
+GENERATOR_VERSION = 2
+_VERSION_MARKER = "GENERATOR_VERSION"
+
+
+def _write_version_marker(dst: str) -> None:
+    with open(os.path.join(dst, _VERSION_MARKER), "w") as fh:
+        fh.write(f"{GENERATOR_VERSION}\n")
+
+
+def check_version_marker(dst: str) -> None:
+    """SystemExit unless dst carries the current generator version."""
+    path = os.path.join(dst, _VERSION_MARKER)
+    found = None
+    if os.path.exists(path):
+        with open(path) as fh:
+            found = fh.read().strip()
+    if found != str(GENERATOR_VERSION):
+        raise SystemExit(
+            f"{dst}: generator version marker is {found!r}, need "
+            f"{GENERATOR_VERSION} — the stripe cipher changed since this "
+            "dir was generated; re-run without --skip-generate"
+        )
+
 
 def generate(spark, n_replicas: int, dst: str, only: set[str] | None = None) -> None:
     os.makedirs(dst, exist_ok=True)
@@ -182,6 +212,8 @@ def generate(spark, n_replicas: int, dst: str, only: set[str] | None = None) -> 
         os.rename(tmp, out)
         n = spark.read.parquet(out).count()
         print(f"  {t}: {n} rows", flush=True)
+    if only is None:
+        _write_version_marker(dst)
 
 
 def run_bench(spark, sf_dir: str) -> dict[str, float]:
@@ -218,6 +250,8 @@ def main() -> None:
         if "--skip-generate" not in sys.argv:
             print(f"generating sf{s} ({s * 10} replicas) ...", flush=True)
             generate(spark, s * 10, dst)
+        else:
+            check_version_marker(dst)
     results = {}
     noise = {}
     for sf, d in sorted(dirs.items()):
