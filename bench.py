@@ -241,24 +241,37 @@ def main() -> None:
     # measurement 3-5x (observed); min-over-reps reports steady state.
     cpu0 = _proc_stat()
     times: dict[str, float] = {}
+    # Per-query noise (r9, VERDICT item 1): the whole-run steal average
+    # can't localize a burst — BENCH_r08's 10-query regression cluster
+    # at suite positions 69-78 took two rounds of isolated A/Bs to
+    # attribute to one ~60 s steal window. Recording the steal of the
+    # rep that PRODUCED each reported best makes the artifact
+    # self-diagnosing: a best-rep steal >2% next to an inflated number
+    # says "stolen window", no re-litigation needed.
+    query_noise: dict[str, float | None] = {}
     for name in HEADLINE:
         best = float("inf")
+        best_steal: float | None = None
         reps = 2
         rep = 0
         while rep < reps:
             q0 = _proc_stat()
             t0 = time.monotonic()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.monotonic() - t0)
+            dt = time.monotonic() - t0
             # Steal-aware retry: if the HOST stole CPU during this
             # query's window (shared-tenant box, measured up to ~17%
             # under load), grant ONE extra rep so min-over-reps can
             # find an unstolen window. No-op on a clean box.
             noise = _steal_summary(q0, _proc_stat())
+            if dt < best:
+                best = dt
+                best_steal = noise["steal_pct"] if noise else None
             if reps == 2 and noise and noise["steal_pct"] > 2.0:
                 reps = 3
             rep += 1
         times[name] = round(best, 3)
+        query_noise[name] = best_steal
         _sweep_persisted(spark)
     cpu1 = _proc_stat()
 
@@ -277,6 +290,11 @@ def main() -> None:
         # over the bench window makes the artifact self-describing:
         # compare it before reading any round-over-round delta.
         "host_noise": _steal_summary(cpu0, cpu1),
+        # steal_pct measured over the rep that produced each query's
+        # reported best — a burst shows up NEXT TO the number it
+        # inflated (values are percentages; null when /proc/stat has
+        # no steal column).
+        "query_noise": query_noise,
     }
     delta = _prev_round_delta(times, sf)
     if delta is not None:
@@ -327,6 +345,16 @@ def main() -> None:
         "host_noise": out["host_noise"],
         "queries": top,  # the slowest N; full table in `artifact`
         "queries_omitted": len(times) - len(top),
+        # Queries whose REPORTED rep ran under >2% host steal — read
+        # these numbers as upper bounds (full per-query map in the
+        # artifact's query_noise).
+        "stolen_reps": {
+            n: s
+            for n, s in sorted(
+                query_noise.items(), key=lambda kv: -(kv[1] or 0)
+            )
+            if s is not None and s > 2.0
+        },
         "artifact": local_name,
     }
     if delta is not None:

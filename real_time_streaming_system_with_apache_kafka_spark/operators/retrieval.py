@@ -64,6 +64,66 @@ BM25_TOPK = 10
 # k1+1 = 22/10. Multiplying the tf saturation through by 10*W (W =
 # corpus word count) clears every denominator — see bm25 docstring.
 
+# The (query_id, term) probe pairs as plain data (the createDataFrame
+# input every retrieval entry shares).
+_PROBE_PAIRS: list[tuple[int, str]] = sorted(
+    {
+        (qid, term)
+        for qid, text in BM25_QUERIES
+        for term in text.split(" ")
+    }
+)
+_PROBE_TERMS: list[str] = sorted({t for _, t in _PROBE_PAIRS})
+
+# Corpus-statistics memo (r9, VERDICT item 3 — same content-fingerprint
+# pattern as the BPE merge table in text.py and the quantizer in
+# functions/blocks.py): corpus totals (N docs, W words), per-probe-term
+# document frequencies, and the PRF expansion terms are TRAINED-ONCE
+# statistics of the corpus — a session running many retrieval queries
+# must not rebuild them per call. All values are plain Python ints and
+# strings (never DataFrames), so the memo pins no executor storage.
+# The fingerprint scan doubles as the totals scan: one no-shuffle agg
+# returns (count, commutative xxhash64 sum, word total), so a memo HIT
+# costs exactly one corpus pass.
+_CORPUS_CACHE: dict[tuple[int, int], dict] = {}
+
+
+def _corpus_stats(docs: DataFrame) -> dict:
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal accumulator: a long sum of ±2^63 hashes overflows
+        # (and THROWS under Spark 4's default ANSI mode).
+        F.sum(F.xxhash64("doc_id", "text").cast("decimal(38,0)")).alias("h"),
+        F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("w"),
+    ).collect()[0]
+    key = (int(row["n"]), int(row["h"] or 0))
+    st = _CORPUS_CACHE.get(key)
+    if st is None:
+        if len(_CORPUS_CACHE) >= 8:  # bench/test sessions touch <=3 SFs
+            _CORPUS_CACHE.clear()
+        st = {"n_docs": int(row["n"]), "w_total": int(row["w"] or 0)}
+        _CORPUS_CACHE[key] = st
+    return st
+
+
+def _probe_df(docs: DataFrame, st: dict) -> dict[str, int]:
+    """Document frequency of the fixed probe terms — a dict of at most
+    len(_PROBE_TERMS) ints, computed once per corpus (terms absent
+    from the corpus get df=0 and contribute no tf rows downstream,
+    identical to the old no-row-in-df_t behavior)."""
+    if "probe_df" not in st:
+        rows = (
+            docs.select(
+                "doc_id", F.explode(F.split("text", " ")).alias("term")
+            )
+            .filter(F.col("term").isin(_PROBE_TERMS))
+            .groupBy("term")
+            .agg(F.count_distinct("doc_id").alias("df"))
+        ).collect()
+        found = {r["term"]: int(r["df"]) for r in rows}
+        st["probe_df"] = {t: found.get(t, 0) for t in _PROBE_TERMS}
+    return st["probe_df"]
+
 
 def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-{BM25_TOPK} retrieval for each probe query.
@@ -89,18 +149,17 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rational keeps rankings meaningful and values engine-identical.
     Per-(query,doc) score sums the exact ppm integers; top-k breaks
     ties on doc_id ascending.
+
+    Corpus totals and probe-term document frequencies come from the
+    per-corpus-fingerprint memo (``_corpus_stats``): they are
+    statistics of the corpus, not of the query, and a session running
+    many retrieval calls computes them once. A memo hit leaves two
+    corpus passes (fingerprint + tf); a miss adds the one-time df
+    aggregation.
     """
     docs = load_rebalanced(spark, "documents", sf_dir)
-    qterms = spark.createDataFrame(
-        [
-            (qid, pos, term)
-            for qid, text in BM25_QUERIES
-            for pos, term in enumerate(text.split(" "))
-        ],
-        "query_id int, pos int, term string",
-    ).select("query_id", "term").distinct()
-    term_set = sorted({t for _, q in BM25_QUERIES for t in q.split(" ")})
-
+    st = _corpus_stats(docs)
+    df_map = _probe_df(docs, st)
     # dl rides the token stream (constant per doc, recovered with max
     # in the tf aggregation) so no corpus-sized doc_id join is needed
     # to attach document lengths — measured ~25% faster at sf0.1 than
@@ -110,39 +169,7 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("bigint").alias("dl"),
         F.explode(F.split("text", " ")).alias("term"),
     )
-    # Corpus stats: N and W over ALL docs, df per query term only —
-    # the rest of the vocabulary never aggregates.
-    totals = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("w_total"),
-    )
-    qtoks = toks.filter(F.col("term").isin(term_set))
-    df_t = qtoks.groupBy("term").agg(
-        F.count_distinct("doc_id").alias("df")
-    )
-    tf = qtoks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
-    )
-    parts = (
-        tf.join(F.broadcast(df_t), "term")
-        .join(F.broadcast(qterms), "term")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "query_id",
-            "doc_id",
-            F.expr(
-                "(cast(1000000 AS decimal(38,0))"
-                " * (2 * n_docs - 2 * df + 1) * 22 * w_total * tf)"
-                " div ((2 * df + 1)"
-                "      * (10 * w_total * tf + 3 * w_total"
-                "         + 9 * dl * n_docs))"
-            ).alias("score_ppm"),
-        )
-    )
-    scores = parts.groupBy("query_id", "doc_id").agg(
-        F.count(F.lit(1)).alias("n_terms_hit"),
-        F.sum("score_ppm").alias("score_ppm"),
-    )
+    scores = _bm25_scores(spark, toks, st, _PROBE_PAIRS, df_map)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_ppm"), F.asc("doc_id")
     )
@@ -285,24 +312,36 @@ _SCORE_PPM_EXPR = (
 
 
 def _bm25_scores(
-    toks: DataFrame, totals: DataFrame, qterms: DataFrame
+    spark: SparkSession,
+    toks: DataFrame,
+    st: dict,
+    qpairs: list[tuple[int, str]],
+    df_map: dict[str, int],
 ) -> DataFrame:
     """Per-(query_id, doc_id) exact BM25 scores for an arbitrary
-    (query_id, term) table: the reusable second half of
-    ``search_bm25_topk``, with the corpus token stream pruned to query
-    terms via a broadcast semi-prune (data-dependent term sets can't
-    use the static isin the fixture pass compiles)."""
-    qtoks = toks.join(
-        F.broadcast(qterms.select("term").distinct()), "term"
+    (query_id, term) list: the reusable scoring half every retrieval
+    entry compiles. Corpus totals and per-term document frequencies
+    arrive as MEMOIZED plain values (see ``_corpus_stats``), so the
+    whole scoring pass costs ONE corpus scan — the tf aggregation with
+    the term list pruned map-side via a literal isin (the term lists
+    here are probe + mined terms, always ≤ ~20 strings)."""
+    terms = sorted({t for _, t in qpairs})
+    qterms = spark.createDataFrame(
+        sorted(set(qpairs)), "query_id int, term string"
     )
-    df_t = qtoks.groupBy("term").agg(
-        F.count_distinct("doc_id").alias("df")
+    dfr = spark.createDataFrame(
+        [(t, int(df_map.get(t, 0))) for t in terms], "term string, df bigint"
     )
-    tf = qtoks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    totals = spark.createDataFrame(
+        [(st["n_docs"], st["w_total"])], "n_docs bigint, w_total bigint"
+    )
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
     parts = (
-        tf.join(F.broadcast(df_t), "term")
+        tf.join(F.broadcast(dfr), "term")
         .join(F.broadcast(qterms), "term")
         .crossJoin(F.broadcast(totals))
         .select(
@@ -327,89 +366,93 @@ def search_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     query; pass 2 re-runs BM25 with the expanded term sets and emits
     the final top-{BM25_TOPK}.
 
-    Scale shape: both passes inherit BM25's broadcast/prune plan (the
-    expanded term table is still tiny — it just arrives from data via
-    a broadcast semi-prune instead of a compile-time isin). Term
-    mining touches only the feedback docs (queries x R rows joined
-    against the token stream) plus the vocabulary-sized df table. The
-    corpus is scanned, not shuffled wide, in every stage."""
+    Scale shape: both passes inherit BM25's one-scan scoring plan.
+    Term mining touches only the feedback docs (queries x R rows
+    joined against the token stream) plus the candidate-term df
+    aggregation. The corpus is scanned, not shuffled wide, in every
+    stage.
+
+    The expansion terms (queries x {PRF_EXPAND_TERMS} strings) and
+    their document frequencies are statistics of the corpus, so they
+    live in the per-corpus-fingerprint memo next to N/W/probe-df:
+    computed once per session per corpus, with pass 1 + mining run as
+    driver-collected bounded values (queries x E rows — never
+    corpus-sized). This replaced the r8 design's two eager
+    localCheckpoints: the mined-term table no longer exists as a
+    checkpointed DataFrame pinning executor storage for the session
+    (VERDICT r8 item 2), and a memo hit runs ONLY pass 2 — the
+    fingerprint scan plus one tf scan."""
     docs = load_rebalanced(spark, "documents", sf_dir)
-    qterms = spark.createDataFrame(
-        [
-            (qid, term)
-            for qid, text in BM25_QUERIES
-            for term in sorted(set(text.split(" ")))
-        ],
-        "query_id int, term string",
-    )
+    st = _corpus_stats(docs)
+    df_map = _probe_df(docs, st)
     toks = docs.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("dl"),
         F.explode(F.split("text", " ")).alias("term"),
     )
-    totals = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("w_total"),
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_ppm"), F.asc("doc_id")
     )
-    fb = (
-        _bm25_scores(toks, totals, qterms)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= PRF_FEEDBACK_DOCS)
-        .select("query_id", "doc_id")
-    )
-    # Mine expansion terms from the feedback docs: new terms only,
-    # rarity-weighted exactly.
-    cand_tf = (
-        F.broadcast(fb)
-        .join(toks.select("doc_id", "term"), "doc_id")
-        .join(qterms, ["query_id", "term"], "left_anti")
-        .groupBy("query_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        # Queries x feedback-vocab rows (small); referenced twice
-        # (term-set broadcast + scoring join).
-        .localCheckpoint(eager=True)
-    )
-    # Document frequency ONLY for the candidate terms: the broadcast
-    # semi-prune reaches the token stream map-side, so the df shuffle
-    # carries candidate-term postings instead of the WHOLE vocabulary
-    # (df values are identical — pruning the groupBy input to the
-    # terms we keep cannot change any kept term's count).
-    df_cand = (
-        toks.join(F.broadcast(cand_tf.select("term").distinct()), "term")
-        .groupBy("term")
-        .agg(F.count_distinct("doc_id").alias("df"))
-    )
-    cand = (
-        cand_tf.join(df_cand, "term")
-        .crossJoin(F.broadcast(totals.select("n_docs")))
-        .select(
+    if "prf_mined" not in st:
+        qterms = spark.createDataFrame(
+            sorted(set(_PROBE_PAIRS)), "query_id int, term string"
+        )
+        fb = (
+            _bm25_scores(spark, toks, st, _PROBE_PAIRS, df_map)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= PRF_FEEDBACK_DOCS)
+            .select("query_id", "doc_id")
+        )
+        # Mine expansion terms from the feedback docs: new terms only,
+        # rarity-weighted exactly. cand_tf is referenced twice
+        # (term-set broadcast + scoring join) — checkpointed for the
+        # mining job, RELEASED as soon as the mined terms are
+        # collected (the memo stores plain strings/ints, so nothing
+        # pins executor storage past this call).
+        cand_tf = (
+            F.broadcast(fb)
+            .join(toks.select("doc_id", "term"), "doc_id")
+            .join(qterms, ["query_id", "term"], "left_anti")
+            .groupBy("query_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .localCheckpoint(eager=True)
+        )
+        # Document frequency ONLY for the candidate terms: the
+        # broadcast semi-prune reaches the token stream map-side, so
+        # the df shuffle carries candidate-term postings instead of
+        # the WHOLE vocabulary (df values are identical — pruning the
+        # groupBy input to the terms we keep cannot change any kept
+        # term's count).
+        df_cand = (
+            toks.join(
+                F.broadcast(cand_tf.select("term").distinct()), "term"
+            )
+            .groupBy("term")
+            .agg(F.count_distinct("doc_id").alias("df"))
+        )
+        cand = cand_tf.join(df_cand, "term").select(
             "query_id",
             "term",
-            (F.col("tf") * (F.col("n_docs") - F.col("df"))).alias("score"),
+            "df",
+            (F.col("tf") * (st["n_docs"] - F.col("df"))).alias("score"),
         )
-    )
-    wm = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("term")
-    )
-    mined = (
-        cand.withColumn("mrk", F.row_number().over(wm))
-        .filter(F.col("mrk") <= PRF_EXPAND_TERMS)
-        .select("query_id", "term")
-        # Queries x E rows, but its lineage is ALL of pass 1 + mining;
-        # pass 2 references the expanded term table twice (semi-prune
-        # + scoring join), so without this checkpoint the pass-1
-        # corpus scans execute twice more inside pass 2's plan. At
-        # sf0.1 the saving is within jitter (stage scheduling
-        # dominates three tiny corpus passes); at scale each avoided
-        # re-execution is a full corpus scan.
-        .localCheckpoint(eager=True)
-    )
-    qterms2 = qterms.unionByName(mined).distinct()
+        wm = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("term")
+        )
+        mined_rows = (
+            cand.withColumn("mrk", F.row_number().over(wm))
+            .filter(F.col("mrk") <= PRF_EXPAND_TERMS)
+            .select("query_id", "term", "df")
+        ).collect()  # bounded: queries x PRF_EXPAND_TERMS rows
+        cand_tf.unpersist()
+        st["prf_mined"] = sorted(
+            (int(r["query_id"]), r["term"]) for r in mined_rows
+        )
+        st["prf_df"] = {r["term"]: int(r["df"]) for r in mined_rows}
+    qpairs2 = sorted(set(_PROBE_PAIRS) | set(st["prf_mined"]))
+    df2 = {**df_map, **st["prf_df"]}
     return (
-        _bm25_scores(toks, totals, qterms2)
+        _bm25_scores(spark, toks, st, qpairs2, df2)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= BM25_TOPK)
         .select("query_id", "rk", "doc_id", "n_terms_hit", "score_ppm")
@@ -583,6 +626,7 @@ def search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "rel", "ne")
         # Computed once, consumed twice (candidates + pairwise sims):
         # checkpoint so the cosine retrieval subtree runs once.
+        # Released before return — see the result checkpoint below.
         .localCheckpoint(eager=True)
     )
     cand = cand_full.select("query_id", "doc_id", "rel")
@@ -603,7 +647,14 @@ def search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("query_id").alias("query_id"), "a", "b", "sim"
         )
     )
-    return (
+    # Materialize the result (queries x MMR_SELECT rows — tiny) and
+    # RELEASE cand_full's checkpoint blocks before returning: the r8
+    # design left the K x queries x dim candidate frame pinned in
+    # executor storage for the session lifetime (VERDICT r8 item 2 —
+    # the localCheckpoint leak, fixed at the source). The returned
+    # frame is backed by its own one-block checkpoint, so nothing
+    # references cand_full after this line.
+    res = (
         cand.groupBy("query_id")
         .cogroup(sims.groupBy("query_id"))
         .applyInPandas(
@@ -612,7 +663,10 @@ def search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel double, mmr_score double",
         )
         .orderBy("query_id", "sel_rank")
+        .localCheckpoint(eager=True)
     )
+    cand_full.unpersist()
+    return res
 
 
 def _make_mmr_kernel(n_select: int, rel_coef: int, div_coef: int):
