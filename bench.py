@@ -21,7 +21,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from real_time_streaming_system_with_apache_kafka_spark import registry
-from real_time_streaming_system_with_apache_kafka_spark.session import get_session
+from real_time_streaming_system_with_apache_kafka_spark.session import (
+    get_session,
+    sweep_persisted,
+)
 
 # How many of the slowest queries the compact stdout line carries;
 # sized so the line stays well under the harness's ~2000-char tail
@@ -200,19 +203,17 @@ HEADLINE = [
 
 
 def _sweep_persisted(spark) -> None:
-    """Unpersist every cached/localCheckpointed RDD between queries.
+    """Unpersist cached/localCheckpointed RDDs between queries.
 
-    Several operators localCheckpoint intermediates (iterative dedup,
-    BPE vocab, retrieval passes) and those blocks pin executor storage
-    for the session lifetime — across 113 headline queries x 2 reps the
-    accumulation creates the memory/GC pressure behind the in-session
-    elevation of late-list queries (r8: curation_funnel 4.6 s
-    in-session vs 0.88 s isolated on the SAME host). Safe between
-    queries: every registry call rebuilds its plan from scratch, and
-    the quantizer/merge memos store plain Python data, not DataFrames.
+    Delegates to the public library helper (r9: operators now release
+    intra-call checkpoints at exit themselves; the sweep remains as
+    hygiene for the few result-backing blocks — see
+    ``session.sweep_persisted``). RTSS_BENCH_NO_SWEEP=1 disables it,
+    the control arm of the leak experiment.
     """
-    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-        rdd.unpersist(False)
+    if os.environ.get("RTSS_BENCH_NO_SWEEP") == "1":
+        return
+    sweep_persisted(spark)
 
 
 def main() -> None:

@@ -19,6 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from real_time_streaming_system_with_apache_kafka_spark.functions.checkpoints import (
+    checkpoint_result,
+)
 from real_time_streaming_system_with_apache_kafka_spark.functions.exact import (
     ORACLE_REVENUE_SUM,
     davg,
@@ -787,7 +790,9 @@ def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     wd = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return (
+    # Ten-row result: checkpoint it and release the customer-grain
+    # aggregate's blocks at exit (r9 leak fix).
+    return checkpoint_result(
         deciles.withColumn(
             "cum_revenue_cents", F.sum("revenue_cents").over(wd)
         )
@@ -807,7 +812,8 @@ def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " div (n * cast(s0 as decimal(38,0)))"
             ).alias("gini_ppm"),
         )
-        .orderBy("decile")
+        .orderBy("decile"),
+        cust,
     )
 
 

@@ -30,6 +30,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from real_time_streaming_system_with_apache_kafka_spark.functions.checkpoints import (
+    checkpoint_result,
+)
 from real_time_streaming_system_with_apache_kafka_spark.functions.arrays import (
     oracle_cosine,
 )
@@ -535,7 +538,12 @@ def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, "documents", sf_dir)
     edges = _dup_edges(spark, sf_dir)
-    return _cc_labels(docs, edges).select(
+    labels = _cc_labels(docs, edges)
+    # The CC loop ran eagerly inside _cc_labels; the returned spine
+    # join reads only the final round's label checkpoint, so the edge
+    # frame's blocks release here (r9 leak fix).
+    edges.unpersist()
+    return labels.select(
         "doc_id",
         F.col("label").alias("component"),
         (F.col("doc_id") == F.col("label")).alias("is_survivor"),
@@ -562,6 +570,10 @@ def _cc_labels(docs: DataFrame, edges: DataFrame) -> DataFrame:
     labels = verts.select(
         "doc_id", F.col("doc_id").alias("label")
     ).localCheckpoint(eager=True)
+    # Round k's checkpoint is released as soon as round k+1
+    # materializes (r9 leak fix): at most ONE round of labels stays
+    # pinned, and only the final round's blocks back the returned plan.
+    cur_ckpt = labels
     for _ in range(CC_MAX_ITERS):
         nbr_min = (
             edges.join(
@@ -600,6 +612,8 @@ def _cc_labels(docs: DataFrame, edges: DataFrame) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         changed = jumped.filter(F.col("label") != F.col("old_label")).count()
+        cur_ckpt.unpersist()  # prior round: jumped is materialized
+        cur_ckpt = jumped
         labels = jumped.select("doc_id", "label")
         if changed == 0:
             break
@@ -687,14 +701,20 @@ def sample_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return (
+    # Two-row summary: checkpoint it and release the edge frame plus
+    # the labeled corpus checkpoint at exit (r9 leak fix; the CC
+    # loop's final label checkpoint — dup-subgraph-sized — stays with
+    # the helper).
+    return checkpoint_result(
         labeled.groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.count_distinct("component").alias("n_components"),
         )
         .crossJoin(F.broadcast(crossing))
-        .orderBy("split")
+        .orderBy("split"),
+        edges,
+        labeled,
     )
 
 
@@ -794,6 +814,7 @@ def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _dup_edges(spark, sf_dir)
     nodes = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     score = nodes.select(F.col("src").alias("doc_id"), "deg", F.lit(1.0).alias("score"))
+    ckpts: list[DataFrame] = []
     for _iter in range(PR_ITERS):
         contribs = edges.join(
             score.select(F.col("doc_id").alias("src"), "deg", "score"), "src"
@@ -829,10 +850,15 @@ def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             # every-2 keeps plans bounded at the same asymptotic cost
             # (measured ~0.6 s/round saved at sf0.1).
             score = score.localCheckpoint(eager=True)
-    return (
+            ckpts.append(score)
+    # Top-100 result: checkpoint it and release the edge frame plus
+    # every round checkpoint at exit (r9 leak fix).
+    return checkpoint_result(
         score.select("doc_id", F.col("deg").alias("n_neighbors"), "score")
         .orderBy(F.col("score").desc(), "doc_id")
-        .limit(100)
+        .limit(100),
+        edges,
+        *ckpts,
     )
 
 
@@ -887,10 +913,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
     tris = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
     members = tris.select(F.explode(F.array("u", "x", "y")).alias("doc_id"))
-    return (
+    # Per-doc-count result (dup-graph-sized): checkpoint it and release
+    # the edge + orientation blocks at exit (r9 leak fix).
+    return checkpoint_result(
         members.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
-        .orderBy(F.col("n_triangles").desc(), "doc_id")
+        .orderBy(F.col("n_triangles").desc(), "doc_id"),
+        oriented,
+        edges,
     )
 
 
@@ -1040,7 +1070,10 @@ def _verified_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ss.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = ss.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (
+    # Candidate-pair-sized triples: checkpoint them and release the
+    # corpus shingle-set blocks at exit (r9 leak fix) — both consumers
+    # aggregate these triples anyway.
+    return checkpoint_result(
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
@@ -1050,7 +1083,8 @@ def _verified_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_common.alias("n_common"),
             F.size("sh_a").alias("n_a"),
             F.size("sh_b").alias("n_b"),
-        )
+        ),
+        ss,
     )
 
 
@@ -1386,6 +1420,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("lbl")
     )
+    ckpts: list[DataFrame] = []
     for _round in range(LPA_ITERS):
         census = (
             edges.join(
@@ -1403,9 +1438,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lbl")
             .localCheckpoint(eager=False)
         )
-    return labels.select(
-        "doc_id", F.col("lbl").alias("community")
-    ).orderBy("doc_id")
+        ckpts.append(labels)
+    # Dup-graph-node-sized result: checkpoint it and release the edge
+    # frame plus every round's label checkpoint at exit (r9 leak fix —
+    # LPA_ITERS rounds pinned -> one result block).
+    return checkpoint_result(
+        labels.select("doc_id", F.col("lbl").alias("community")).orderBy(
+            "doc_id"
+        ),
+        edges,
+        *ckpts,
+    )
 
 
 WIN_K = 3  # winnowing: word k-gram size
@@ -1536,6 +1579,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _dup_edges(spark, sf_dir)
     alive = edges.select(F.col("src").alias("doc_id")).distinct()
     result = alive.select("doc_id", F.lit(0).alias("peeled_round"))
+    ckpts: list[DataFrame] = []
     for rnd in range(1, KCORE_ROUNDS + 1):
         deg = (
             edges.join(
@@ -1559,11 +1603,19 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("peeled_round"),
         )
         alive = survivors.localCheckpoint(eager=False)
-    return result.select(
-        "doc_id",
-        "peeled_round",
-        (F.col("peeled_round") == 0).alias("in_core"),
-    ).orderBy("doc_id")
+        ckpts.append(alive)
+    # Dup-graph-node-sized result: checkpoint it and release the edge
+    # frame plus every round's survivor checkpoint at exit (r9 leak
+    # fix — KCORE_ROUNDS rounds pinned -> one result block).
+    return checkpoint_result(
+        result.select(
+            "doc_id",
+            "peeled_round",
+            (F.col("peeled_round") == 0).alias("in_core"),
+        ).orderBy("doc_id"),
+        edges,
+        *ckpts,
+    )
 
 
 ER_ADJ = "red,blue,small,large,old,new,hot,cold"

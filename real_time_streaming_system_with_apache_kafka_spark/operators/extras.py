@@ -618,6 +618,7 @@ def stats_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mad_cents bigint, n_outliers bigint, outlier_ppm bigint"
     )
     if not bins1:  # empty fact table: no groups, empty result
+        hist.unpersist()
         return spark.createDataFrame([], out_schema)
     n_by_g = {g: sum(h.values()) for g, h in bins1.items()}
     k_by_g = {g: (n + 1) // 2 for g, n in n_by_g.items()}
@@ -667,6 +668,10 @@ def stats_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             (g, n, med[g], mad, n_out, n_out * 1_000_000 // n)
         )
+    # The histogram was consumed entirely by the driver-side rank
+    # walks above; the returned frame is driver-created, so release
+    # the checkpoint blocks at exit (r9 leak fix).
+    hist.unpersist()
     return spark.createDataFrame(rows, out_schema).orderBy("l_returnflag")
 
 

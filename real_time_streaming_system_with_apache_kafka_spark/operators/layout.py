@@ -42,6 +42,9 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from real_time_streaming_system_with_apache_kafka_spark.functions.checkpoints import (
+    checkpoint_result,
+)
 from real_time_streaming_system_with_apache_kafka_spark.functions.exact import (
     ORACLE_REVENUE_SUM,
     revenue_dec,
@@ -431,7 +434,9 @@ def layout_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = per_probe[0]
     for df in per_probe[1:]:
         out = out.unionByName(df)
-    return out.orderBy("probe_id")
+    # Probe-count-sized result: checkpoint it and release the zone-map
+    # metadata blocks at exit (r9 leak fix).
+    return checkpoint_result(out.orderBy("probe_id"), files)
 
 
 def _zonemap_oracle_sql() -> str:

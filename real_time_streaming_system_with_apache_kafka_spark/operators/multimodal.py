@@ -24,6 +24,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from real_time_streaming_system_with_apache_kafka_spark.functions.checkpoints import (
+    checkpoint_result,
+)
 from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
 
 DECODE_SCHEMA = (
@@ -391,14 +394,17 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return (
+    # Near-dup-pairs result (small): checkpoint it and release the
+    # corpus hash-table blocks at exit (r9 leak fix).
+    return checkpoint_result(
         cand.select(
             "doc_a",
             "doc_b",
             F.expr("bit_count(ph_a ^ ph_b)").alias("hamming"),
         )
         .filter(F.col("hamming") <= PH_HAMMING)
-        .orderBy("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b"),
+        ph,
     )
 
 

@@ -18,6 +18,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from real_time_streaming_system_with_apache_kafka_spark.functions.checkpoints import (
+    checkpoint_result,
+)
 from real_time_streaming_system_with_apache_kafka_spark.sources.tables import load
 
 HOLDOUT_PCT = 10
@@ -545,7 +548,9 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min("cents").alias("argmax_cents"))
     )
-    return (
+    # One-row result: checkpoint it and release the value-distribution-
+    # sized diffs frame at exit (r9 leak fix).
+    return checkpoint_result(
         F.broadcast(stats)
         .crossJoin(arg)
         .select(
@@ -558,7 +563,8 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " as bigint)"
             ).alias("d_ppm"),
             "argmax_cents",
-        )
+        ),
+        diffs,
     )
 
 

@@ -23,6 +23,9 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from real_time_streaming_system_with_apache_kafka_spark.functions.checkpoints import (
+    checkpoint_result,
+)
 from real_time_streaming_system_with_apache_kafka_spark.functions.arrays import (
     cosine,
     oracle_cosine,
@@ -359,8 +362,14 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec0,
         lambda acc, t: acc + t,
     )
-    return centered.select(
-        "vec_id", "label", proj.cast("string").alias("proj_units")
+    # The projection is ~10x narrower per row than the centered matrix
+    # (3 scalar columns vs a dim-wide long array): checkpoint it and
+    # release the matrix blocks at exit (r9 leak fix).
+    return checkpoint_result(
+        centered.select(
+            "vec_id", "label", proj.cast("string").alias("proj_units")
+        ),
+        centered,
     )
 
 
@@ -1527,7 +1536,11 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("adist", -F.expr(score))
     )
-    return _adc_shortlist_rerank(emb, scored, SQ_SHORTLIST)
+    # Top-K-per-query result: checkpoint it and release the quantized
+    # corpus blocks at exit (r9 leak fix).
+    return checkpoint_result(
+        _adc_shortlist_rerank(emb, scored, SQ_SHORTLIST), quant
+    )
 
 
 # Shared normalize-then-quantize CTE block (q1t + qn): the SQL twin

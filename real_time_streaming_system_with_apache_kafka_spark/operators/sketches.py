@@ -40,6 +40,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from real_time_streaming_system_with_apache_kafka_spark.functions.checkpoints import (
+    checkpoint_result,
+)
 from real_time_streaming_system_with_apache_kafka_spark.functions.ngrams import (
     regex_word_ngrams,
 )
@@ -508,7 +511,9 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_exact_ppm"),
         )
     )
-    return (
+    # Source-pairs-sized result: checkpoint it and release the sketch
+    # blocks at exit (r9 leak fix).
+    return checkpoint_result(
         est.join(exact, ["source_a", "source_b"])
         .select(
             "source_a",
@@ -521,7 +526,8 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "matches * 1000000 div ku - jaccard_exact_ppm"
             ).alias("err_ppm"),
         )
-        .orderBy("source_a", "source_b")
+        .orderBy("source_a", "source_b"),
+        sketch,
     )
 
 

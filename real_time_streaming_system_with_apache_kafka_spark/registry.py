@@ -39,83 +39,81 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (array<double> output -> unhashable ndarray; CORRECTNESS_r07
 # spark_rows: null) — the one entry with zero driver evidence.
 #
-# Round-8 rotation: (a) the three entries upgraded this round get
-# fresh signatures — mm_feature_extract (array output replaced with
-# five named double columns + a full DuckDB oracle) and the two
-# approx-sketch entries (raw estimates replaced with exact values +
-# deterministic tolerance booleans, both now oracled — nothing in the
-# registry is rows-only any more); (b) the remaining 44 slots re-sign
-# the stalest signatures: the r3-signed dedup/similarity/text/
-# timeseries/sampling block, untouched by any window since
-# (w1_tumbling_window and w6_sliding_window yield their slots — their
-# §2 components keep the pinned w1_minute_activity sentinel, the
-# streaming pytest suite, and the stream-soak artifacts as coverage).
-# If every r8 row signs, cumulative distinct-signed reaches 244/244
-# for real.
+# Round-8 rotation signed all 50 of its rows (CORRECTNESS_r08: 50/50
+# hash-green, zero err — the ledger closed at 244/244 cumulatively
+# distinct-signed).
+#
+# Round-9 rotation: (a) every entry whose PLAN or SCHEMA changed this
+# round gets a fresh signature — approx_hll_partials (merge tolerance
+# re-derived from the estimator RSE; boolean column renamed
+# merge_within_rse), mm_feature_extract (empty-doc-safe oracle), the
+# four retrieval entries (corpus-statistics memo replaced the totals/
+# df aggregations and the PRF mining checkpoints), and the sixteen
+# operators whose localCheckpoint leak was fixed at the source
+# (checkpoint_result / exit unpersist — values identical, plans not);
+# (b) the remaining 25 slots take the stalest signatures: the whole
+# r2-signed cohort (8), both r3-signed stream windows, and the first
+# 15 of the 46-entry r4 cohort (TPC-H q2-q16). The r4 remainder
+# (q17-q22 + datamix/skew/layout/extras, 31 entries) is the r10
+# cohort — registry history above tracks it.
 _PRIORITY: list[str] = [
     # §2 sentinels — pinned every round.
     "w1_minute_activity",
     "q0_snapshot_topk",
     "j1_star_join_revenue",
-    # Upgraded this round — first-ever hash-grade signatures.
-    "mm_feature_extract",
+    # Changed this round: schema/contract updates.
     "approx_hll_partials",
-    "approx_aggregates",
-    # r3-signed re-signs: dedup family.
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
+    "mm_feature_extract",
+    # Changed this round: retrieval corpus-statistics memo.
+    "search_bm25_topk",
+    "search_prf_expand",
+    "search_hybrid_rrf",
+    "search_mmr_diversify",
+    # Changed this round: checkpoint-release at operator exit.
+    "stats_ks_drift",
+    "sketch_kmv_overlap",
+    "embed_pca_power",
+    "sim_sq8_topk",
+    "mm_phash_dedup",
+    "revenue_concentration_gini",
+    "layout_zonemap_skipping",
+    "stats_robust_mad",
     "dedup_cc_survivors",
-    # Similarity family.
-    "sim_bruteforce_topk",
-    "sim_ivf_topk",
-    "sim_lsh_topk",
-    "sim_range_search",
-    # Text / curation family.
-    "corpus_curation_pipeline",
-    "text_stats_quality",
-    "text_langid",
-    "text_langid_confusion",
-    "text_fingerprint",
-    "text_token_stats_by_lang",
-    "decontaminate_holdout",
-    "pack_sequences",
-    "text_tfidf_terms",
-    "text_pii_redact",
-    "tokens_top_terms",
-    "text_repetition_signals",
-    # Sampling / profiling / splits.
-    "profile_length_histogram",
-    "split_train_holdout",
-    "sample_events_deterministic",
-    "agg_distinct_twophase",
-    "sample_stratified_balanced",
-    # Behavioral analytics.
-    "funnel_conversion",
-    "cohort_retention",
-    "sessionize_events",
-    "scd2_user_state",
-    # Time series.
-    "ts_resample_locf",
-    "ts_ohlc_bars",
-    "ts_gap_stats",
-    "anomaly_zscore",
-    "ts_ewma_exact",
-    # Window functions.
-    "wf_range_frame",
-    "wf_rank_family",
-    # Multimodal (re-sign beside the mm_feature_extract fix).
-    "mm_decode_metadata",
-    "mm_frame_sample",
-    # Collection/map scalar functions (r2 red rows, r3 green — keep
-    # their stringified representations under driver observation).
-    "f_map_funcs",
-    "f_array_funcs",
-    "agg_collections",
-    # Batch analytics headline.
-    "q1_pricing_summary",
+    "sample_cluster_safe_split",
+    "graph_pagerank_dupgraph",
+    "graph_triangle_count",
+    "graph_label_propagation",
+    "graph_kcore",
+    "dedup_lsh_verified",
+    "dedup_containment",
+    # Stalest signatures: the full r2-signed cohort.
+    "agg_distinct_count",
+    "agg_percentiles",
+    "j2_semi_join",
+    "j3_anti_join",
+    "j5_topk_per_group",
+    "j6_outer_join_coverage",
+    "setop_intersect",
+    "setop_except",
+    # r3-signed stream windows (yielded their r8 slots; stalest now).
+    "w1_tumbling_window",
+    "w6_sliding_window",
+    # r4-signed cohort, part 1 of 2: TPC-H q2-q16.
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_count",
 ]
 
 _MODULES: list[str] = [

@@ -40,7 +40,11 @@ def enrich_trades(trades: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
-def join_breaks_to_settlements(trades: DataFrame, max_lag: str = "10 minutes") -> DataFrame:
+def join_breaks_to_settlements(
+    trades: DataFrame,
+    max_lag: str = "10 minutes",
+    watermark: str = "2 minutes",
+) -> DataFrame:
     """W7 stream-stream interval join: each break event matched to
     settled trades of the same counterparty within ``max_lag`` after
     it — the "did the break clear quickly" correlation.
@@ -58,9 +62,18 @@ def join_breaks_to_settlements(trades: DataFrame, max_lag: str = "10 minutes") -
     for it). The state knobs that actually work are (a) the range
     predicate — break-side buffers hold ``max_lag + delay`` of event
     time, settle-side ``delay`` — and (b) the watermark delay itself.
-    Measured r7/r8: at 9-10k rows/s the buffers plateau in the
-    single-digit thousands of rows (KBs of state); the 10k divergence
-    was CPU, not state — see STREAM_SOAK_r8.json's join-lag A/B.
+
+    The per-batch join cost is STATE-DEPENDENT (probe + eviction scale
+    with buffered rows), so the range predicate is a THROUGHPUT knob,
+    not just a memory knob — the r8 join-lag A/B measured it directly:
+    with max_lag=10m the 10k rows/s run death-spirals (state ramps
+    16.6k -> 67.5k rows while batch durations climb 8 -> 114 s);
+    cutting the event-time horizon 12 -> 4 min (max_lag=2m) bounds the
+    SAME load with a 6.5-6.8k-row plateau and batches that recover
+    from transients (STREAM_SOAK_r8_ctl/_tightlag.json). Sizing rule:
+    budget the per-box rate against (max_lag + delay) x match-key
+    cardinality, and tighten the business predicate before adding
+    boxes.
     """
     breaks = (
         trades.filter(F.col("status").contains("Break"))
@@ -69,7 +82,7 @@ def join_breaks_to_settlements(trades: DataFrame, max_lag: str = "10 minutes") -
             F.col("counterparty").alias("break_cpty"),
             F.col("timestamp").alias("break_ts"),
         )
-        .withWatermark("break_ts", "2 minutes")
+        .withWatermark("break_ts", watermark)
     )
     settled = (
         trades.filter(F.col("status") == "Settled")
@@ -78,7 +91,7 @@ def join_breaks_to_settlements(trades: DataFrame, max_lag: str = "10 minutes") -
             F.col("counterparty").alias("settle_cpty"),
             F.col("timestamp").alias("settle_ts"),
         )
-        .withWatermark("settle_ts", "2 minutes")
+        .withWatermark("settle_ts", watermark)
     )
     return breaks.join(
         settled,

@@ -237,6 +237,34 @@ def run_bench(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
+def check_sketch_tolerances(spark, sf_dir: str) -> dict:
+    """Verify the approx-sketch tolerance contracts AT SCALE (r9,
+    VERDICT item 6): `approx_hll_partials` / `approx_aggregates` emit
+    deterministic within-tolerance booleans that the sf0.01 driver
+    oracle pins true — but sketch error grows with cardinality, so the
+    booleans must also be checked at sf1/sf10 where the certification
+    gate never runs. Returns {column: all_true} per entry; any False
+    is a contract violation worth failing the soak over."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import analytics
+
+    out: dict = {}
+    for name, fn in (
+        ("approx_hll_partials", analytics.approx_hll_partials),
+        ("approx_aggregates", analytics.approx_aggregates),
+    ):
+        rows = fn(spark, sf_dir).collect()
+        bools = {
+            f: all(bool(r[f]) for r in rows)
+            for f in rows[0].asDict()
+            if isinstance(rows[0][f], bool)
+        }
+        out[name] = bools
+        bad = [f for f, ok in bools.items() if not ok]
+        if bad:
+            print(f"  !! {name}: tolerance violated at {sf_dir}: {bad}", flush=True)
+    return out
+
+
 def main() -> None:
     scales = [1, 10]
     for arg in sys.argv[1:]:
@@ -259,6 +287,10 @@ def main() -> None:
         cpu0 = _proc_stat()
         results[sf] = run_bench(spark, d)
         noise[sf] = _steal_summary(cpu0, _proc_stat())
+    tolerances = {}
+    for sf, d in sorted(dirs.items()):
+        print(f"sketch tolerance check @ sf{sf} ...", flush=True)
+        tolerances[sf] = check_sketch_tolerances(spark, d)
     sfs = sorted(results)
     report = {"metric": "scale_soak", "scales": sfs}
     for sf in sfs:
@@ -267,6 +299,7 @@ def main() -> None:
         # a shared-tenant host include whatever the host steals.
         report[f"host_noise_sf{sf}"] = noise.get(sf)
         report[f"queries_sf{sf}"] = results[sf]
+        report[f"sketch_tolerances_sf{sf}"] = tolerances.get(sf)
     for lo, hi in zip(sfs, sfs[1:]):
         report[f"ratio_sf{hi}_over_sf{lo}"] = {
             k: round(results[hi][k] / results[lo][k], 2)

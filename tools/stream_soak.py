@@ -98,6 +98,13 @@ def main() -> None:
         "multipleWatermarkPolicy=min collapses the delays); break-side "
         "buffers hold join-lag + watermark of event time",
     )
+    ap.add_argument(
+        "--join-watermark", default="2 minutes",
+        help="watermark delay on BOTH ssjoin sides (the other state "
+        "knob enrich.py names: break-side buffers hold join-lag + "
+        "THIS of event time; per-side asymmetry is useless under "
+        "multipleWatermarkPolicy=min, so one value covers both)",
+    )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -123,7 +130,9 @@ def main() -> None:
     per_minute = windowed.minute_activity_stream(deduped, watermark=None)
     hll = windowed.hll_distinct_stream(mk_stream())
     breaks = windowed.break_alerts(mk_stream())
-    ssjoin = enrich.join_breaks_to_settlements(mk_stream(), max_lag=args.join_lag)
+    ssjoin = enrich.join_breaks_to_settlements(
+        mk_stream(), max_lag=args.join_lag, watermark=args.join_watermark
+    )
 
     def start(name: str, df, mode: str):
         ckpt = tempfile.mkdtemp(prefix=f"rtss_soak_ckpt_{name}_")
