@@ -52,6 +52,9 @@ from __future__ import annotations
 
 import math
 
+from real_time_streaming_system_with_apache_kafka_spark.functions.checkpoints import (
+    release_checkpoint,
+)
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -212,7 +215,7 @@ def learn_block_quantizer(
         )
         learned = {r.cell: list(map(float, r.centroid)) for r in rows}
         cents = [learned.get(i, cents[i]) for i in range(k)]
-    train.unpersist()  # release the localCheckpoint blocks post-fit
+    release_checkpoint(train)  # release the localCheckpoint blocks post-fit
     if memo_key is not None:
         # Evict stale fingerprints for the same corpus key (a rewritten
         # path would otherwise accumulate one dead entry per rewrite).

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from real_time_streaming_system_with_apache_kafka_spark.functions.checkpoints import (
     checkpoint_result,
+    release_checkpoint,
 )
 from real_time_streaming_system_with_apache_kafka_spark.functions.arrays import (
     oracle_cosine,
@@ -542,7 +543,7 @@ def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The CC loop ran eagerly inside _cc_labels; the returned spine
     # join reads only the final round's label checkpoint, so the edge
     # frame's blocks release here (r9 leak fix).
-    edges.unpersist()
+    release_checkpoint(edges)
     return labels.select(
         "doc_id",
         F.col("label").alias("component"),
@@ -612,7 +613,7 @@ def _cc_labels(docs: DataFrame, edges: DataFrame) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         changed = jumped.filter(F.col("label") != F.col("old_label")).count()
-        cur_ckpt.unpersist()  # prior round: jumped is materialized
+        release_checkpoint(cur_ckpt)  # prior round: jumped is materialized
         cur_ckpt = jumped
         labels = jumped.select("doc_id", "label")
         if changed == 0:

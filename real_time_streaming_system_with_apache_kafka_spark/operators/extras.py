@@ -12,6 +12,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from real_time_streaming_system_with_apache_kafka_spark.functions.checkpoints import (
+    release_checkpoint,
+)
 from real_time_streaming_system_with_apache_kafka_spark.functions.exact import dsum, oracle_dsum
 from real_time_streaming_system_with_apache_kafka_spark.sources.tables import (
     load,
@@ -618,7 +621,7 @@ def stats_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mad_cents bigint, n_outliers bigint, outlier_ppm bigint"
     )
     if not bins1:  # empty fact table: no groups, empty result
-        hist.unpersist()
+        release_checkpoint(hist)
         return spark.createDataFrame([], out_schema)
     n_by_g = {g: sum(h.values()) for g, h in bins1.items()}
     k_by_g = {g: (n + 1) // 2 for g, n in n_by_g.items()}
@@ -671,7 +674,7 @@ def stats_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The histogram was consumed entirely by the driver-side rank
     # walks above; the returned frame is driver-created, so release
     # the checkpoint blocks at exit (r9 leak fix).
-    hist.unpersist()
+    release_checkpoint(hist)
     return spark.createDataFrame(rows, out_schema).orderBy("l_returnflag")
 
 

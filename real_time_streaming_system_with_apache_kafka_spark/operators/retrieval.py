@@ -38,6 +38,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from real_time_streaming_system_with_apache_kafka_spark.functions.checkpoints import (
+    release_checkpoint,
+)
 from real_time_streaming_system_with_apache_kafka_spark.functions.arrays import (
     cosine,
     oracle_cosine,
@@ -444,7 +447,7 @@ def search_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("mrk") <= PRF_EXPAND_TERMS)
             .select("query_id", "term", "df")
         ).collect()  # bounded: queries x PRF_EXPAND_TERMS rows
-        cand_tf.unpersist()
+        release_checkpoint(cand_tf)
         st["prf_mined"] = sorted(
             (int(r["query_id"]), r["term"]) for r in mined_rows
         )
@@ -665,7 +668,7 @@ def search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("query_id", "sel_rank")
         .localCheckpoint(eager=True)
     )
-    cand_full.unpersist()
+    release_checkpoint(cand_full)
     return res
 
 

@@ -14,6 +14,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from real_time_streaming_system_with_apache_kafka_spark.functions.checkpoints import (
+    release_checkpoint,
+)
 from real_time_streaming_system_with_apache_kafka_spark.sources.tables import (
     load,
     load_rebalanced,
@@ -391,7 +394,7 @@ def _learn_merges_for_docs(
         try:
             _MERGE_CACHE[key] = _learn_merges_raw(vocab, rounds)
         finally:
-            vocab.unpersist()  # release the localCheckpoint blocks
+            release_checkpoint(vocab)  # release the localCheckpoint blocks
     return _MERGE_CACHE[key]
 
 
