@@ -45,6 +45,12 @@ def release_checkpoint(df: DataFrame) -> None:
         df.unpersist()
 
 
+# Plan tests flip this to True (monkeypatch) to inspect the REAL
+# computation plan: a checkpointed result explains itself as a bare
+# `Scan ExistingRDD`, hiding the joins/windows the test pins.
+PLAN_INSPECTION_MODE = False
+
+
 def checkpoint_result(result: DataFrame, *released: DataFrame) -> DataFrame:
     """Eagerly checkpoint a SMALL result frame, then release the
     checkpoint blocks of the intermediates it was derived from.
@@ -53,7 +59,45 @@ def checkpoint_result(result: DataFrame, *released: DataFrame) -> DataFrame:
     release (lineage is truncated — released blocks are gone, not
     recomputable). Returns the checkpointed result.
     """
+    if PLAN_INSPECTION_MODE:
+        return result
     res = result.localCheckpoint(eager=True)
     for df in released:
         release_checkpoint(df)
     return res
+
+
+# --- protected checkpoints -------------------------------------------------
+# Some checkpointed frames are deliberately session-lived MODELS, not
+# per-call intermediates: the memoized dup-graph edge set and CC labels
+# (operators/dedup.py) are corpus statistics shared by six operators —
+# production would materialize them as tables; in-session they live as
+# protected checkpoints. ``session.sweep_persisted`` must not free them
+# (a swept memo frame would be a stale handle — localCheckpoint lineage
+# is truncated, so the next reuse FAILS rather than recomputes).
+
+_PROTECTED_RDD_IDS: set[int] = set()
+
+
+def _ckpt_rdd(df: DataFrame):
+    plan = df._jdf.queryExecution().analyzed()
+    if plan.getClass().getSimpleName() != "LogicalRDD":
+        raise ValueError("protect_checkpoint: frame is not a localCheckpoint")
+    return plan.rdd()
+
+
+def protect_checkpoint(df: DataFrame) -> DataFrame:
+    """Mark a checkpointed frame's blocks as sweep-exempt."""
+    _PROTECTED_RDD_IDS.add(_ckpt_rdd(df).id())
+    return df
+
+
+def unprotect_and_release(df: DataFrame) -> None:
+    """Evict a protected frame: drop the exemption, free the blocks."""
+    rdd = _ckpt_rdd(df)
+    _PROTECTED_RDD_IDS.discard(rdd.id())
+    rdd.unpersist(False)
+
+
+def protected_rdd_ids() -> set[int]:
+    return set(_PROTECTED_RDD_IDS)

@@ -87,9 +87,22 @@ def sweep_persisted(spark: SparkSession) -> int:
     still hold an unconsumed checkpointed result — localCheckpoint
     truncates lineage, so its blocks are unrecoverable once released.
 
+    Session-lived model frames (the memoized dup-graph edge set / CC
+    labels — see functions/checkpoints.py) are sweep-exempt: freeing a
+    memoized checkpoint would leave a stale handle whose next reuse
+    FAILS (truncated lineage cannot recompute).
+
     Returns the number of RDDs unpersisted (async, non-blocking).
     """
-    rdds = list(spark.sparkContext._jsc.getPersistentRDDs().values())
-    for rdd in rdds:
+    from real_time_streaming_system_with_apache_kafka_spark.functions.checkpoints import (
+        protected_rdd_ids,
+    )
+
+    keep = protected_rdd_ids()
+    n = 0
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        if rdd.id() in keep:
+            continue
         rdd.unpersist(False)
-    return len(rdds)
+        n += 1
+    return n

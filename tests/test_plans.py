@@ -815,13 +815,18 @@ def test_hll_one_corpus_aggregate_registers_broadcast(spark, sf_dir):
     assert plan.count("Scan parquet  (") <= 2
 
 
-def test_kmv_sketch_materialized_once_pairs_sketch_sized(spark, sf_dir):
+def test_kmv_sketch_materialized_once_pairs_sketch_sized(spark, sf_dir, monkeypatch):
     """The KMV sketch is materialized ONCE (localCheckpoint — every
     pair operation reads sketch rows, not the corpus); per-pair
     top-K runs through WindowGroupLimit; the only corpus-sized scans
     are the exact-Jaccard audit side (profile_source_overlap's
     accepted shape)."""
     from real_time_streaming_system_with_apache_kafka_spark.operators import sketches
+    from real_time_streaming_system_with_apache_kafka_spark.functions import checkpoints
+
+    # Inspect the computation plan, not the checkpointed result's
+    # `Scan ExistingRDD` (r9: results materialize + release at exit).
+    monkeypatch.setattr(checkpoints, "PLAN_INSPECTION_MODE", True)
 
     plan = _plan(sketches.sketch_kmv_overlap(spark, sf_dir))
     assert "Scan ExistingRDD" in plan  # checkpointed sketch reuse
@@ -845,7 +850,7 @@ def test_semantic_decon_bench_broadcasts_probe_fanout(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_sq8_index_path_pure_codegen(spark, sf_dir):
+def test_sq8_index_path_pure_codegen(spark, sf_dir, monkeypatch):
     """Unlike PQ's argmin encode, the SQ8 INDEX path (normalize,
     quantize, encode, asymmetric score) is JVM codegen — the only
     Python stage in the whole plan is the shared exact-cosine rerank
@@ -855,6 +860,11 @@ def test_sq8_index_path_pure_codegen(spark, sf_dir):
     import re
 
     from real_time_streaming_system_with_apache_kafka_spark.operators import similarity
+    from real_time_streaming_system_with_apache_kafka_spark.functions import checkpoints
+
+    # Inspect the computation plan, not the checkpointed result's
+    # `Scan ExistingRDD` (r9: results materialize + release at exit).
+    monkeypatch.setattr(checkpoints, "PLAN_INSPECTION_MODE", True)
 
     plan = _plan(similarity.sim_sq8_topk(spark, sf_dir))
     arrow_ids = set(re.findall(r"ArrowEvalPython \((\d+)\)", plan))
@@ -930,12 +940,17 @@ def test_rolling_actives_contribution_explode_no_self_join(spark, sf_dir):
     assert plan.count("Scan parquet  (") <= 3  # dau + wau + mau passes
 
 
-def test_gini_two_phase_rank_no_global_sort(spark, sf_dir):
+def test_gini_two_phase_rank_no_global_sort(spark, sf_dir, monkeypatch):
     """The spend ranking is the bucketed two-phase rank: within-bucket
     windows partitioned by the value decile, never an unpartitioned
     row_number over the whole customer table (the 10-row decile
     cumulative window is fine — it is decile-sized, not corpus-sized)."""
     from real_time_streaming_system_with_apache_kafka_spark.operators import analytics
+    from real_time_streaming_system_with_apache_kafka_spark.functions import checkpoints
+
+    # Inspect the computation plan, not the checkpointed result's
+    # `Scan ExistingRDD` (r9: results materialize + release at exit).
+    monkeypatch.setattr(checkpoints, "PLAN_INSPECTION_MODE", True)
 
     plan = _plan(analytics.revenue_concentration_gini(spark, sf_dir))
     assert "[bucket" in plan  # within-bucket rank window partitioned

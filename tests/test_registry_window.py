@@ -17,66 +17,54 @@ WINDOW = 50
 # The three §2 sentinels stay driver-signed every round (VERDICT r2 #3).
 SENTINELS = ["w1_minute_activity", "q0_snapshot_topk", "j1_star_join_revenue"]
 
-# Round-8 rotation: the three entries upgraded to hash-grade this
-# round (mm_feature_extract's array output replaced with scalar
-# feature columns; the approx-sketch pair's raw estimates replaced
-# with exact values + tolerance booleans — all three newly oracled),
-# plus the stalest block: 44 of the 46 entries signed in r3 and never
-# re-signed since. If every row signs, cumulative distinct-signed
-# reaches 244/244 (r7 closed at 243 — mm_feature_extract crashed the
-# driver's canonicalizer).
+# Round-9 rotation: every entry whose plan or schema changed this
+# round (the approx-sketch RSE re-derivation, the empty-doc-safe
+# mm_feature_extract oracle, the retrieval corpus-statistics memo, and
+# the checkpoint-release family), plus the stalest signatures — the
+# whole r2-signed cohort, both r3-signed stream windows, and TPC-H
+# q2-q16 from the r4 cohort (q17-q22 + datamix/skew/layout/extras are
+# the r10 cohort; registry.py documents the history).
 ROTATED_SUITES = {
-    "upgraded_this_round": [
-        "mm_feature_extract",
+    "changed_this_round": [
         "approx_hll_partials",
-        "approx_aggregates",
-    ],
-    "r3_resign": [
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "dedup_embedding_cosine",
+        "mm_feature_extract",
+        "search_bm25_topk",
+        "search_prf_expand",
+        "search_hybrid_rrf",
+        "search_mmr_diversify",
+        "stats_ks_drift",
+        "sketch_kmv_overlap",
+        "embed_pca_power",
+        "sim_sq8_topk",
+        "mm_phash_dedup",
+        "revenue_concentration_gini",
+        "layout_zonemap_skipping",
+        "stats_robust_mad",
         "dedup_cc_survivors",
-        "sim_bruteforce_topk",
-        "sim_ivf_topk",
-        "sim_lsh_topk",
-        "sim_range_search",
-        "corpus_curation_pipeline",
-        "text_stats_quality",
-        "text_langid",
-        "text_langid_confusion",
-        "text_fingerprint",
-        "text_token_stats_by_lang",
-        "decontaminate_holdout",
-        "pack_sequences",
-        "text_tfidf_terms",
-        "text_pii_redact",
-        "tokens_top_terms",
-        "text_repetition_signals",
-        "profile_length_histogram",
-        "split_train_holdout",
-        "sample_events_deterministic",
-        "agg_distinct_twophase",
-        "sample_stratified_balanced",
-        "funnel_conversion",
-        "cohort_retention",
-        "sessionize_events",
-        "scd2_user_state",
-        "ts_resample_locf",
-        "ts_ohlc_bars",
-        "ts_gap_stats",
-        "anomaly_zscore",
-        "ts_ewma_exact",
-        "wf_range_frame",
-        "wf_rank_family",
-        "mm_decode_metadata",
-        "mm_frame_sample",
-        "f_map_funcs",
-        "f_array_funcs",
-        "agg_collections",
-        "q1_pricing_summary",
+        "sample_cluster_safe_split",
+        "graph_pagerank_dupgraph",
+        "graph_triangle_count",
+        "graph_label_propagation",
+        "graph_kcore",
+        "dedup_lsh_verified",
+        "dedup_containment",
     ],
+    "r2_resign": [
+        "agg_distinct_count",
+        "agg_percentiles",
+        "j2_semi_join",
+        "j3_anti_join",
+        "j5_topk_per_group",
+        "j6_outer_join_coverage",
+        "setop_intersect",
+        "setop_except",
+    ],
+    "r3_stream_windows": [
+        "w1_tumbling_window",
+        "w6_sliding_window",
+    ],
+    # prefix-matched in the test: TPC-H q2..q16 of the r4 cohort.
+    "tpch": [f"q{i}_" for i in range(2, 17)],
 }
 
 
