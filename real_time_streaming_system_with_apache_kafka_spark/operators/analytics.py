@@ -206,17 +206,52 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the booleans — and therefore the value hash — are stable; the
     DuckDB twin computes the exact side and pins the booleans true.
     approx_count_distinct runs at rsd=0.01 so the 5% tolerance has a
-    wide deterministic margin at every test SF."""
+    wide deterministic margin at every test SF.
+
+    Plan shape (r9 rewrite, found by the sf10 tolerance sweep this
+    operator exists to enable): the r8 form put TWO different-column
+    count_distincts and the exact ``percentile`` in ONE agg — Catalyst
+    plans that as Expand x3 over the whole fact (180M rows at sf10)
+    feeding an ObjectHashAggregate whose percentile buffer holds every
+    value occurrence; it ran >20 min on 60M rows. Now each exact
+    statistic gets its scalable shape: the distinct counts are
+    two-phase (map-side partial distinct, no Expand), and the exact
+    percentiles run over a VALUE HISTOGRAM (groupBy value + count —
+    map-side combinable; ``percentile(v, p, freq)`` interpolates the
+    same result as over raw rows while buffering only distinct values,
+    ~1M not 60M). The approx aggregates share one scan with no
+    distinct rewrite. Four lean column-pruned scans instead of one
+    pathological one; all four subframes are 1-row crossJoin
+    broadcasts. sf10: >400 s (timed out) -> seconds."""
     li = load(spark, "lineitem", sf_dir)
-    a = li.agg(
-        F.count_distinct("l_partkey").alias("n_parts_exact"),
+    parts = (
+        li.select("l_partkey")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_parts_exact"))
+    )
+    orders = (
+        li.select("l_orderkey")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_orders_exact"))
+    )
+    pct = (
+        li.groupBy(F.col("l_extendedprice").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.expr("percentile(v, 0.5D, c)").alias("med_exact"),
+            F.expr("percentile(v, 0.99D, c)").alias("p99_exact"),
+        )
+    )
+    approx = li.agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("ap_parts"),
-        F.count_distinct("l_orderkey").alias("n_orders_exact"),
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("ap_orders"),
-        F.expr("percentile(l_extendedprice, 0.5D)").alias("med_exact"),
         F.percentile_approx("l_extendedprice", 0.5).alias("med_ap"),
-        F.expr("percentile(l_extendedprice, 0.99D)").alias("p99_exact"),
         F.percentile_approx("l_extendedprice", 0.99).alias("p99_ap"),
+    )
+    a = (
+        parts.crossJoin(F.broadcast(orders))
+        .crossJoin(F.broadcast(pct))
+        .crossJoin(F.broadcast(approx))
     )
 
     def within(ap: str, exact: str, tol: float):
