@@ -67,6 +67,17 @@ def checkpoint_result(result: DataFrame, *released: DataFrame) -> DataFrame:
     return res
 
 
+def checkpoint_intermediate(df: DataFrame) -> DataFrame:
+    """Eagerly checkpoint a reused intermediate — except in
+    PLAN_INSPECTION_MODE, where the frame passes through so plan tests
+    can pin the computation ABOVE it (a checkpoint explains itself as
+    a bare `Scan ExistingRDD`). Pair with ``checkpoint_result(result,
+    intermediate)`` so the blocks release at operator exit."""
+    if PLAN_INSPECTION_MODE:
+        return df
+    return df.localCheckpoint(eager=True)
+
+
 # --- protected checkpoints -------------------------------------------------
 # Some checkpointed frames are deliberately session-lived MODELS, not
 # per-call intermediates: the memoized dup-graph edge set and CC labels

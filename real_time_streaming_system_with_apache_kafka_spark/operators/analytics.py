@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_streaming_system_with_apache_kafka_spark.functions.checkpoints import (
+    checkpoint_intermediate,
     checkpoint_result,
 )
 from real_time_streaming_system_with_apache_kafka_spark.functions.exact import (
@@ -489,27 +490,28 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the quadratic danger in pair mining is generating
     pairs corpus-wide; here pairs explode PER DISTINCT BASKET PATTERN,
     not per order (r5): the sorted per-order brand sets (collect_set
-    on the already-distinct basket rows — bounded by lines-per-order,
-    ≤13 in this schema) are first histogrammed by pattern — 55k
-    distinct patterns for 1.5M orders at sf1, a ~27× explode-volume
-    cut — and each exploded pair carries its pattern's order count
-    into a weighted sum. Each order contributes each pair exactly
-    once either way, so the output is identical to the per-order
-    form. One shuffle to baskets, a pattern-grain histogram shuffle,
-    one pair aggregate; brand supports and the order total broadcast
-    back."""
+    dedups brands per order — bounded by lines-per-order, ≤13 in this
+    schema) are first histogrammed by pattern — 55k distinct patterns
+    for 1.5M orders at sf1, a ~27× explode-volume cut — and each
+    exploded pair carries its pattern's order count into a weighted
+    sum. Each order contributes each pair exactly once either way, so
+    the output is identical to the per-order form. The corpus-sized
+    data is touched EXACTLY ONCE (r9: one scan, one shuffle to
+    baskets, one pattern-grain histogram shuffle): per-brand supports
+    (orders containing the brand) and the order total are derived
+    from the checkpointed pattern histogram — sum of n_orders_p over
+    patterns containing the brand, and sum of n_orders_p — instead of
+    re-scanning and re-shuffling lineitem a second and third time."""
     li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
     brands = load(spark, "part", sf_dir).select("p_partkey", "p_brand")
-    b = (
-        li.join(F.broadcast(brands), li.l_partkey == brands.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+    b = li.join(F.broadcast(brands), li.l_partkey == brands.p_partkey).select(
+        "l_orderkey", "p_brand"
     )
     sets = b.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("p_brand")).alias("items")
     )
-    patterns = sets.groupBy("items").agg(
-        F.count(F.lit(1)).alias("n_orders_p")
+    patterns = checkpoint_intermediate(
+        sets.groupBy("items").agg(F.count(F.lit(1)).alias("n_orders_p"))
     )
     pairs = (
         patterns.select(
@@ -526,11 +528,15 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("brand_a", "brand_b")
         .agg(F.sum("n_orders_p").alias("n_ab"))
     )
-    sup = b.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_item"))
-    n_orders = b.agg(
-        F.count_distinct("l_orderkey").alias("n_orders")
+    sup = (
+        patterns.select(
+            F.explode("items").alias("p_brand"), "n_orders_p"
+        )
+        .groupBy("p_brand")
+        .agg(F.sum("n_orders_p").alias("n_item"))
     )
-    return (
+    n_orders = patterns.agg(F.sum("n_orders_p").alias("n_orders"))
+    result = (
         pairs.join(
             F.broadcast(
                 sup.select(
@@ -564,6 +570,9 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand_a", "brand_b")
     )
+    # Brand-pair output is tiny (≤ brands² rows): self-checkpoint it
+    # and free the pattern-histogram blocks at exit (r9 leak fix).
+    return checkpoint_result(result, patterns)
 
 
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_streaming_system_with_apache_kafka_spark.functions.checkpoints import (
+    checkpoint_intermediate,
     checkpoint_result,
     protect_checkpoint,
     release_checkpoint,
@@ -1546,20 +1547,31 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("idx")
         .rowsBetween(0, WIN_W - 1)
     )
-    fp_all = (
+    # The winnowed set (~1/W of the gram stream) is consumed four ways
+    # (df cap, per-doc counts, both self-join sides): checkpoint it so
+    # the gram explode + md5 + window min run ONCE, not per consumer
+    # (r9: this was the whole-suite slowest sf0.1 query, and most of
+    # it was the gram pipeline recomputing).
+    fp_all = checkpoint_intermediate(
         grams.withColumn("ng", F.count(F.lit(1)).over(wdoc))
         .withColumn("minh", F.min("h").over(wmin))
         .filter(F.expr(f"idx <= greatest(ng - {WIN_W}, 0)"))
         .select("doc_id", "minh")
         .distinct()
     )
-    keep = (
+    # Drop boilerplate by ANTI-joining the HUB set (df > cap): hubs
+    # are few by definition (the rare fingerprints are the keepers),
+    # so the anti side broadcasts at any corpus size — the keep-set
+    # inner join shuffled the corpus-sized winnowed set instead.
+    hubs = (
         fp_all.groupBy("minh")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= WIN_MAXDF)
+        .filter(F.col("df") > WIN_MAXDF)
         .select("minh")
     )
-    fp = fp_all.join(keep, "minh")
+    fp = checkpoint_intermediate(
+        fp_all.join(F.broadcast(hubs), "minh", "left_anti")
+    )
     counts = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
     a = fp.alias("a")
     b = fp.alias("b")
@@ -1579,7 +1591,7 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = counts.select(
         F.col("doc_id").alias("doc_b"), F.col("nfp").alias("nfp_b")
     )
-    return (
+    result = (
         pairs.join(ca, "doc_a")
         .join(cb, "doc_b")
         .select(
@@ -1594,6 +1606,9 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+    # Pair-audit output is small: self-checkpoint and free the
+    # winnowed-set blocks at exit (r9 leak fix).
+    return checkpoint_result(result, fp_all, fp)
 
 
 KCORE_K = 2  # core threshold

@@ -731,8 +731,14 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BOOT_B = 64  # bootstrap replicas
-BOOT_TAG = "boot_v1"
-# Poisson(1) pmf quantized onto the 24-bit md5 prefix space (16^6):
+# One md5 yields 32 hex chars = four INDEPENDENT 24-bit draws (6 hex
+# each at offsets 1/7/13/19) — the hash work per order is B/4 md5s,
+# not B (r9: the md5 was ~the whole query cost at sf10). Tag bumped
+# v1 -> v2 because the replica draws change with the packing.
+BOOT_DRAWS = 4  # 24-bit draws carved from each md5
+BOOT_GROUPS = BOOT_B // BOOT_DRAWS
+BOOT_TAG = "boot_v2"
+# Poisson(1) pmf quantized onto the 24-bit md5-substring space (16^6):
 # cumulative thresholds for weights 0..5, weight 6 above the last —
 # exact integers so both engines draw identical weights.
 BOOT_THRESHOLDS = [6171992, 12343985, 15429982, 16458647, 16715813, 16767247]
@@ -754,56 +760,78 @@ def metrics_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max — the uncertainty readout a metrics pipeline attaches to
     every scorecard number.
 
-    Scale shape: one scan explodes BOOT_B weight rows per order (pure
-    codegen: sequence + md5 + threshold CASE), partial aggregation
-    collapses to BOOT_B groups map-side, the rank selection runs over
-    BOOT_B rows. No data ever funnels through a sort; cost is exactly
-    B x scan, the documented price of the bootstrap."""
+    Scale shape: the row explosion is BOOT_B/4 PER ORDER, not BOOT_B
+    (r9 A/B'd three forms at sf10: the per-replica explode cost 31 s
+    — Generate row volume and per-draw conv() hex parses, NOT the
+    md5; a zero-explode 128-accumulator global agg cost 53 s — the
+    wide row leaves codegen's JIT-friendly zone). Each exploded row
+    carries one md5 whose 32 hex chars yield its FOUR replicas'
+    weights via fixed-width LOWERCASE-HEX STRING COMPARES against
+    literal hex thresholds (lexicographic == numeric for fixed-width
+    lowercase hex, so no integer parse ever runs); 8 narrow sums
+    partial-aggregate into BOOT_B/4 hash-group rows map-side, and the
+    replica unpivot + rank selection run over BOOT_B tiny rows. No
+    data ever funnels through a sort; cost is B/4 x scan, the
+    documented price of the bootstrap."""
     o = load_rebalanced(spark, "orders", sf_dir).select(
         "o_orderkey",
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("bigint")
         .alias("cents"),
     )
-    t = BOOT_THRESHOLDS
-    weight = (
-        f"CASE WHEN h < {t[0]} THEN 0 WHEN h < {t[1]} THEN 1"
-        f" WHEN h < {t[2]} THEN 2 WHEN h < {t[3]} THEN 3"
-        f" WHEN h < {t[4]} THEN 4 WHEN h < {t[5]} THEN 5 ELSE 6 END"
-    )
-    reps = (
+    tx = [f"{v:06x}" for v in BOOT_THRESHOLDS]
+
+    def w_expr(k: int):
+        # weight of this row's k-th draw: the k-th 6-hex slice of the
+        # row's md5, thresholded as a string compare (no conv()).
+        sub = f"substring(h32, {k * 6 + 1}, 6)"
+        return F.expr(
+            f"CASE WHEN {sub} < '{tx[0]}' THEN 0"
+            f" WHEN {sub} < '{tx[1]}' THEN 1"
+            f" WHEN {sub} < '{tx[2]}' THEN 2"
+            f" WHEN {sub} < '{tx[3]}' THEN 3"
+            f" WHEN {sub} < '{tx[4]}' THEN 4"
+            f" WHEN {sub} < '{tx[5]}' THEN 5 ELSE 6 END"
+        )
+
+    grouped = (
         o.select(
             "o_orderkey",
             "cents",
-            F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("r"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(BOOT_GROUPS - 1))
+            ).alias("g"),
         )
-        .withColumn(
-            "h",
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "#",
-                            F.lit(BOOT_TAG),
-                            F.col("o_orderkey"),
-                            F.col("r"),
-                        )
-                    ),
-                    1,
-                    6,
-                ),
-                16,
-                10,
-            ).cast("bigint"),
+        .select(
+            "cents",
+            "g",
+            F.md5(
+                F.concat_ws(
+                    "#", F.lit(BOOT_TAG), F.col("o_orderkey"), F.col("g")
+                )
+            ).alias("h32"),
         )
-        .select("r", "cents", F.expr(weight).alias("w"))
-        .groupBy("r")
+        .select(
+            "cents", "g", *[w_expr(k).alias(f"w{k}") for k in range(BOOT_DRAWS)]
+        )
+        .groupBy("g")
         .agg(
-            F.sum("w").alias("sum_w"),
-            F.sum(F.expr("cast(w as bigint) * cents")).alias("sum_wx"),
+            *[
+                a
+                for k in range(BOOT_DRAWS)
+                for a in (
+                    F.sum(f"w{k}").alias(f"sw{k}"),
+                    F.sum(
+                        F.col(f"w{k}").cast("bigint") * F.col("cents")
+                    ).alias(f"sx{k}"),
+                )
+            ]
         )
-        .select(F.expr("sum_wx div greatest(sum_w, 1)").alias("rep_mean"))
     )
+    stack_args = ", ".join(f"sx{k}, sw{k}" for k in range(BOOT_DRAWS))
+    reps = grouped.select(
+        F.expr(f"stack({BOOT_DRAWS}, {stack_args}) AS (sum_wx, sum_w)")
+    ).select(F.expr("sum_wx div greatest(sum_w, 1)").alias("rep_mean"))
     wr = Window.orderBy("rep_mean")
     lo_rank = (25 * BOOT_B + 999) // 1000  # ceil(0.025 * B)
     hi_rank = (975 * BOOT_B + 999) // 1000  # ceil(0.975 * B)
@@ -864,15 +892,23 @@ ORACLES = {
             FROM orders
         ),
         reps AS (
-            SELECT o_orderkey, cents, unnest(range({BOOT_B})) AS r
+            SELECT o_orderkey, cents, unnest(range({BOOT_GROUPS})) AS g
             FROM o
         ),
         hashed AS (
-            SELECT r, cents,
-                   cast(concat('0x', substr(md5('{BOOT_TAG}' || '#' ||
-                        cast(o_orderkey AS varchar) || '#' ||
-                        cast(r AS varchar)), 1, 6)) AS bigint) AS h
+            SELECT g, cents,
+                   md5('{BOOT_TAG}' || '#' ||
+                       cast(o_orderkey AS varchar) || '#' ||
+                       cast(g AS varchar)) AS h32
             FROM reps
+        ),
+        draws AS (
+            SELECT g * {BOOT_DRAWS} + k AS r, cents,
+                   cast(concat('0x',
+                        substr(h32, cast(k * 6 + 1 AS int), 6))
+                        AS bigint) AS h
+            FROM hashed,
+                 (SELECT unnest(range({BOOT_DRAWS})) AS k)
         ),
         weighted AS (
             SELECT r, cents,
@@ -883,7 +919,7 @@ ORACLES = {
                         WHEN h < {BOOT_THRESHOLDS[4]} THEN 4
                         WHEN h < {BOOT_THRESHOLDS[5]} THEN 5
                         ELSE 6 END AS w
-            FROM hashed
+            FROM draws
         ),
         rep_means AS (
             SELECT cast(sum(cast(w AS bigint) * cents)

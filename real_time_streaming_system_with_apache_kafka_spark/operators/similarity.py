@@ -279,12 +279,14 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle unrolls the {PCA_ITERS} rounds as chained CTEs and
     matches bit-for-bit, projection included.
 
-    Scale shape per round: one zero-shuffle scan computes every
+    Scale shape per round: ONE zero-shuffle scan computes every
     vector's scalar c_i = y_i . v (codegen'd array aggregate over a
-    literal v), one posexplode + groupBy(dim) shuffle computes
-    u = sum c_i * y_i, and only u — O(dim) model state, the same
-    driver traffic contract as learn_block_quantizer — returns to the
-    driver to renormalize. The centered matrix is localCheckpointed
+    literal v) and folds u = sum c_i * y_i in the same pass as
+    {EMBEDDING_DIM} map-side-combined global sums (r9: this replaces a
+    posexplode + groupBy(dim) that shuffled N×dim rows per round —
+    the partial-agg form ships one dim-wide partial per task instead),
+    and only u — O(dim) model state, the same driver traffic contract
+    as learn_block_quantizer — returns to the driver to renormalize. The centered matrix is localCheckpointed
     once (rebalanced load first: a degenerate single-rowgroup input
     would otherwise pin all {PCA_ITERS} rounds to one task's
     partitions) so the rounds scan it, not the lineage above it.
@@ -303,23 +305,20 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform("embedding", xq_el).alias("xq"),
     )
-    stats = (
-        base.select(F.posexplode("xq").alias("dim", "x"))
-        .groupBy("dim")
-        # every dim appears once per row, so each dim's row count IS
-        # the corpus size — one job instead of a separate base.count().
-        # count(lit(1)) not count(x): null-skipping would make counts
-        # dim-dependent on a corrupt array, and collect order of a
-        # groupBy is arbitrary; max() below turns "any null component"
-        # into at worst a loud centering mismatch, not a silent
-        # arbitrary-dim pick.
-        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-    )
-    s_vec = [0] * EMBEDDING_DIM
-    n_rows = 0
-    for r in stats.collect():
-        s_vec[r["dim"]] = int(r["s"])
-        n_rows = max(n_rows, int(r["n"]))
+    # Per-dim sums + corpus size in ONE zero-shuffle pass: dim-many
+    # map-side-combined global sums (each task ships one dim-wide
+    # partial) instead of a posexplode + groupBy(dim) that shuffles
+    # N×dim rows. The size filter above guarantees every row has all
+    # EMBEDDING_DIM components, so one count serves every dim.
+    stats_row = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at("xq", d + 1)).alias(f"s{d}")
+            for d in range(EMBEDDING_DIM)
+        ],
+    ).collect()[0]
+    n_rows = int(stats_row["n"])
+    s_vec = [int(stats_row[f"s{d}"] or 0) for d in range(EMBEDDING_DIM)]
     s_lit = F.array(*[F.lit(int(v)).cast("long") for v in s_vec])
     centered = base.select(
         "vec_id",
@@ -338,15 +337,17 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec0,
             lambda acc, t: acc + t,
         )
-        u_rows = (
-            centered.select(c_col.alias("c"), F.posexplode("y").alias("dim", "y"))
-            .groupBy("dim")
-            .agg(F.sum(F.col("c") * F.col("y")).alias("u"))
-            .collect()
+        u_row = (
+            centered.select(c_col.alias("c"), "y")
+            .agg(
+                *[
+                    F.sum(F.col("c") * F.element_at("y", d + 1)).alias(f"u{d}")
+                    for d in range(EMBEDDING_DIM)
+                ]
+            )
+            .collect()[0]
         )
-        u = [0] * EMBEDDING_DIM
-        for r in u_rows:
-            u[r["dim"]] = int(r["u"])
+        u = [int(u_row[f"u{d}"] or 0) for d in range(EMBEDDING_DIM)]
         m = max(abs(c) for c in u)
         if m == 0:  # degenerate corpus: keep the previous direction
             break

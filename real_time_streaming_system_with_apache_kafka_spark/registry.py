@@ -56,6 +56,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # 15 of the 46-entry r4 cohort (TPC-H q2-q16). The r4 remainder
 # (q17-q22 + datamix/skew/layout/extras, 31 entries) is the r10
 # cohort — registry history above tracks it.
+#
+# r9 restart addendum: the extra-session perf work changed three more
+# plans — basket_pair_lift (pattern-histogram-derived supports, one
+# corpus pass), dedup_winnowing (checkpointed winnowed set + hub
+# anti-join), and metrics_bootstrap_ci (whose DRAWS changed: boot_v2
+# packs 4 replicas per md5, so its values and oracle moved together —
+# the one entry whose fresh signature is mandatory, not hygiene).
+# They take the last three slots; q14-q16 join the r10 cohort with
+# the rest of the r4 remainder.
 _PRIORITY: list[str] = [
     # §2 sentinels — pinned every round.
     "w1_minute_activity",
@@ -111,9 +120,11 @@ _PRIORITY: list[str] = [
     "q11_important_stock",
     "q12_priority_lines",
     "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_count",
+    # r9 restart: plans (and for the bootstrap, values) changed in the
+    # extra session — fresh signatures required.
+    "metrics_bootstrap_ci",
+    "basket_pair_lift",
+    "dedup_winnowing",
 ]
 
 _MODULES: list[str] = [

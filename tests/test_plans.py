@@ -897,11 +897,18 @@ def test_retention_single_scan_window_denominator(spark, sf_dir):
     assert "Join" not in plan
 
 
-def test_basket_lift_pairs_explode_per_basket(spark, sf_dir):
+def test_basket_lift_pairs_explode_per_basket(spark, sf_dir, monkeypatch):
     """Pair generation is a per-basket Generate (bounded by basket
     size), never a corpus self-join of basket rows; the brand
-    dimension, supports, and order total all broadcast."""
+    dimension, supports, and order total all broadcast; the
+    corpus-sized tables are scanned EXACTLY ONCE (supports and the
+    order total derive from the pattern histogram, r9)."""
     from real_time_streaming_system_with_apache_kafka_spark.operators import analytics
+    from real_time_streaming_system_with_apache_kafka_spark.functions import checkpoints
+
+    # Inspect the computation plan, not the checkpointed result's
+    # `Scan ExistingRDD` (the pattern histogram + result checkpoint).
+    monkeypatch.setattr(checkpoints, "PLAN_INSPECTION_MODE", True)
 
     plan = _plan(analytics.basket_pair_lift(spark, sf_dir))
     assert "Generate" in plan  # per-basket pair explode
@@ -910,6 +917,15 @@ def test_basket_lift_pairs_explode_per_basket(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # The only nested-loop is the broadcast of the 1-row order total.
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # NOTE the scan-once property (supports/total fold the pattern
+    # histogram instead of rescanning lineitem) is enforced by the
+    # eager pattern-histogram checkpoint, which inspection mode
+    # bypasses — in this mode every branch re-lists the scan subtree,
+    # so it can't be pinned by counting scans here. Executed shape:
+    # the returned frame is a self-contained checkpoint (below).
+    monkeypatch.setattr(checkpoints, "PLAN_INSPECTION_MODE", False)
+    executed = _plan(analytics.basket_pair_lift(spark, sf_dir))
+    assert "Scan parquet" not in executed  # result references nothing
 
 
 def test_rfm_single_customer_shuffle_bounds_broadcast(spark, sf_dir):

@@ -613,20 +613,20 @@ def test_bootstrap_ci_python_recompute(spark, sf_smoke):
     t = extras.BOOT_THRESHOLDS
     sums = [[0, 0] for _ in range(extras.BOOT_B)]
     for key, cents in rows:
-        for rep in range(extras.BOOT_B):
-            h = int(
-                hashlib.md5(
-                    f"{extras.BOOT_TAG}#{key}#{rep}".encode()
-                ).hexdigest()[:6],
-                16,
-            )
-            w = 6
-            for i, th in enumerate(t):
-                if h < th:
-                    w = i
-                    break
-            sums[rep][0] += w
-            sums[rep][1] += w * cents
+        for g in range(extras.BOOT_GROUPS):
+            hx = hashlib.md5(
+                f"{extras.BOOT_TAG}#{key}#{g}".encode()
+            ).hexdigest()
+            for k in range(extras.BOOT_DRAWS):
+                h = int(hx[6 * k : 6 * k + 6], 16)
+                w = 6
+                for i, th in enumerate(t):
+                    if h < th:
+                        w = i
+                        break
+                rep = g * extras.BOOT_DRAWS + k
+                sums[rep][0] += w
+                sums[rep][1] += w * cents
     means = sorted(sx // max(sw, 1) for sw, sx in sums)
     lo = means[(25 * extras.BOOT_B + 999) // 1000 - 1]
     hi = means[(975 * extras.BOOT_B + 999) // 1000 - 1]
