@@ -38,6 +38,9 @@ from real_time_streaming_system_with_apache_kafka_spark.operators.text import (
     ALL_STOPWORDS,
     ALL_SW_SQL,
 )
+from real_time_streaming_system_with_apache_kafka_spark.functions.checkpoints import (
+    checkpoint_intermediate,
+)
 from real_time_streaming_system_with_apache_kafka_spark.functions.ngrams import (
     regex_word_ngrams,
 )
@@ -1228,12 +1231,25 @@ def quality_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream; n12 then derives from tf without a second corpus pass.
     # A/B at sf1: ~15-20% faster than joining the raw stream, values
     # bit-identical (sum of c*surprise == sum of per-row surprise).
-    tf = pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    n12 = tf.groupBy("w1", "w2").agg(F.sum("c").alias("n12"))
-    n1 = n12.groupBy("w1").agg(F.sum("n12").alias("n1"))
-    model = n12.join(n1, ["w1"]).withColumn(
-        "surprise_ppm", F.expr("n1 * 1000000 div n12")
+    # r9 optimization round: the r8 plan computed the corpus explode +
+    # tf aggregate THREE times (scoring side, n12 subtree, n1 subtree —
+    # column pruning makes the subtrees non-identical, so Catalyst
+    # reuses nothing; 3 Generate + 3 parquet scans in the captured
+    # plan). Two structural fixes, values bit-identical:
+    #   - tf checkpoints once (guide §1.2: don't recompute; §5 sweep
+    #     covers the corpus-sized block, same contract as the other
+    #     big-intermediate operators);
+    #   - n1 becomes a window sum over n12 partitioned by w1 instead of
+    #     a groupBy+self-join — one pass over the bigram vocabulary,
+    #     one fewer shuffle, and n12 is consumed once (exact integer
+    #     sum either way).
+    tf = checkpoint_intermediate(
+        pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     )
+    n12 = tf.groupBy("w1", "w2").agg(F.sum("c").alias("n12"))
+    model = n12.withColumn(
+        "n1", F.sum("n12").over(Window.partitionBy("w1"))
+    ).withColumn("surprise_ppm", F.expr("n1 * 1000000 div n12"))
     scored = tf.join(model, ["w1", "w2"])
     return scored.groupBy("doc_id").agg(
         F.sum("c").alias("n_bigrams"),

@@ -1386,8 +1386,23 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized, so the tag-back is a shuffle hash join on the gram
     key (no broadcast) — exactly the suffix-array-free formulation
     that scales: everything is keyed by gram hash, so a 1000-executor
-    run partitions evenly regardless of document sizes. The island
-    window shuffles only the duplicated slice.
+    run partitions evenly regardless of document sizes.
+
+    Single-pass island form (r9 optimization round): the tagged stream
+    is consumed ONCE. A running ``count(hit)`` over the per-doc
+    position window gives every duplicated gram its rank among the
+    doc's duplicated grams (count of non-nulls up to idx == row_number
+    over the dup-filtered stream, since idx is unique per doc), so
+    ``idx - count(hit) over w`` is the standard gaps-and-islands key —
+    computed WITHOUT first splitting off a dup-only branch. Both the
+    per-doc totals and the island lengths then fold out of one
+    (doc_id, island) aggregate that is exchange-free (the window
+    already clustered by doc_id). The r8 form evaluated the tag-back
+    join twice (per-doc counts + island runs), shuffled each branch by
+    doc_id separately, and re-joined them: 2 join evaluations + 3
+    doc_id exchanges -> 1 + 1. Docs with no duplicated gram drop out
+    via the max-run null filter, exactly as the old inner join dropped
+    them.
 
     Reference parity: extends the dedup family (BASELINE.json
     north-star); no single reference op computes this — it is the
@@ -1409,21 +1424,24 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hit", F.lit(1))
     )
     tagged = grams.join(dup_grams, "g", "left")
-    per_doc = tagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.count("hit").alias("n_dup_grams"),
-    )
     w = Window.partitionBy("doc_id").orderBy("idx")
-    runs = (
-        tagged.filter(F.col("hit").isNotNull())
-        .withColumn("grp", F.col("idx") - F.row_number().over(w))
-        .groupBy("doc_id", "grp")
-        .agg(F.count(F.lit(1)).alias("run_len"))
-        .groupBy("doc_id")
-        .agg(F.max("run_len").alias("max_dup_run_grams"))
+    isl = tagged.withColumn(
+        "grp",
+        F.when(
+            F.col("hit").isNotNull(), F.col("idx") - F.count("hit").over(w)
+        ),
     )
+    dup_c = F.when(F.col("grp").isNotNull(), F.col("c"))
     return (
-        per_doc.join(runs, "doc_id")
+        isl.groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.coalesce(F.sum(dup_c), F.lit(0)).alias("n_dup_grams"),
+            F.max(dup_c).alias("max_dup_run_grams"),
+        )
+        .filter(F.col("max_dup_run_grams").isNotNull())
         .select(
             "doc_id",
             "n_grams",

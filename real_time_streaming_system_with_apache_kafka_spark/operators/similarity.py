@@ -706,14 +706,26 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bucket"),
     )
+    # Cosine at the JOIN ROW (map side of the broadcast join), so the
+    # exchanges that follow move (train_id, bench_id, cos) — 24 bytes —
+    # instead of two 64-dim embedding payloads per row (r9 optimization
+    # round; guide §2.3 "shuffle keys and metadata instead of
+    # payloads"). A pair colliding in several tables/probes re-scores
+    # redundantly in the vectorized Arrow kernel (cheap, batch einsum);
+    # the map-side partial first() then dedups collisions BEFORE the
+    # exchange, so both the pair aggregate and the per-train window
+    # shuffle payload-free rows. Values identical: cos is a
+    # deterministic function of (te, be), so first-over-duplicates
+    # equals compute-after-dedup.
     candidates = (
         train.join(F.broadcast(bench), "bucket")
+        .withColumn("cos", cosine(F.col("te"), F.col("be")))
         .groupBy("train_id", "bench_id")
-        .agg(F.first("te").alias("te"), F.first("be").alias("be"))
+        .agg(F.first("cos").alias("cos"))
     )
     w = Window.partitionBy("train_id")
     ranked = (
-        candidates.withColumn("cos", cosine(F.col("te"), F.col("be")))
+        candidates
         .withColumn("n_bench_candidates", F.count(F.lit(1)).over(w))
         .withColumn(
             "rk",

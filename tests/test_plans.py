@@ -972,3 +972,63 @@ def test_gini_two_phase_rank_no_global_sort(spark, sf_dir, monkeypatch):
     assert "[bucket" in plan  # within-bucket rank window partitioned
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_substring_spans_single_island_pass(spark, sf_dir):
+    """r9 optimization round: the tag-back join is consumed ONCE — the
+    per-doc totals and the island runs fold out of one windowed
+    aggregate (idx - running count(hit) is the island key), so the
+    plan has exactly one doc_id exchange and no per_doc-vs-runs
+    re-join. The r8 form evaluated the join twice and re-joined the
+    branches (3 doc_id exchanges)."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import dedup
+
+    plan = _plan(dedup.dedup_substring_spans(spark, sf_dir))
+    # One exchange clustered by doc_id (the island window); the final
+    # orderBy is a range exchange, not hash.
+    assert plan.count("hashpartitioning(doc_id") == 1
+    # Exactly one join survives: the gram tag-back. The old shape had
+    # two evaluations of it plus a doc_id equi-join on top.
+    n_joins = sum(
+        plan.count(k)
+        for k in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert n_joins == 2  # one join node: tree line + detail line
+
+
+def test_semantic_decon_shuffles_scores_not_vectors(spark, sf_dir):
+    """r9 optimization round: the cosine runs at the broadcast-join row
+    (map side), so every exchange after the join moves
+    (train_id, bench_id, cos) — never the 64-dim embedding payloads.
+    The r8 shape aggregated first(te)/first(be) through a
+    SortAggregate and shuffled both vectors twice."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import similarity
+
+    plan = _plan(similarity.decontaminate_semantic(spark, sf_dir))
+    assert "SortAggregate" not in plan  # first(cos) hash-aggregates
+    assert "first(te" not in plan and "first(be" not in plan
+    # The pair dedup and the per-train window are the only two
+    # repartitionings, both on id keys.
+    assert plan.count("hashpartitioning(train_id") == 2
+
+
+def test_lm_surprise_single_tf_subtree_window_model(spark, sf_dir, monkeypatch):
+    """r9 optimization round: n1 is a window sum over the bigram
+    vocabulary (no groupBy+self-join), and tf checkpoints once — the
+    computation plan holds exactly TWO corpus explodes (tf build +
+    scoring side; the checkpoint collapses them to one at runtime) and
+    ONE join (the model tag-back). The r8 shape exploded the corpus
+    three times and joined twice."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import curation
+    from real_time_streaming_system_with_apache_kafka_spark.functions import checkpoints
+
+    monkeypatch.setattr(checkpoints, "PLAN_INSPECTION_MODE", True)
+    plan = _plan(curation.quality_lm_surprise(spark, sf_dir))
+    # formatted output repeats each node in tree + detail sections
+    assert plan.count("Generate") <= 4  # two real explodes
+    n_joins = sum(
+        plan.count(k)
+        for k in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert n_joins <= 2  # one real join: scored = tf x model
+    assert "Window" in plan  # n1 = sum(n12) over (partition by w1)
