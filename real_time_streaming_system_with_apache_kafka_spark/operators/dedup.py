@@ -1388,21 +1388,23 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     that scales: everything is keyed by gram hash, so a 1000-executor
     run partitions evenly regardless of document sizes.
 
-    Single-pass island form (r9 optimization round): the tagged stream
-    is consumed ONCE. A running ``count(hit)`` over the per-doc
-    position window gives every duplicated gram its rank among the
-    doc's duplicated grams (count of non-nulls up to idx == row_number
-    over the dup-filtered stream, since idx is unique per doc), so
-    ``idx - count(hit) over w`` is the standard gaps-and-islands key —
-    computed WITHOUT first splitting off a dup-only branch. Both the
-    per-doc totals and the island lengths then fold out of one
-    (doc_id, island) aggregate that is exchange-free (the window
-    already clustered by doc_id). The r8 form evaluated the tag-back
-    join twice (per-doc counts + island runs), shuffled each branch by
-    doc_id separately, and re-joined them: 2 join evaluations + 3
-    doc_id exchanges -> 1 + 1. Docs with no duplicated gram drop out
-    via the max-run null filter, exactly as the old inner join dropped
-    them.
+    Join-free single-explode form (r9 optimization round): the corpus
+    is exploded ONCE and there is NO tag-back join at all. A gram is
+    cross-document-duplicated iff its corpus occurrence count exceeds
+    its within-document count — ``count over (partition by g) >
+    count over (partition by g, doc_id)`` — two window counts over one
+    g-clustered exchange (hashpartitioning(g) satisfies both
+    partitionings, so the second window re-uses the exchange and the
+    (g, doc_id) sort serves both). The per-doc gram total rides every
+    row as ``size(arr)`` (posexplode row count == array size), so the
+    dup-only island window plus one exchange-free (doc_id, island)
+    aggregate produce all three output columns. The r8 form exploded
+    the corpus THREE times (dup-gram aggregate + two evaluations of
+    the tag-back join) and re-joined the per-doc branches; at scale it
+    shuffled the full gram stream by g three times. Now: one explode,
+    one full g-shuffle, one dup-only doc_id shuffle, zero joins. Docs
+    with no duplicated gram never reach the output, exactly as the old
+    inner join dropped them (they have no dup rows).
 
     Reference parity: extends the dedup family (BASELINE.json
     north-star); no single reference op computes this — it is the
@@ -1410,38 +1412,30 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     )
-    grams = docs.select(
+    base = docs.select(
+        "doc_id", regex_word_ngrams(F.col("text"), SPAN_N).alias("arr")
+    )
+    grams = base.select(
         "doc_id",
-        F.posexplode(regex_word_ngrams(F.col("text"), SPAN_N)).alias(
-            "idx", "gram"
-        ),
-    ).select("doc_id", "idx", F.md5("gram").alias("g"))
-    dup_grams = (
-        grams.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("g")
-        .withColumn("hit", F.lit(1))
-    )
-    tagged = grams.join(dup_grams, "g", "left")
+        F.size("arr").cast("bigint").alias("n_tot"),
+        F.posexplode("arr").alias("idx", "gram"),
+    ).select("doc_id", "n_tot", "idx", F.md5("gram").alias("g"))
+    wg = Window.partitionBy("g")
+    wgd = Window.partitionBy("g", "doc_id")
+    dup = grams.withColumn(
+        "hit", F.count(F.lit(1)).over(wg) > F.count(F.lit(1)).over(wgd)
+    ).filter("hit")
     w = Window.partitionBy("doc_id").orderBy("idx")
-    isl = tagged.withColumn(
-        "grp",
-        F.when(
-            F.col("hit").isNotNull(), F.col("idx") - F.count("hit").over(w)
-        ),
-    )
-    dup_c = F.when(F.col("grp").isNotNull(), F.col("c"))
+    isl = dup.withColumn("grp", F.col("idx") - F.row_number().over(w))
     return (
         isl.groupBy("doc_id", "grp")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("c"), F.first("n_tot").alias("n_tot"))
         .groupBy("doc_id")
         .agg(
-            F.sum("c").alias("n_grams"),
-            F.coalesce(F.sum(dup_c), F.lit(0)).alias("n_dup_grams"),
-            F.max(dup_c).alias("max_dup_run_grams"),
+            F.first("n_tot").alias("n_grams"),
+            F.sum("c").alias("n_dup_grams"),
+            F.max("c").alias("max_dup_run_grams"),
         )
-        .filter(F.col("max_dup_run_grams").isNotNull())
         .select(
             "doc_id",
             "n_grams",

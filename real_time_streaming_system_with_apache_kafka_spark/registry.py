@@ -117,14 +117,20 @@ _PRIORITY: list[str] = [
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_lines",
-    "q13_customer_distribution",
     # r9 restart: plans (and for the bootstrap, values) changed in the
     # extra session — fresh signatures required.
     "metrics_bootstrap_ci",
     "basket_pair_lift",
     "dedup_winnowing",
+    # r9 optimization session 3: three more plan rewrites (values
+    # verified identical against the full 244-oracle parity run, but
+    # the plans moved — join-free substring spans, payload-free
+    # semantic decon exchanges, single-explode lm-surprise). They take
+    # the last three slots; q11-q13 join the r10 cohort with the rest
+    # of the r4 remainder.
+    "dedup_substring_spans",
+    "decontaminate_semantic",
+    "quality_lm_surprise",
 ]
 
 _MODULES: list[str] = [

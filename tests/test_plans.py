@@ -974,26 +974,34 @@ def test_gini_two_phase_rank_no_global_sort(spark, sf_dir, monkeypatch):
     assert "CartesianProduct" not in plan
 
 
-def test_substring_spans_single_island_pass(spark, sf_dir):
-    """r9 optimization round: the tag-back join is consumed ONCE — the
-    per-doc totals and the island runs fold out of one windowed
-    aggregate (idx - running count(hit) is the island key), so the
-    plan has exactly one doc_id exchange and no per_doc-vs-runs
-    re-join. The r8 form evaluated the join twice and re-joined the
-    branches (3 doc_id exchanges)."""
+def test_substring_spans_join_free_single_explode(spark, sf_dir):
+    """r9 optimization round: the dup-gram tag is two window counts
+    over ONE g-clustered exchange (count per g > count per (g, doc_id)
+    == appears in another doc), the per-doc total rides the rows as
+    size(arr), and the islands fold out of one dup-only doc_id window
+    — so the plan holds exactly one corpus explode, one
+    hashpartitioning(g) exchange, one hashpartitioning(doc_id)
+    exchange, and ZERO joins. The r8 form exploded the corpus three
+    times, aggregated the dup-gram set, tag-joined it back twice, and
+    re-joined the per-doc branches."""
     from real_time_streaming_system_with_apache_kafka_spark.operators import dedup
 
     plan = _plan(dedup.dedup_substring_spans(spark, sf_dir))
-    # One exchange clustered by doc_id (the island window); the final
-    # orderBy is a range exchange, not hash.
     assert plan.count("hashpartitioning(doc_id") == 1
-    # Exactly one join survives: the gram tag-back. The old shape had
-    # two evaluations of it plus a doc_id equi-join on top.
+    assert plan.count("hashpartitioning(g#") == 1
+    # formatted output repeats each node in tree + detail sections
+    assert plan.count("Generate") <= 2  # one real explode
     n_joins = sum(
         plan.count(k)
-        for k in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+        for k in (
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+            "ShuffledHashJoin",
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+        )
     )
-    assert n_joins == 2  # one join node: tree line + detail line
+    assert n_joins == 0
 
 
 def test_semantic_decon_shuffles_scores_not_vectors(spark, sf_dir):
