@@ -68,10 +68,10 @@ ROTATED_SUITES = {
         "w1_tumbling_window",
         "w6_sliding_window",
     ],
-    # prefix-matched in the test: TPC-H q2..q13 of the r4 cohort
-    # (q14-q16 yielded their slots to the r9-restart rewrites and
+    # prefix-matched in the test: TPC-H q2..q10 of the r4 cohort
+    # (q11-q16 yielded their slots to the r9-session-3 rewrites and
     # join the r10 cohort with the rest of the r4 remainder).
-    "tpch": [f"q{i}_" for i in range(2, 14)],
+    "tpch": [f"q{i}_" for i in range(2, 11)],
 }
 
 
