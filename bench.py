@@ -250,16 +250,24 @@ def main() -> None:
     # self-diagnosing: a best-rep steal >2% next to an inflated number
     # says "stolen window", no re-litigation needed.
     query_noise: dict[str, float | None] = {}
+    # Rep-level times (r10, VERDICT r9 item 6): min-over-reps hides the
+    # cold/warm split of the in-process memos (corpus stats, dup-graph)
+    # — the memo-build cost lands in whichever family entry runs first,
+    # and only in its FIRST rep. Recording every rep makes cold vs warm
+    # visible in the artifact without touching the timed region.
+    rep_times: dict[str, list[float]] = {}
     for name in HEADLINE:
         best = float("inf")
         best_steal: float | None = None
         reps = 2
         rep = 0
+        rep_times[name] = []
         while rep < reps:
             q0 = _proc_stat()
             t0 = time.monotonic()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.monotonic() - t0
+            rep_times[name].append(round(dt, 3))
             # Steal-aware retry: if the HOST stole CPU during this
             # query's window (shared-tenant box, measured up to ~17%
             # under load), grant ONE extra rep so min-over-reps can
@@ -278,12 +286,23 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    # Core count from the session's ACTUAL master (r10, VERDICT r9
+    # item 2): the r9 scaling detector flagged suspect_cpus_ignored
+    # because the compact line didn't carry the core count even though
+    # session.py honors $SPARK_GRAFT_CPUS — make it self-evident.
+    mc = re.fullmatch(r"local\[(\d+)\]", spark.sparkContext.master)
+    cpus = int(mc.group(1)) if mc else None
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "cpus": cpus,
+        # Every timed rep per query (min is what `queries` reports).
+        # First-rep >> later-reps on a memo-family entry = the cold
+        # memo build landing there; see OPTIMIZATION_r10.md.
+        "rep_times": rep_times,
         # Host-noise fingerprint: this VM's vCPUs are host-shared, and
         # measured steal reaches ~17% of CPU time under full load on a
         # bad day (32-way burn degraded per-task wall 1.46 -> 3.14 s,
@@ -342,6 +361,7 @@ def main() -> None:
         "value": out["value"],
         "unit": "sec",
         "sf": sf,
+        "cpus": cpus,
         "n_queries": len(times),
         "host_noise": out["host_noise"],
         "queries": top,  # the slowest N; full table in `artifact`

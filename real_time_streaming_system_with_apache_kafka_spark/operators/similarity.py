@@ -279,75 +279,108 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle unrolls the {PCA_ITERS} rounds as chained CTEs and
     matches bit-for-bit, projection included.
 
-    Scale shape per round: ONE zero-shuffle scan computes every
-    vector's scalar c_i = y_i . v (codegen'd array aggregate over a
-    literal v) and folds u = sum c_i * y_i in the same pass as
-    {EMBEDDING_DIM} map-side-combined global sums (r9: this replaces a
-    posexplode + groupBy(dim) that shuffled N×dim rows per round —
-    the partial-agg form ships one dim-wide partial per task instead),
-    and only u — O(dim) model state, the same driver traffic contract
-    as learn_block_quantizer — returns to the driver to renormalize. The centered matrix is localCheckpointed
-    once (rebalanced load first: a degenerate single-rowgroup input
-    would otherwise pin all {PCA_ITERS} rounds to one task's
-    partitions) so the rounds scan it, not the lineage above it.
+    Scale shape (r10): TWO corpus passes total, zero shuffles of the
+    matrix and zero per-round jobs. Pass 1 is one Arrow scan that
+    computes exact per-task partials of the raw moments — n, the
+    per-dim sums S, and the {EMBEDDING_DIM}x{EMBEDDING_DIM} raw Gram
+    P_de = sum x_d*x_e (chunked int64 matmuls, totals carried as
+    arbitrary-precision Python ints, emitted as strings) — O(dim^2)
+    rows back to the driver. The centered Gram follows algebraically:
+    G_de = sum_i y_id*y_ie = N^2*P_de - N*S_d*S_e, and EVERY power
+    round is then a driver-side exact-integer matvec u = G v (u_d =
+    sum_i c_i*y_id = sum_e G_de*v_e — identical, term for term, to the
+    per-round corpus aggregation this replaces; r9 ran one Spark job +
+    collect per round against a localCheckpointed centered matrix,
+    ~6 driver-coordinated jobs of fixed overhead each at small SF).
+    Pass 2 emits the projection directly from the raw scan:
+    y_i . v = N*(x_i . v) - S . v, exact in decimal(38,0).
     Output is corpus-sized: (vec_id, label, proj_units) with the
     exact integer projection emitted as a string (decimal output
     columns are canonicalizer-unsafe; see registry window lint)."""
-    emb = load_rebalanced(spark, "embeddings", sf_dir).filter(
-        F.size("embedding") == EMBEDDING_DIM
-    )
     xq_el = lambda x: (  # noqa: E731 — shared quantization convention
         F.floor(F.abs(x.cast("double") * 1e7) + F.lit(0.5))
         * F.signum(x.cast("double"))
     ).cast("long")
-    base = emb.select(
+    # Gram pass reads the REBALANCED scan (the Arrow kernel should use
+    # every core even on a degenerate single-rowgroup file); the
+    # projection pass reads the plain scan — its per-row work is one
+    # codegen'd fold, not worth an exchange on any layout.
+    base = load(spark, "embeddings", sf_dir).filter(
+        F.size("embedding") == EMBEDDING_DIM
+    ).select(
         "vec_id",
         "label",
         F.transform("embedding", xq_el).alias("xq"),
     )
-    # Per-dim sums + corpus size in ONE zero-shuffle pass: dim-many
-    # map-side-combined global sums (each task ships one dim-wide
-    # partial) instead of a posexplode + groupBy(dim) that shuffles
-    # N×dim rows. The size filter above guarantees every row has all
-    # EMBEDDING_DIM components, so one count serves every dim.
-    stats_row = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.element_at("xq", d + 1)).alias(f"s{d}")
-            for d in range(EMBEDDING_DIM)
-        ],
-    ).collect()[0]
-    n_rows = int(stats_row["n"])
-    s_vec = [int(stats_row[f"s{d}"] or 0) for d in range(EMBEDDING_DIM)]
-    s_lit = F.array(*[F.lit(int(v)).cast("long") for v in s_vec])
-    centered = base.select(
-        "vec_id",
-        "label",
-        F.zip_with(
-            "xq", s_lit, lambda x, s: x * F.lit(int(n_rows)) - s
-        ).alias("y"),
-    ).localCheckpoint(eager=True)
+    gram_in = load_rebalanced(spark, "embeddings", sf_dir).filter(
+        F.size("embedding") == EMBEDDING_DIM
+    ).select(F.transform("embedding", xq_el).alias("xq"))
 
-    v = [PCA_VSCALE] * EMBEDDING_DIM  # v0 = all-ones direction
-    dec0 = F.lit(0).cast("decimal(38,0)")
+    dim = EMBEDDING_DIM
+
+    def gram_partials(batches):
+        """Per-task exact (n, S, P) partials over the quantized xq rows
+        (int64 straight off the Arrow buffer — quantization already
+        happened JVM-side in xq_el, shared with the projection pass).
+        Chunked int64 matmuls sized so chunk_rows * max|q|^2 < 2^62
+        (|q| ~ 5.8e6 on this corpus -> full 16384-row chunks); chunk
+        totals accumulate in Python ints, so the partials are exact at
+        any corpus size. Strings cross the boundary back because the
+        totals exceed int64 at scale."""
+        import numpy as np
+        import pyarrow as pa
+
+        n_tot = 0
+        s_tot = [0] * dim
+        p_tot = [0] * (dim * dim)
+        for batch in batches:
+            col = batch.column(0)
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            q64 = np.asarray(flat, dtype=np.int64).reshape(-1, dim)
+            lo = 0
+            while lo < len(q64):
+                mx = int(np.abs(q64[lo : lo + 16384]).max(initial=1))
+                step = max(1, min(16384, (1 << 62) // (mx * mx)))
+                sub = q64[lo : lo + step]
+                lo += step
+                n_tot += len(sub)
+                for d, val in enumerate(sub.sum(axis=0, dtype=np.int64)):
+                    s_tot[d] += int(val)
+                for j, val in enumerate((sub.T @ sub).ravel()):
+                    p_tot[j] += int(val)
+        yield pa.RecordBatch.from_pydict(
+            {
+                "n": pa.array([n_tot], pa.int64()),
+                "s": pa.array([[str(v) for v in s_tot]]),
+                "p": pa.array([[str(v) for v in p_tot]]),
+            }
+        )
+
+    partials = (
+        gram_in
+        .mapInArrow(gram_partials, "n long, s array<string>, p array<string>")
+        .collect()
+    )
+    n_rows = sum(int(r["n"]) for r in partials)
+    s_vec = [0] * dim
+    p_mat = [0] * (dim * dim)
+    for r in partials:
+        for d, v_ in enumerate(r["s"]):
+            s_vec[d] += int(v_)
+        for j, v_ in enumerate(r["p"]):
+            p_mat[j] += int(v_)
+    # Centered Gram from raw moments (exact): G = N^2*P - N*outer(S,S).
+    gram = [
+        [
+            n_rows * n_rows * p_mat[d * dim + e] - n_rows * s_vec[d] * s_vec[e]
+            for e in range(dim)
+        ]
+        for d in range(dim)
+    ]
+
+    v = [PCA_VSCALE] * dim  # v0 = all-ones direction
     for _ in range(PCA_ITERS):
-        v_lit = F.array(*[F.lit(int(c)).cast("long") for c in v])
-        c_col = F.aggregate(
-            F.zip_with("y", v_lit, lambda y, vv: y.cast("decimal(38,0)") * vv),
-            dec0,
-            lambda acc, t: acc + t,
-        )
-        u_row = (
-            centered.select(c_col.alias("c"), "y")
-            .agg(
-                *[
-                    F.sum(F.col("c") * F.element_at("y", d + 1)).alias(f"u{d}")
-                    for d in range(EMBEDDING_DIM)
-                ]
-            )
-            .collect()[0]
-        )
-        u = [int(u_row[f"u{d}"] or 0) for d in range(EMBEDDING_DIM)]
+        u = [sum(gram[d][e] * v[e] for e in range(dim)) for d in range(dim)]
         m = max(abs(c) for c in u)
         if m == 0:  # degenerate corpus: keep the previous direction
             break
@@ -357,20 +390,21 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             (1 if c >= 0 else -1) * ((abs(c) * PCA_VSCALE) // m) for c in u
         ]
 
+    # proj_i = y_i . v = N*(x_i . v) - S . v, exact in decimal(38,0)
+    # (x_i . v products and the 64-term fold stay integral; S . v is a
+    # Python bigint pushed down as a string-cast literal because it can
+    # exceed int64 at scale).
     v_lit = F.array(*[F.lit(int(c)).cast("long") for c in v])
-    proj = F.aggregate(
-        F.zip_with("y", v_lit, lambda y, vv: y.cast("decimal(38,0)") * vv),
+    dec0 = F.lit(0).cast("decimal(38,0)")
+    dotv = F.aggregate(
+        F.zip_with("xq", v_lit, lambda x, vv: x.cast("decimal(38,0)") * vv),
         dec0,
         lambda acc, t: acc + t,
     )
-    # The projection is ~10x narrower per row than the centered matrix
-    # (3 scalar columns vs a dim-wide long array): checkpoint it and
-    # release the matrix blocks at exit (r9 leak fix).
-    return checkpoint_result(
-        centered.select(
-            "vec_id", "label", proj.cast("string").alias("proj_units")
-        ),
-        centered,
+    sv = sum(s * c for s, c in zip(s_vec, v))
+    proj = dotv * F.lit(int(n_rows)) - F.lit(str(sv)).cast("decimal(38,0)")
+    return base.select(
+        "vec_id", "label", proj.cast("decimal(38,0)").cast("string").alias("proj_units")
     )
 
 
@@ -671,12 +705,23 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates its buckets produced, the closest bench vector, and
     that cosine.
 
-    Scale shape: the benchmark suite is the SMALL side — it carries
-    the multi-probe fan-out ({N_TABLES}x{N_PLANES + 1} bucket keys per
-    vector) and broadcasts; the training corpus emits one plain bucket
-    key per table and never shuffles (map-side broadcast join, then a
-    per-training-vector window over its own candidates). The corpus-
-    sized LSH signature pass is one Arrow batch matmul."""
+    Scale shape (r10): the benchmark suite is the SMALL side — its
+    bucket index ({N_TABLES}x{N_PLANES + 1} multi-probe keys per
+    vector, IDS ONLY) broadcasts, so the training corpus never
+    shuffles through the join. Collisions dedup in ONE aggregation
+    keyed by train_id (collect_set of bench ids — a pair hit via
+    several tables/probes enters the set once), the ONLY exchange in
+    the plan; its payload is the training embedding once per
+    candidate-bearing train vector plus the id set, instead of r9's
+    two payload-free exchanges + per-collision re-scoring. The Arrow
+    cosine kernel then scores each DISTINCT (train, bench) pair
+    exactly once — the bench embedding re-attaches map-side from a
+    second, fan-out-free broadcast — and the best-candidate pick is a
+    max_by aggregate that reuses the train_id partitioning (no second
+    exchange, no sort). Values identical: cos is a deterministic
+    function of (te, be), so score-after-dedup equals
+    first-over-duplicate-scores. The corpus-sized LSH signature pass
+    is one Arrow batch matmul."""
     emb = load(spark, "embeddings", sf_dir).filter(
         F.size("embedding") == EMBEDDING_DIM
     )
@@ -690,12 +735,11 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bucket"),
     )
-    bench = sig.filter(
-        (F.col("vec_id") % SEM_DECON_MOD == 0)
-        & (F.col("vec_id") < SEM_BENCH_CAP)
-    ).select(
+    bench_pred = (F.col("vec_id") % SEM_DECON_MOD == 0) & (
+        F.col("vec_id") < SEM_BENCH_CAP
+    )
+    bench_index = sig.filter(bench_pred).select(
         F.col("vec_id").alias("bench_id"),
-        F.col("embedding").alias("be"),
         F.explode(
             F.array(
                 *[
@@ -706,43 +750,43 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bucket"),
     )
-    # Cosine at the JOIN ROW (map side of the broadcast join), so the
-    # exchanges that follow move (train_id, bench_id, cos) — 24 bytes —
-    # instead of two 64-dim embedding payloads per row (r9 optimization
-    # round; guide §2.3 "shuffle keys and metadata instead of
-    # payloads"). A pair colliding in several tables/probes re-scores
-    # redundantly in the vectorized Arrow kernel (cheap, batch einsum);
-    # the map-side partial first() then dedups collisions BEFORE the
-    # exchange, so both the pair aggregate and the per-train window
-    # shuffle payload-free rows. Values identical: cos is a
-    # deterministic function of (te, be), so first-over-duplicates
-    # equals compute-after-dedup.
-    candidates = (
-        train.join(F.broadcast(bench), "bucket")
-        .withColumn("cos", cosine(F.col("te"), F.col("be")))
-        .groupBy("train_id", "bench_id")
-        .agg(F.first("cos").alias("cos"))
+    bench_emb = emb.filter(bench_pred).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("embedding").alias("be"),
     )
-    w = Window.partitionBy("train_id")
-    ranked = (
-        candidates
-        .withColumn("n_bench_candidates", F.count(F.lit(1)).over(w))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                w.orderBy(F.col("cos").desc(), F.col("bench_id"))
-            ),
+    pairs = (
+        train.join(F.broadcast(bench_index), "bucket")
+        .groupBy("train_id")
+        .agg(
+            F.collect_set("bench_id").alias("cands"),
+            F.first("te").alias("te"),
         )
+    )
+    scored = (
+        pairs.select(
+            "train_id",
+            F.size("cands").cast("bigint").alias("n_bench_candidates"),
+            "te",
+            F.explode("cands").alias("bench_id"),
+        )
+        .join(F.broadcast(bench_emb), "bench_id")
+        .withColumn("cos", cosine(F.col("te"), F.col("be")))
+    )
+    # Best candidate per train vector: the r9 window pick
+    # (cos desc, bench_id asc), which reuses the aggregation's
+    # hashpartitioning(train_id) — one local sort, no exchange.
+    # (A max_by(struct) aggregate was measured first: its struct
+    # buffer falls back to SortAggregate and EnsureRequirements adds
+    # a second exchange for the widened grouping key — strictly worse.)
+    w = Window.partitionBy("train_id").orderBy(
+        F.col("cos").desc(), F.col("bench_id")
     )
     return (
-        ranked.filter(
-            (F.col("rk") == 1) & (F.col("cos") >= SEM_DECON_THRESHOLD)
-        )
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") == 1) & (F.col("cos") >= SEM_DECON_THRESHOLD))
         .select(
             F.col("train_id").alias("vec_id"),
-            F.col("n_bench_candidates").cast("bigint").alias(
-                "n_bench_candidates"
-            ),
+            "n_bench_candidates",
             F.col("bench_id").alias("best_bench_id"),
             "cos",
         )

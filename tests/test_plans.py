@@ -1004,20 +1004,31 @@ def test_substring_spans_join_free_single_explode(spark, sf_dir):
     assert n_joins == 0
 
 
-def test_semantic_decon_shuffles_scores_not_vectors(spark, sf_dir):
-    """r9 optimization round: the cosine runs at the broadcast-join row
-    (map side), so every exchange after the join moves
-    (train_id, bench_id, cos) — never the 64-dim embedding payloads.
-    The r8 shape aggregated first(te)/first(be) through a
-    SortAggregate and shuffled both vectors twice."""
+def test_semantic_decon_one_exchange_scores_once_per_pair(spark, sf_dir):
+    """r10 optimization round: LSH collisions dedup into a per-train
+    candidate SET in the single exchange of the plan (collect_set of
+    bench ids + the train embedding once per candidate-bearing train
+    vector), the Arrow cosine kernel scores each DISTINCT pair exactly
+    once (bench embedding re-attached from a fan-out-free broadcast),
+    and the best-pick window reuses the aggregation's partitioning.
+    The r9 shape scored every collision and took two exchanges; the
+    r8 shape shuffled both vectors twice through a SortAggregate."""
     from real_time_streaming_system_with_apache_kafka_spark.operators import similarity
 
     plan = _plan(similarity.decontaminate_semantic(spark, sf_dir))
-    assert "SortAggregate" not in plan  # first(cos) hash-aggregates
-    assert "first(te" not in plan and "first(be" not in plan
-    # The pair dedup and the per-train window are the only two
-    # repartitionings, both on id keys.
+    assert "SortAggregate" not in plan  # set-dedup object-hash-aggregates
+    # TWO repartitionings, both keyed train_id: the collision-dedup
+    # aggregate (payload: te once per candidate-bearing train vector +
+    # the id set) and the best-pick window, whose rows are scalar-only
+    # (train_id, n, bench_id, cos) — ArrowEvalPython resets the
+    # child's outputPartitioning in Spark 4.1, so the window cannot
+    # reuse the aggregate's exchange; what matters is that its payload
+    # carries no embedding.
     assert plan.count("hashpartitioning(train_id") == 2
+    assert "first(be" not in plan  # bench vectors never aggregated
+    # Exactly one cosine kernel evaluation site (scored pairs), plus
+    # the two signature sites — no per-collision re-score path.
+    assert plan.count("qcosine") <= 2  # tree + detail section
 
 
 def test_lm_surprise_single_tf_subtree_window_model(spark, sf_dir, monkeypatch):
