@@ -1243,6 +1243,13 @@ def quality_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     #     a groupBy+self-join — one pass over the bigram vocabulary,
     #     one fewer shuffle, and n12 is consumed once (exact integer
     #     sum either way).
+    # EAGER (r10, advisor note): this checkpoint pins a corpus-sized
+    # localCheckpoint with no checkpoint_result pairing (the RETURNED
+    # plan still reads it — session-level sweep releases it, the
+    # module's documented big-intermediate contract), and it runs the
+    # full corpus tf job AT PLAN-CONSTRUCTION TIME — callers that only
+    # compile plans still trigger that job. Registry comment carries
+    # the same flag.
     tf = checkpoint_intermediate(
         pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     )
@@ -1363,6 +1370,8 @@ QUERIES = {
     "profile_dup_rate_by_source": profile_dup_rate_by_source,
     "chunk_documents": chunk_documents,
     "quality_weighted_terms": quality_weighted_terms,
+    # EAGER: runs the corpus tf job at plan-construction time (the
+    # checkpointed model intermediate) — see the operator's comment.
     "quality_lm_surprise": quality_lm_surprise,
     "quality_domain_calibrated": quality_domain_calibrated,
     "quality_classifier_eval": quality_classifier_eval,

@@ -1406,6 +1406,18 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no duplicated gram never reach the output, exactly as the old
     inner join dropped them (they have no dup rows).
 
+    Skew caveat (r10, from the r9 advisor): the unbounded-frame window
+    ``count over (partition by g)`` buffers every occurrence of a hot
+    gram in ONE WindowExec task, where the r8 groupBy(g) enjoyed
+    map-side partial aggregation — a corpus whose boilerplate n-grams
+    dominate could straggle or spill on those partitions. Accepted
+    deliberately: the trade bought zero joins and one explode (plan
+    evidence, plans/r09), the md5 key space spreads everything short
+    of a truly degenerate corpus, and a pre-aggregation per (g, doc_id)
+    would reintroduce the second shuffle this rewrite removed. If a
+    soak ever shows g-window stragglers, pre-aggregate (g, doc_id)
+    counts before the corpus-level window and take the shuffle back.
+
     Reference parity: extends the dedup family (BASELINE.json
     north-star); no single reference op computes this — it is the
     training-pipeline gap-fill the brief's dedup list names."""
@@ -1527,49 +1539,65 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     with overlap in ppm of the smaller fingerprint set (containment
     orientation, like dedup_containment).
 
-    Scale shape: grams are a positional posexplode; the window min is
-    a per-doc ROWS frame (one exchange on doc_id); fingerprints are a
-    distinct on (doc, 24-bit hash); candidate pairs come from an
-    equality self-join ON THE FINGERPRINT HASH — the selected ~1/W
-    subsample, not the gram stream. Fingerprints shared by more than
-    WIN_MAXDF documents are dropped before pairing (and from the
-    containment denominators): they are corpus boilerplate, and
-    keeping them makes the pair join quadratic in hub size as the
-    corpus grows — the same document-frequency cap every production
-    fingerprint index (MOSS itself included) applies. Same
-    oracle-exact md5 hash space as the MinHash family."""
+    Scale shape (r10): the whole winnowing selection is ARRAY-LOCAL
+    per document — the k-gram hashes, the sliding-window minima over
+    positions 0..ng−{WIN_W}, and the per-doc distinct all run as one
+    codegen'd expression chain over the per-row gram array, so the
+    gram stream never exists as rows and the corpus reaches its first
+    exchange already subsampled to the fingerprint grain (the r9 shape
+    posexploded every gram, shuffled the full stream by doc_id for two
+    window passes, then paid a distinct shuffle). Fingerprints shared
+    by more than WIN_MAXDF documents are dropped before pairing (and
+    from the containment denominators): they are corpus boilerplate,
+    and keeping them makes pairing quadratic in hub size as the corpus
+    grows — the same document-frequency cap every production
+    fingerprint index (MOSS itself included) applies. Candidate pairs
+    come from an equality self-join ON THE FINGERPRINT HASH — the
+    selected ~1/W subsample, not the gram stream. Same oracle-exact
+    md5 hash space as the MinHash family."""
     docs = load(spark, "documents", sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     )
-    grams = docs.select(
+    # The hash array MUST be a materialized column, not an inline
+    # expression: embedded inside the window-min lambda it is
+    # re-evaluated per position (measured: 4-5x the whole operator at
+    # sf1). Multiple references to the alias below keep CollapseProject
+    # from inlining the non-cheap md5 transform back in.
+    hashed = docs.select(
         "doc_id",
-        F.posexplode(regex_word_ngrams(F.col("text"), WIN_K)).alias(
-            "idx", "gram"
+        F.transform(
+            regex_word_ngrams(F.col("text"), WIN_K),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 6), 16, 10).cast(
+                "bigint"
+            ),
+        ).alias("hs"),
+    )
+    hs = F.col("hs")
+    # Window min at position i (0..max(ng-W, 0)) = least of the W
+    # members, unrolled (F.get returns null past the array end and
+    # least skips nulls, so a doc shorter than one window keeps the
+    # min of what it has — the r9 ROWS-frame semantics exactly), then
+    # per-doc dedup, all inside the row. Null/empty guard: a null or
+    # false WHEN condition yields null, and explode(null) emits no
+    # rows, like the r9 posexplode on no grams.
+    mins = F.when(
+        F.size(hs) >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size(hs) - WIN_W, F.lit(0))
+                ),
+                lambda i: F.least(
+                    *[F.get(hs, i + off) for off in range(WIN_W)]
+                ),
+            )
         ),
-    ).select(
-        "doc_id",
-        "idx",
-        F.conv(F.substring(F.md5("gram"), 1, 6), 16, 10)
-        .cast("bigint")
-        .alias("h"),
     )
-    wdoc = Window.partitionBy("doc_id")
-    wmin = (
-        Window.partitionBy("doc_id")
-        .orderBy("idx")
-        .rowsBetween(0, WIN_W - 1)
-    )
-    # The winnowed set (~1/W of the gram stream) is consumed four ways
-    # (df cap, per-doc counts, both self-join sides): checkpoint it so
-    # the gram explode + md5 + window min run ONCE, not per consumer
-    # (r9: this was the whole-suite slowest sf0.1 query, and most of
-    # it was the gram pipeline recomputing).
+    # The winnowed set (~1/W of the gram stream) is consumed three
+    # ways (df cap, per-doc counts, pairing): checkpoint it so the
+    # md5 + window-min chain runs ONCE, not per consumer.
     fp_all = checkpoint_intermediate(
-        grams.withColumn("ng", F.count(F.lit(1)).over(wdoc))
-        .withColumn("minh", F.min("h").over(wmin))
-        .filter(F.expr(f"idx <= greatest(ng - {WIN_W}, 0)"))
-        .select("doc_id", "minh")
-        .distinct()
+        hashed.select("doc_id", F.explode(mins).alias("minh"))
     )
     # Drop boilerplate by ANTI-joining the HUB set (df > cap): hubs
     # are few by definition (the rare fingerprints are the keepers),
@@ -1585,6 +1613,11 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp_all.join(F.broadcast(hubs), "minh", "left_anti")
     )
     counts = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
+    # Candidate pairs: equality self-join on the fingerprint value —
+    # measured FASTER than a collect_list + in-place combination
+    # explode at sf1 (1.4s vs 2.1s isolated): the codegen'd hash join
+    # beats the interpreted nested-transform struct builder for the
+    # same pair volume, which the df cap bounds either way.
     a = fp.alias("a")
     b = fp.alias("b")
     pairs = (

@@ -40,16 +40,23 @@ from bench import HEADLINE  # noqa: E402
 
 
 def main() -> None:
-    if "--inspect" in sys.argv:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--inspect",
+        action="store_true",
+        help="inline checkpointed intermediates into the audited plans",
+    )
+    args = ap.parse_args()
+    if args.inspect:
         from real_time_streaming_system_with_apache_kafka_spark.functions import (
             checkpoints,
         )
 
         checkpoints.PLAN_INSPECTION_MODE = True
-    sf_dir = "/root/testdata/sf0.1"
-    for i, a in enumerate(sys.argv):
-        if a == "--sf":
-            sf_dir = sys.argv[i + 1]
+    sf_dir = args.sf
     spark = pin_session_defaults(get_session("rtss_scan_audit"))
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.all_queries()
