@@ -63,74 +63,77 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # anti-join), and metrics_bootstrap_ci (whose DRAWS changed: boot_v2
 # packs 4 replicas per md5, so its values and oracle moved together —
 # the one entry whose fresh signature is mandatory, not hygiene).
-# They take the last three slots; q14-q16 join the r10 cohort with
-# the rest of the r4 remainder.
+# They took the last three r9 slots; the r9 session-3 rewrites
+# (dedup_substring_spans, decontaminate_semantic, quality_lm_surprise)
+# displaced q11-q13 into the r10 cohort.
+#
+# Round-10 rotation (optimization round 2): (a) every entry whose
+# PLAN changed this round gets a fresh signature — embed_pca_power
+# (per-round corpus jobs -> one exact Gram pass + driver matvecs),
+# decontaminate_semantic (score-once-per-pair set dedup),
+# dedup_winnowing (array-local fingerprint selection) — values
+# verified identical against the full 244-oracle parity run each
+# batch; (b) the r4 remainder takes its long-scheduled turn — TPC-H
+# q11-q22 + the datamix/skew/layout/extras cohort, 37 entries, the
+# stalest signatures on the ledger (signed r4, never since); (c) the
+# 7 remaining slots start on the r5-signed cohort (alphabetical
+# order, next 24 are the r11 cohort if rotation continues).
 _PRIORITY: list[str] = [
     # §2 sentinels — pinned every round.
     "w1_minute_activity",
     "q0_snapshot_topk",
     "j1_star_join_revenue",
-    # Changed this round: schema/contract updates.
-    "approx_hll_partials",
-    "mm_feature_extract",
-    # Changed this round: retrieval corpus-statistics memo.
-    "search_bm25_topk",
-    "search_prf_expand",
-    "search_hybrid_rrf",
-    "search_mmr_diversify",
-    # Changed this round: checkpoint-release at operator exit.
-    "stats_ks_drift",
-    "sketch_kmv_overlap",
+    # Plans changed this round (r10 optimization rewrites).
     "embed_pca_power",
-    "sim_sq8_topk",
-    "mm_phash_dedup",
-    "revenue_concentration_gini",
-    "layout_zonemap_skipping",
-    "stats_robust_mad",
-    "dedup_cc_survivors",
-    "sample_cluster_safe_split",
-    "graph_pagerank_dupgraph",
-    "graph_triangle_count",
-    "graph_label_propagation",
-    "graph_kcore",
-    "dedup_lsh_verified",
-    "dedup_containment",
-    # Stalest signatures: the full r2-signed cohort.
-    "agg_distinct_count",
-    "agg_percentiles",
-    "j2_semi_join",
-    "j3_anti_join",
-    "j5_topk_per_group",
-    "j6_outer_join_coverage",
-    "setop_intersect",
-    "setop_except",
-    # r3-signed stream windows (yielded their r8 slots; stalest now).
-    "w1_tumbling_window",
-    "w6_sliding_window",
-    # r4-signed cohort, part 1 of 2: TPC-H q2-q16.
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    # r9 restart: plans (and for the bootstrap, values) changed in the
-    # extra session — fresh signatures required.
-    "metrics_bootstrap_ci",
-    "basket_pair_lift",
-    "dedup_winnowing",
-    # r9 optimization session 3: three more plan rewrites (values
-    # verified identical against the full 244-oracle parity run, but
-    # the plans moved — join-free substring spans, payload-free
-    # semantic decon exchanges, single-explode lm-surprise). They take
-    # the last three slots; q11-q13 join the r10 cohort with the rest
-    # of the r4 remainder.
-    "dedup_substring_spans",
     "decontaminate_semantic",
-    "quality_lm_surprise",
+    "dedup_winnowing",
+    # r4-signed cohort, part 2 of 2: TPC-H q11-q22.
+    "q11_important_stock",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q20_excess_suppliers",
+    "q21_sole_returning_supplier",
+    "q22_global_sales_opportunity",
+    # r4-signed cohort: datamix / skew / layout / extras remainder.
+    "agg_grouping_sets",
+    "agg_mode_exact",
+    "agg_quartiles_exact",
+    "agg_salted_skew",
+    "agg_stats_moments",
+    "dedup_cross_source",
+    "dedup_incremental_ingest",
+    "embed_centroid_stats",
+    "f_regexp_funcs",
+    "f_variant_funcs",
+    "feature_quantile_bucketize",
+    "j7_full_outer_reconcile",
+    "j8_bucketed_join",
+    "join_salted_skew",
+    "layout_zorder_events",
+    "mix_domain_weights",
+    "mix_epoch_repeats",
+    "mix_temperature_weights",
+    "reconcile_checksum",
+    "sample_token_budget",
+    "sql_api_snapshot",
+    "w11_minute_distinct_users",
+    "w9_cascaded_rollup",
+    "wf_first_last_nth",
+    "wf_share_of_total",
+    # Stalest after the r4 cohort: first 7 of the r5-signed batch.
+    "agg_bitmap_distinct",
+    "customer_rfm_segments",
+    "dedup_lines_c4",
+    "dedup_lsh_calibration",
+    "dedup_passage",
+    "dedup_prefix",
+    "dedup_quality_survivor",
 ]
 
 _MODULES: list[str] = [

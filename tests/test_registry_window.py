@@ -17,61 +17,57 @@ WINDOW = 50
 # The three §2 sentinels stay driver-signed every round (VERDICT r2 #3).
 SENTINELS = ["w1_minute_activity", "q0_snapshot_topk", "j1_star_join_revenue"]
 
-# Round-9 rotation: every entry whose plan or schema changed this
-# round (the approx-sketch RSE re-derivation, the empty-doc-safe
-# mm_feature_extract oracle, the retrieval corpus-statistics memo, and
-# the checkpoint-release family), plus the stalest signatures — the
-# whole r2-signed cohort, both r3-signed stream windows, and TPC-H
-# q2-q16 from the r4 cohort (q17-q22 + datamix/skew/layout/extras are
-# the r10 cohort; registry.py documents the history).
+# Round-10 rotation: the three r10 plan rewrites get fresh
+# signatures, and the r4 remainder takes its long-scheduled turn —
+# TPC-H q11-q22 plus the datamix/skew/layout/extras cohort (signed
+# r4, never since — the stalest signatures on the ledger), with the
+# last 7 slots starting on the r5-signed batch (registry.py documents
+# the history).
 ROTATED_SUITES = {
     "changed_this_round": [
-        "approx_hll_partials",
-        "mm_feature_extract",
-        "search_bm25_topk",
-        "search_prf_expand",
-        "search_hybrid_rrf",
-        "search_mmr_diversify",
-        "stats_ks_drift",
-        "sketch_kmv_overlap",
         "embed_pca_power",
-        "sim_sq8_topk",
-        "mm_phash_dedup",
-        "revenue_concentration_gini",
-        "layout_zonemap_skipping",
-        "stats_robust_mad",
-        "dedup_cc_survivors",
-        "sample_cluster_safe_split",
-        "graph_pagerank_dupgraph",
-        "graph_triangle_count",
-        "graph_label_propagation",
-        "graph_kcore",
-        "dedup_lsh_verified",
-        "dedup_containment",
-        # r9 restart: extra-session perf rewrites (the bootstrap's
-        # DRAWS moved to boot_v2, so its values/oracle changed too).
-        "metrics_bootstrap_ci",
-        "basket_pair_lift",
+        "decontaminate_semantic",
         "dedup_winnowing",
     ],
-    "r2_resign": [
-        "agg_distinct_count",
-        "agg_percentiles",
-        "j2_semi_join",
-        "j3_anti_join",
-        "j5_topk_per_group",
-        "j6_outer_join_coverage",
-        "setop_intersect",
-        "setop_except",
+    "r4_remainder": [
+        "agg_grouping_sets",
+        "agg_mode_exact",
+        "agg_quartiles_exact",
+        "agg_salted_skew",
+        "agg_stats_moments",
+        "dedup_cross_source",
+        "dedup_incremental_ingest",
+        "embed_centroid_stats",
+        "f_regexp_funcs",
+        "f_variant_funcs",
+        "feature_quantile_bucketize",
+        "j7_full_outer_reconcile",
+        "j8_bucketed_join",
+        "join_salted_skew",
+        "layout_zorder_events",
+        "mix_domain_weights",
+        "mix_epoch_repeats",
+        "mix_temperature_weights",
+        "reconcile_checksum",
+        "sample_token_budget",
+        "sql_api_snapshot",
+        "w11_minute_distinct_users",
+        "w9_cascaded_rollup",
+        "wf_first_last_nth",
+        "wf_share_of_total",
     ],
-    "r3_stream_windows": [
-        "w1_tumbling_window",
-        "w6_sliding_window",
+    "r5_stalest": [
+        "agg_bitmap_distinct",
+        "customer_rfm_segments",
+        "dedup_lines_c4",
+        "dedup_lsh_calibration",
+        "dedup_passage",
+        "dedup_prefix",
+        "dedup_quality_survivor",
     ],
-    # prefix-matched in the test: TPC-H q2..q10 of the r4 cohort
-    # (q11-q16 yielded their slots to the r9-session-3 rewrites and
-    # join the r10 cohort with the rest of the r4 remainder).
-    "tpch": [f"q{i}_" for i in range(2, 11)],
+    # prefix-matched in the test: TPC-H q11..q22 of the r4 cohort
+    # (q2-q10 were re-signed in the r9 window).
+    "tpch": [f"q{i}_" for i in range(11, 23)],
 }
 
 
