@@ -850,6 +850,42 @@ def test_semantic_decon_bench_broadcasts_probe_fanout(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_pca_projection_pass_exchange_free_and_uncheckpointed(spark, sf_dir):
+    """r10: embed_pca_power's returned plan is the projection pass
+    alone — a plain scan + filter + codegen'd fold with a literal
+    direction vector. No Exchange (the rebalance belongs to the Gram
+    pass only), no `Scan ExistingRDD` (the centered-matrix
+    localCheckpoint is gone), and nothing left persisted (the model
+    state lives in the literals, not in pinned blocks)."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import similarity
+
+    jsc = spark.sparkContext._jsc.sc()
+    pinned_before = jsc.getPersistentRDDs().size()
+    df = similarity.embed_pca_power(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Scan ExistingRDD" not in plan
+    assert "Scan parquet" in plan
+    # Delta, not absolute: other operators' result checkpoints may be
+    # legitimately pinned in the shared test session.
+    assert jsc.getPersistentRDDs().size() == pinned_before
+
+
+def test_winnowing_selection_is_array_local(spark, sf_dir, monkeypatch):
+    """r10: the winnowing fingerprint selection runs inside the row —
+    no Window nodes anywhere in the computation plan (the r9 shape
+    shuffled the full gram stream by doc_id for two window passes),
+    and the only Generate is the fingerprint explode plus none for
+    raw grams (grams never exist as rows)."""
+    from real_time_streaming_system_with_apache_kafka_spark.operators import dedup
+    from real_time_streaming_system_with_apache_kafka_spark.functions import checkpoints
+
+    monkeypatch.setattr(checkpoints, "PLAN_INSPECTION_MODE", True)
+    plan = _plan(dedup.dedup_winnowing(spark, sf_dir))
+    assert "Window" not in plan
+    assert "posexplode" not in plan
+
+
 def test_sq8_index_path_pure_codegen(spark, sf_dir, monkeypatch):
     """Unlike PQ's argmin encode, the SQ8 INDEX path (normalize,
     quantize, encode, asymmetric score) is JVM codegen — the only
